@@ -1,0 +1,311 @@
+package graft.index
+
+import graft.codec.VByte
+import graft.corpus.Pages
+import graft.query.Bm25
+import graft.tokenize.{TokenizerStrategy, Tokenizers}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+
+/** TermIdDoc + docId skew-bucket — the shuffle key of the segment build. */
+final case class BucketedPosting(termId: Int, bucket: Long, docId: Long, tf: Int, docLen: Int)
+
+/** The SPIMI-style index build (SURVEY.md §3.3 engine trace):
+  *
+  * {{{
+  * pages                       — scan (+ column pruning: html is NEVER read)
+  *  → clean (dedup, lang)      — one hash exchange on url
+  *  → tokenize flatMap         — Generate; per-doc tf in a local hash map
+  *  → dictionary agg           — partial+final hash agg on term
+  *  → broadcast dict lookup    — map-side, no shuffle (J3)
+  *  → exchange on (termId, docId-bucket)   ← head-term skew salting
+  *  → sortWithinPartitions(termId, bucket, docId)
+  *  → streaming block build    — delta-gap + VByte + block-max (E4 + A8)
+  *  → parquet postings clustered by termId + lineage rows
+  * }}}
+  *
+  * Skew: the shuffle key includes `bucket = docId / bucketRange`, so a head
+  * term with a billion postings lands on ~docIdSpace/bucketRange partitions
+  * instead of one. Blocks carry absolute `firstDocId` and a globally-monotone
+  * `blockId = bucket * blocksPerBucket + localIdx`, so per-bucket partials
+  * need NO second merge pass (the reference's density-balanced chunking
+  * recast, utils/split.py:243-360).
+  */
+object IndexBuilder {
+
+  /** Tokenize cleaned pages into one TermDoc per distinct (term, doc).
+    * Per-doc tf is computed inside the flatMap (map-side, no shuffle) —
+    * the analog of MidiTok's per-file SoA kernels (midi_tokenizer.py:674-743). */
+  def termDocs(cleaned: DataFrame, tok: TokenizerStrategy): Dataset[TermDoc] = {
+    val spark = cleaned.sparkSession
+    import spark.implicits._
+    cleaned
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        val ts = tok.terms(text)
+        val m = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i < ts.length) {
+          val prev = m.get(ts(i))
+          m.put(ts(i), if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue() + 1))
+          i += 1
+        }
+        val out = new Array[TermDoc](m.size)
+        var j = 0
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out(j) = TermDoc(e.getKey, docId, e.getValue.intValue(), ts.length)
+          j += 1
+        }
+        out
+      }
+  }
+
+  /** Frequency-ordered dense termIds WITHOUT a single-partition global
+    * window (which would bottleneck at a 100M-term vocabulary):
+    * range-repartition on (df desc, term), per-partition row_number, plus
+    * prefix offsets from a tiny per-partition count collect.
+    * Total order (df desc, term asc) is unique ⇒ ids are deterministic
+    * regardless of range boundaries. */
+  def dictionary(td: Dataset[TermDoc], partitions: Int): Dataset[TermEntry] = {
+    val spark = td.sparkSession
+    import spark.implicits._
+    val stats = td.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val sorted = stats
+      .repartitionByRange(math.max(partitions, 1), col("df").desc, col("term").asc)
+      .sortWithinPartitions(col("df").desc, col("term").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts: Map[Int, Long] =
+      sorted.groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets: Map[Int, Long] = (0 to maxPid).scanLeft((0, 0L)) { case ((_, acc), pid) =>
+      (pid, acc)
+    }.drop(1).map { case (pid, off) =>
+      pid -> (0 until pid).map(p => counts.getOrElse(p, 0L)).sum
+    }.toMap
+    val offUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    val w = Window.partitionBy("pid").orderBy(col("df").desc, col("term").asc)
+    val dict = sorted
+      .withColumn("termId", (offUdf(col("pid")) + row_number().over(w) - 1).cast("int"))
+      .select(col("termId"), col("term"), col("df").cast("long"), col("cf").cast("long"))
+      .as[TermEntry]
+    dict
+  }
+
+  /** Streaming block builder over rows pre-sorted by (termId, bucket, docId).
+    * Constant memory: at most `blockSize` postings buffered (the SPIMI
+    * "flush at block boundary" discipline — reference analog: per-file
+    * chunking keeps per-worker memory flat, utils/split.py:40-171). */
+  private final class BlockIterator(
+      rows: Iterator[BucketedPosting],
+      blockSize: Int,
+      blocksPerBucket: Long,
+      idfs: Map[Int, Double],
+      avgdl: Double
+  ) extends Iterator[PostingBlock] {
+    private val buf = rows.buffered
+    private var curTerm = -1
+    private var curBucket = -1L
+    private var localIdx = 0L
+
+    override def hasNext: Boolean = buf.hasNext
+
+    override def next(): PostingBlock = {
+      val head = buf.head
+      if (head.termId != curTerm || head.bucket != curBucket) {
+        curTerm = head.termId
+        curBucket = head.bucket
+        localIdx = 0L
+      }
+      val idfVal = idfs(curTerm)
+      val docIds = new Array[Long](blockSize)
+      val tfs = new Array[Int](blockSize)
+      var n = 0
+      var maxScore = 0.0
+      while (n < blockSize && buf.hasNext &&
+        buf.head.termId == curTerm && buf.head.bucket == curBucket) {
+        val r = buf.next()
+        docIds(n) = r.docId
+        tfs(n) = r.tf
+        val s = Bm25.scoreWithIdf(idfVal, r.tf, r.docLen, avgdl)
+        if (s > maxScore) maxScore = s
+        n += 1
+      }
+      val ids = java.util.Arrays.copyOf(docIds, n)
+      val fs = java.util.Arrays.copyOf(tfs, n)
+      val blockId = curBucket * blocksPerBucket + localIdx
+      localIdx += 1
+      PostingBlock(
+        curTerm,
+        blockId,
+        ids(0),
+        n,
+        VByte.encodeDocIds(ids),
+        VByte.encodeInts(fs),
+        Math.nextUp(maxScore.toFloat) // float bound must dominate exact doubles
+      )
+    }
+  }
+
+  /** TermDocs → compressed posting blocks. One exchange, one local sort. */
+  def postingBlocks(
+      td: Dataset[TermDoc],
+      dict: Map[String, TermEntry],
+      nDocs: Long,
+      avgdl: Double,
+      cfg: IndexConfig
+  ): Dataset[PostingBlock] = {
+    val spark = td.sparkSession
+    import spark.implicits._
+    val bDict = spark.sparkContext.broadcast(dict)
+    val idfs: Map[Int, Double] =
+      dict.values.map(e => e.termId -> Bm25.idf(nDocs, e.df)).toMap
+    val bIdfs = spark.sparkContext.broadcast(idfs)
+    val bucketRange = cfg.bucketRange
+    val blockSize = cfg.blockSize
+    val blocksPerBucket = cfg.blocksPerBucket
+    val avgdlV = avgdl
+
+    val bucketed: Dataset[BucketedPosting] = td.mapPartitions { it =>
+      val d = bDict.value
+      it.flatMap { p =>
+        d.get(p.term) match {
+          case Some(e) =>
+            Iterator.single(
+              BucketedPosting(e.termId, p.docId / bucketRange, p.docId, p.tf, p.docLen))
+          case None => Iterator.empty // OOV under a capped dictionary
+        }
+      }
+    }
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    bucketed
+      .repartition(shufflePartitions, col("termId"), col("bucket"))
+      .sortWithinPartitions(col("termId"), col("bucket"), col("docId"))
+      .as[BucketedPosting]
+      .mapPartitions { it =>
+        new BlockIterator(it, blockSize, blocksPerBucket, bIdfs.value, avgdlV)
+      }
+  }
+
+  // ---------------------------------------------------------------- build
+
+  private def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  private def success(dir: String): Boolean = exists(s"$dir/_SUCCESS")
+
+  /** Full resumable build: pages(sfDir) → index at indexDir.
+    * Stages (stats → dictionary → postings chunk 0..n-1 → manifest) each
+    * commit atomically (parquet _SUCCESS) + append a lineage row; a re-run
+    * skips committed stages (crash-restart yields a bit-identical index —
+    * tested). */
+  def build(spark: SparkSession, sfDir: String, indexDir: String, cfg: IndexConfig = IndexConfig()): IndexManifest = {
+    import spark.implicits._
+    val tok = Tokenizers(cfg.tokenizer)
+    Files.createDirectories(Paths.get(indexDir))
+
+    val pages = Pages.withInjections(spark, sfDir)
+    val cleaned = Pages.cleaned(pages, cfg.langs).persist()
+
+    // -- stage: docstats + global stats ---------------------------------
+    val docstatsDir = s"$indexDir/docstats"
+    if (!success(docstatsDir)) {
+      val stats = cleaned
+        .select(col("doc_id").cast("long"), col("url"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
+      stats.repartition(cfg.postingsBuckets).write.mode("overwrite").parquet(docstatsDir)
+      Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
+    }
+    val docstats = spark.read.parquet(docstatsDir).as[DocStat]
+    val agg = docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+    val nDocs = agg.getLong(0)
+    val totalLen = agg.getLong(1)
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    val skippedCorrupt = pages.filter(col("text").isNull).count()
+
+    // -- stage: dictionary ----------------------------------------------
+    val td = termDocs(cleaned, tok)
+    val tdCached = if (cfg.cacheTermDocs) td.persist() else td
+    val dictDir = s"$indexDir/dictionary"
+    if (!success(dictDir)) {
+      dictionary(tdCached, spark.sessionState.conf.numShufflePartitions)
+        .repartition(1)
+        .sortWithinPartitions(col("termId"))
+        .write.mode("overwrite").parquet(dictDir)
+      Lineage.append(spark, indexDir, LineageRow(-1, "dictionary", -1L, System.currentTimeMillis(), "committed"))
+    }
+    val dictRows = spark.read.parquet(dictDir).as[TermEntry].collect()
+    val dict: Map[String, TermEntry] = dictRows.map(e => e.term -> e).toMap
+
+    // -- stage: postings, chunked over docId ranges ----------------------
+    val maxDocId = docstats.agg(coalesce(max(col("docId")), lit(0L))).head().getLong(0)
+    val rawChunk = (maxDocId + 1 + cfg.nChunks - 1) / cfg.nChunks
+    // chunk boundary aligned to bucketRange so buckets never span chunks
+    val chunkRange = math.max(((rawChunk + cfg.bucketRange - 1) / cfg.bucketRange) * cfg.bucketRange, cfg.bucketRange)
+    var chunk = 0
+    while (chunk * chunkRange <= maxDocId) {
+      val lo = chunk * chunkRange
+      val hi = lo + chunkRange // exclusive
+      val chunkDir = f"$indexDir/postings/chunk_$chunk%05d"
+      if (!success(chunkDir)) {
+        val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
+        val blocks = postingBlocks(part, dict, nDocs, avgdl, cfg)
+        blocks
+          .repartition(cfg.postingsBuckets, col("termId"))
+          .sortWithinPartitions(col("termId"), col("blockId"))
+          .write.mode("overwrite").parquet(chunkDir)
+        val nBlocks = spark.read.parquet(chunkDir).count()
+        Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
+      }
+      chunk += 1
+    }
+
+    val manifest = IndexManifest(nDocs, totalLen, dictRows.length.toLong, skippedCorrupt,
+      cfg.blockSize, cfg.bucketRange, chunk)
+    Manifest.write(s"$indexDir/manifest.json", manifest)
+    if (cfg.cacheTermDocs) tdCached.unpersist()
+    cleaned.unpersist()
+    manifest
+  }
+}
+
+/** Per-stage lineage rows (FIXTURES.md §5), appended as parquet. */
+object Lineage {
+  def append(spark: SparkSession, indexDir: String, row: LineageRow): Unit = {
+    import spark.implicits._
+    Seq(row).toDS().coalesce(1).write.mode("append").parquet(s"$indexDir/lineage")
+  }
+
+  def load(spark: SparkSession, indexDir: String): Dataset[LineageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/lineage").as[LineageRow]
+  }
+}
+
+/** Tiny hand-rolled JSON manifest I/O (all-numeric fields; no extra deps). */
+object Manifest {
+  def write(path: String, m: IndexManifest): Unit = {
+    val json =
+      s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
+        s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
+        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks}}"""
+    Files.writeString(Paths.get(path), json)
+  }
+
+  def read(path: String): IndexManifest = {
+    val s = Files.readString(Paths.get(path))
+    def f(k: String): Long = {
+      val re = ("\"" + k + "\":(-?\\d+)").r
+      re.findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"manifest missing $k"))
+    }
+    IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
+      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.index
+
+import graft.tokenize.TokenizerConfig
+
+/** One (term, doc) posting before compression. `docLen` is carried so the
+  * block builder can compute exact BM25 impacts for block-max metadata
+  * without a second join (the analog of MidiTok completing all parallel
+  * representations in one pass, `complete_sequence` midi_tokenizer.py:1683-1709). */
+final case class TermDoc(term: String, docId: Long, tf: Int, docLen: Int)
+
+/** Same, after the broadcast dictionary lookup (J3). */
+final case class TermIdDoc(termId: Int, docId: Long, tf: Int, docLen: Int)
+
+/** Dictionary row. `termId` is dense, assigned in descending document-
+  * frequency order with term-string tie-break (frequency-driven vocab,
+  * cf. MidiTok `train`, midi_tokenizer.py:2681-2938). */
+final case class TermEntry(termId: Int, term: String, df: Long, cf: Long)
+
+/** Per-document stats (norms). */
+final case class DocStat(docId: Long, url: String, docLen: Int)
+
+/** One compressed posting block (FIXTURES.md §3).
+  *
+  * `docIdGaps` = delta-gap + VByte over the block's docIds (first absolute);
+  * `tfs` = VByte over term frequencies; `blockMaxScore` = float upper bound
+  * on every member's exact-double BM25 impact (rounded UP via nextUp so the
+  * bound always dominates — the block-max WAND safety invariant, the analog
+  * of MidiTok's grammar-validation invariants, midi_tokenizer.py:3246-3370).
+  *
+  * `blockId = bucket * blocksPerBucket + localIdx` where
+  * `bucket = docId / bucketRange`: blocks never span docId buckets, so a
+  * head term's postings can be built on MANY partitions in parallel (the
+  * skew answer: docId-range salting of the (term → postings) group, the
+  * analog of density-balanced chunking, utils/split.py:243-360). */
+final case class PostingBlock(
+    termId: Int,
+    blockId: Long,
+    firstDocId: Long,
+    nDocs: Int,
+    docIdGaps: Array[Byte],
+    tfs: Array[Byte],
+    blockMaxScore: Float
+)
+
+/** Lineage row (FIXTURES.md §5) — per-chunk commit record enabling
+  * checkpointed resume (the hidden-hash skip of utils/split.py:98-104,
+  * done transactionally). */
+final case class LineageRow(
+    partitionId: Int,
+    stage: String,
+    rowCount: Long,
+    snapshotId: Long,
+    status: String
+)
+
+/** Index build configuration. Persisted in the manifest. */
+final case class IndexConfig(
+    tokenizer: TokenizerConfig = TokenizerConfig(),
+    blockSize: Int = 128,
+    /** docId range per skew bucket; MUST be a multiple of blockSize. */
+    bucketRange: Long = 65536L,
+    /** resumable build chunks over the docId space. */
+    nChunks: Int = 1,
+    /** output files / clustering buckets for the postings table. */
+    postingsBuckets: Int = 8,
+    /** language allowlist for the cleaning stage; empty = keep all. */
+    langs: Set[String] = Set.empty,
+    /** persist the tokenized TermDoc dataset between dictionary and
+      * postings passes (memory-vs-rescan tradeoff; at 100 TB prefer
+      * recompute from columnar source unless cluster RAM allows). */
+    cacheTermDocs: Boolean = true
+) {
+  require(bucketRange % blockSize == 0, "bucketRange must be a multiple of blockSize")
+  def blocksPerBucket: Long = bucketRange / blockSize
+}
+
+/** Global index stats + config — the persisted manifest (the analog of
+  * MidiTok's tokenizer save/load JSON, midi_tokenizer.py:3510-3540). */
+final case class IndexManifest(
+    nDocs: Long,
+    totalLen: Long,
+    vocabSize: Long,
+    skippedCorrupt: Long,
+    blockSize: Int,
+    bucketRange: Long,
+    nChunks: Int
+) {
+  /** Exact avgdl = integer total / integer count — bit-identical across
+    * engines and reruns. */
+  def avgdl: Double = totalLen.toDouble / nDocs.toDouble
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.corpus.Pages
+import graft.index._
+import graft.query._
+import graft.tokenize.Tokenizers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared per-sfDir index cache: builds each index once per JVM into a fresh
+  * temp dir (stale on-disk state from older code versions is wiped). */
+object IndexCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
+
+  def handle(spark: SparkSession, sfDir: String): IndexHandle =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft_index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      deleteRecursively(new java.io.File(dir))
+      IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+      IndexReader.load(spark, dir)
+    })
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
+
+/** The fixed benchmark/correctness query set (FIXTURES.md §6): head, torso,
+  * tail and OOV terms over the synthetic corpus vocabulary. */
+object QuerySet {
+  val queries: Seq[QuerySpec] = Seq(
+    QuerySpec(1, Seq("spark")),
+    QuerySpec(2, Seq("merge", "join")),
+    QuerySpec(3, Seq("window", "batch", "stream")),
+    QuerySpec(4, Seq("vector", "quantum")), // quantum = OOV
+    QuerySpec(5, Seq("zzzoov")),            // all OOV → empty
+    QuerySpec(6, Seq("customer", "order", "line", "agg", "hash")),
+    QuerySpec(7, Seq("the", "a"))           // stopword-ish head terms
+  )
+
+  /** SQL VALUES list for the DuckDB oracle. */
+  def sqlValues: String =
+    queries.flatMap(q => q.terms.map(t => s"(${q.queryId},'$t')")).mkString(", ")
+}
+
+/** Core index-engine queries + their DuckDB oracles.
+  *
+  * Oracle discipline: the cleaned corpus equals
+  * `documents WHERE text IS NOT NULL AND length(text)>0` because the
+  * injected stale-dup/corrupt rows (Pages.withInjections) are exactly the
+  * rows the cleaning stage removes. Tokenization on this corpus equals
+  * `string_split(lower(text), ' ')` (letters+spaces only), which separate
+  * assertions in ScalaTest pin down.
+  */
+object IndexQueries {
+
+  /** Shared SQL prelude: tokens / doc lengths / df / tf / global stats. */
+  private val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0
+      |),
+      |tok AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(lower(text), ' ')) AS term,
+      |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+      |  FROM corpus
+      |),
+      |doclen AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dft AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+      |gstats AS (
+      |  SELECT count(*) AS n, sum(doc_len) AS total,
+      |         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM doclen
+      |)""".stripMargin
+
+  /** BM25 impact expression (MUST mirror graft.query.Bm25 op-for-op). */
+  private def bm25Sql(tf: String, df: String, docLen: String): String =
+    s"ln((n - $df + 0.5) / ($df + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
+      s"($tf + 1.2 * (1.0 - 0.75 + 0.75 * $docLen / avgdl))"
+
+  private def cleanedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Pages.cleaned(Pages.withInjections(spark, sfDir))
+
+  // ------------------------------------------------------------------ Spark
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: the tokenizer strategy as a flatMap Generator
+    "q_tokenize" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val tok = Tokenizers.default
+      cleanedDocs(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => tok.tokenize(text).map { case (t, p) => (id, p, t) } }
+        .toDF("doc_id", "pos", "term")
+        .orderBy("doc_id", "pos")
+    }),
+
+    // A1: the frequency-driven dictionary build (dense df-ordered termIds)
+    "q_dictionary" -> ((spark, sfDir) => {
+      IndexCache.handle(spark, sfDir).dictionary.toDF()
+        .select(col("termId").as("term_id"), col("term"), col("df"), col("cf"))
+        .orderBy("term_id")
+    }),
+
+    // A7: per-document stats (norms)
+    "q_docstats" -> ((spark, sfDir) => {
+      IndexCache.handle(spark, sfDir).docstats.toDF()
+        .select(col("docId").as("doc_id"), col("docLen").as("doc_len"))
+        .orderBy("doc_id")
+    }),
+
+    // E4 + A8 + O1 + J4: block structure after the full SPIMI build —
+    // per term: postings count (must equal df), block count, first docId,
+    // and the round-trip-decoded docId sum (proves the codec is lossless
+    // through the whole build → write → read cycle).
+    "q_postings_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val h = IndexCache.handle(spark, sfDir)
+      h.postings
+        .map { b =>
+          val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+          val tfs = graft.codec.VByte.decodeInts(b.tfs)
+          (b.termId, b.nDocs, ids.length, ids.sum, tfs.map(_.toLong).sum, ids.min, ids.max)
+        }
+        .toDF("term_id", "n_docs", "n_decoded", "docid_sum", "tf_sum", "min_doc", "max_doc")
+        .groupBy("term_id")
+        .agg(
+          sum("n_decoded").cast("long").as("df"),
+          sum("tf_sum").cast("long").as("cf"),
+          sum("docid_sum").cast("long").as("docid_sum"),
+          min("min_doc").as("first_doc"),
+          max("max_doc").as("last_doc"),
+          count(lit(1)).cast("long").as("n_blocks")
+        )
+        .orderBy("term_id")
+    }),
+
+    // The flagship: block-max WAND top-10 BM25 over the on-disk index
+    "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
+
+    // Same result via the pure declarative DataFrame plan (Catalyst does
+    // partial aggs + broadcast of the tiny stats) — proves WAND == plan
+    "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false))
+  )
+
+  /** Top-10 per query; ranked by (round(score,6) desc, doc_id) for
+    * cross-engine float robustness; scores reported rounded to 4. */
+  private def bm25TopK(spark: SparkSession, sfDir: String, useWand: Boolean): DataFrame = {
+    import spark.implicits._
+    if (useWand) {
+      val h = IndexCache.handle(spark, sfDir)
+      val res = Wand.topK(h, QuerySet.queries, k = 20)
+      val rows = res.toSeq.flatMap { case (qid, arr) =>
+        arr.toSeq
+          .map { case (s, d) => (qid, d, s) }
+          .sortBy { case (_, d, s) => (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, d) }
+          .take(10)
+          .zipWithIndex
+          .map { case ((q, d, s), i) =>
+            (q, i + 1, d, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+      }
+      rows.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
+    } else {
+      val tok = Tokenizers.default
+      val td = IndexBuilder.termDocs(cleanedDocs(spark, sfDir), tok)
+      val tfDf = td.toDF()
+      val stats = tfDf.groupBy().agg(
+        countDistinct(col("docId")).as("n"),
+        sum(col("tf")).as("total"))
+      val dft = tfDf.groupBy("term").agg(count(lit(1)).as("df"))
+      val qdf = QuerySet.queries
+        .flatMap(q => q.terms.map(t => (q.queryId, t)))
+        .toDF("query_id", "term")
+      val scored = tfDf
+        .join(broadcast(qdf), "term")
+        .join(broadcast(dft), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("total").cast("double") / col("n").cast("double"))
+        .withColumn("impact",
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * (lit(1.2) + lit(1.0))) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("docLen") / col("avgdl"))))
+        .groupBy("query_id", "docId")
+        .agg(sum("impact").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(round(col("score"), 6).desc, col("docId").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("docId").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy("query_id", "rank")
+    }
+  }
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracles: Map[String, String] = {
+    val bm25Top =
+      s"""WITH $corpusCte,
+         |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
+         |scores AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         sum(${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")}) AS score
+         |  FROM q
+         |  JOIN tf ON tf.term = q.term
+         |  JOIN dft ON dft.term = q.term
+         |  JOIN doclen ON doclen.doc_id = tf.doc_id
+         |  CROSS JOIN gstats
+         |  GROUP BY q.query_id, tf.doc_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM scores
+         |)
+         |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       doc_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    Map(
+      "q_tokenize" ->
+        s"""WITH $corpusCte
+           |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term
+           |FROM tok ORDER BY doc_id, pos""".stripMargin,
+      "q_dictionary" ->
+        s"""WITH $corpusCte
+           |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,
+           |       term, df, cf
+           |FROM dft ORDER BY term_id""".stripMargin,
+      "q_docstats" ->
+        s"""WITH $corpusCte
+           |SELECT doc_id, CAST(doc_len AS INTEGER) AS doc_len
+           |FROM doclen ORDER BY doc_id""".stripMargin,
+      // blocks split at 128 postings AND at docId-bucket (65536) boundaries
+      "q_postings_stats" ->
+        s"""WITH $corpusCte,
+           |d AS (
+           |  SELECT row_number() OVER (ORDER BY df DESC, term) - 1 AS term_id, term, df, cf
+           |  FROM dft
+           |),
+           |per_bucket AS (
+           |  SELECT d.term_id, CAST(floor(tf.doc_id / 65536) AS BIGINT) AS bucket,
+           |         count(*) AS cnt
+           |  FROM d JOIN tf ON tf.term = d.term
+           |  GROUP BY d.term_id, bucket
+           |),
+           |nb AS (
+           |  SELECT term_id,
+           |         CAST(sum(CAST(ceil(CAST(cnt AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks
+           |  FROM per_bucket GROUP BY term_id
+           |)
+           |SELECT CAST(d.term_id AS INTEGER) AS term_id, d.df, d.cf,
+           |       CAST(sum(tf.doc_id) AS BIGINT) AS docid_sum,
+           |       min(tf.doc_id) AS first_doc, max(tf.doc_id) AS last_doc,
+           |       max(nb.n_blocks) AS n_blocks
+           |FROM d JOIN tf ON tf.term = d.term JOIN nb ON nb.term_id = d.term_id
+           |GROUP BY d.term_id, d.df, d.cf ORDER BY term_id""".stripMargin,
+      "q_bm25_topk" -> bm25Top,
+      "q_bm25_brute" -> bm25Top
+    )
+  }
+}

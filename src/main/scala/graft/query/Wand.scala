@@ -1,0 +1,253 @@
+package graft.query
+
+import graft.codec.VByte
+import graft.index._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+final case class QuerySpec(queryId: Int, terms: Seq[String])
+final case class ScoredDoc(queryId: Int, docId: Long, score: Double)
+
+/** Loaded index handle (manifest + lazily-read tables). */
+final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexManifest) {
+  import spark.implicits._
+  def dictionary: Dataset[TermEntry] =
+    spark.read.parquet(s"$dir/dictionary").as[TermEntry]
+  def postings: Dataset[PostingBlock] = {
+    val dirs = (0 until manifest.nChunks).map(c => f"$dir/postings/chunk_$c%05d")
+    spark.read.parquet(dirs: _*).as[PostingBlock]
+  }
+  def docstats: Dataset[DocStat] =
+    spark.read.parquet(s"$dir/docstats").as[DocStat]
+  /** Driver-side dictionary map (broadcast-sized by construction; at a 100M
+    * vocab only the query terms would be looked up via a semi-join instead). */
+  lazy val dictMap: Map[String, TermEntry] =
+    dictionary.collect().map(e => e.term -> e).toMap
+}
+
+object IndexReader {
+  def load(spark: SparkSession, dir: String): IndexHandle =
+    IndexHandle(spark, dir, Manifest.read(s"$dir/manifest.json"))
+}
+
+/** Document-at-a-time block-max WAND top-k (the new query surface mandated
+  * by the north rule; its stateful cursor machinery is the engine analog of
+  * the reference's replay-interpreter decode path, remi.py:368-651).
+  *
+  * Distribution: postings and docstats are cogrouped by docId bucket —
+  * each bucket runs an independent exact WAND producing a local top-k;
+  * local top-ks are reduced to the global top-k with a bounded heap.
+  * Wall-clock scales with the largest bucket, not the largest term
+  * (head-term skew immunity), and no stage ever materializes more than
+  * (buckets × k) candidate rows.
+  *
+  * Exactness discipline (rank-identical scores vs the brute-force oracle):
+  *  - per-doc score sums impacts in ascending-termId order, Double accum;
+  *  - heap tie-break prefers smaller docId; DAAT visits docIds ascending, so
+  *    pruning a doc whose upper bound equals the threshold is tie-safe
+  *    (any equal-scored doc already in the heap has a smaller docId).
+  */
+object Wand {
+
+  /** Cursor over one term's blocks within one bucket (sorted by firstDocId). */
+  private final class TermCursor(
+      val termId: Int,
+      blocks: Array[PostingBlock],
+      val idf: Double,
+      avgdl: Double
+  ) {
+    /** Term-level upper bound: max over this bucket's block maxima. */
+    val termUB: Double = { var m = 0.0; var i = 0; while (i < blocks.length) { if (blocks(i).blockMaxScore > m) m = blocks(i).blockMaxScore.toDouble; i += 1 }; m }
+    private var bi = 0
+    private var ids: Array[Long] = _
+    private var tfs: Array[Int] = _
+    private var pi = 0
+    decodeCurrent()
+
+    private def decodeCurrent(): Unit = {
+      if (bi < blocks.length) {
+        ids = VByte.decodeDocIds(blocks(bi).docIdGaps)
+        tfs = VByte.decodeInts(blocks(bi).tfs)
+        pi = 0
+      } else { ids = null; tfs = null }
+    }
+
+    def exhausted: Boolean = ids == null
+    def curDoc: Long = if (exhausted) Long.MaxValue else ids(pi)
+    def curTf: Int = tfs(pi)
+    def blockMax: Double = if (exhausted) 0.0 else blocks(bi).blockMaxScore.toDouble
+
+    /** Advance to the first posting with docId >= target. Skips whole blocks
+      * without decoding via the NEXT block's firstDocId. */
+    def advanceTo(target: Long): Unit = {
+      if (exhausted) return
+      var moved = false
+      while (bi + 1 < blocks.length && blocks(bi + 1).firstDocId <= target) { bi += 1; moved = true }
+      if (moved) decodeCurrent()
+      if (exhausted) return
+      while (pi < ids.length && ids(pi) < target) pi += 1
+      if (pi >= ids.length) { bi += 1; decodeCurrent(); if (!exhausted) advanceTo(target) }
+    }
+
+    def advanceOne(): Unit = {
+      if (exhausted) return
+      pi += 1
+      if (pi >= ids.length) { bi += 1; decodeCurrent() }
+    }
+  }
+
+  /** Bounded min-heap keyed worst-first: (score asc, docId desc). */
+  private final class TopKHeap(k: Int) {
+    private val ord: Ordering[(Double, Long)] = Ordering.by[(Double, Long), Double](_._1).reverse.orElseBy(_._2)
+    // PriorityQueue dequeues the MAX by ordering; we want to pop the WORST,
+    // so order by (score desc, docId asc).reverse == (score asc, docId desc)
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
+    def size: Int = pq.size
+    def full: Boolean = pq.size >= k
+    def threshold: Double = if (full) pq.head._1 else Double.NegativeInfinity
+    def offer(score: Double, docId: Long): Unit = {
+      if (!full) pq.enqueue((score, docId))
+      else {
+        val (ws, wd) = pq.head
+        if (score > ws || (score == ws && docId < wd)) { pq.dequeue(); pq.enqueue((score, docId)) }
+      }
+    }
+    /** Ranked best-first: (score desc, docId asc). */
+    def ranked: Array[(Double, Long)] = pq.dequeueAll.toArray.reverse
+  }
+
+  /** Exact WAND over one bucket for one query. */
+  private def wandBucket(
+      cursors0: Array[TermCursor],
+      docLens: java.util.HashMap[Long, Integer],
+      avgdl: Double,
+      k: Int
+  ): Array[(Double, Long)] = {
+    val heap = new TopKHeap(k)
+    val cursors = cursors0.filter(!_.exhausted)
+    if (cursors.isEmpty) return Array.empty
+    val n = cursors.length
+    val order = cursors.indices.toArray // indices sorted by curDoc
+    // insertion sort of `order` by curDoc (n <= |query terms| is tiny)
+    def resort(): Unit = {
+      var i = 1
+      while (i < n) {
+        val v = order(i)
+        val dv = cursors(v).curDoc
+        var j = i - 1
+        while (j >= 0 && cursors(order(j)).curDoc > dv) { order(j + 1) = order(j); j -= 1 }
+        order(j + 1) = v
+        i += 1
+      }
+    }
+
+    var done = false
+    while (!done) {
+      resort()
+      // pivot: smallest prefix whose term-UB sum exceeds threshold
+      val theta = heap.threshold
+      var ub = 0.0
+      var p = -1
+      var i = 0
+      while (i < n && p < 0) {
+        ub += cursors(order(i)).termUB
+        if (ub > theta && cursors(order(i)).curDoc != Long.MaxValue) p = i
+        i += 1
+      }
+      if (p < 0) done = true
+      else {
+        val pivotDoc = cursors(order(p)).curDoc
+        if (cursors(order(0)).curDoc == pivotDoc) {
+          // block-max refinement: exact-eval only if block maxima can beat θ
+          var bmSum = 0.0
+          var j = 0
+          while (j <= p) { val c = cursors(order(j)); if (c.curDoc == pivotDoc) { c.advanceTo(pivotDoc); bmSum += c.blockMax }; j += 1 }
+          // also add UBs of cursors beyond p that are AT pivotDoc
+          var j2 = p + 1
+          while (j2 < n) { val c = cursors(order(j2)); if (c.curDoc == pivotDoc) bmSum += c.blockMax; j2 += 1 }
+          if (bmSum > theta) {
+            // exact evaluation: sum impacts in ascending-termId order
+            val len = docLens.get(pivotDoc)
+            val dl = if (len == null) 0 else len.intValue()
+            var score = 0.0
+            // cursors are pre-sorted by termId at construction
+            var t = 0
+            while (t < n) {
+              val c = cursors(t)
+              if (c.curDoc == pivotDoc)
+                score += Bm25.scoreWithIdf(c.idf, c.curTf, dl, avgdl)
+              t += 1
+            }
+            heap.offer(score, pivotDoc)
+          }
+          // advance every cursor sitting at pivotDoc
+          var a = 0
+          while (a < n) { if (cursors(a).curDoc == pivotDoc) cursors(a).advanceOne(); a += 1 }
+        } else {
+          // advance the lagging cursors up to the pivot
+          var a = 0
+          while (a <= p) { val c = cursors(order(a)); if (c.curDoc < pivotDoc) c.advanceTo(pivotDoc); a += 1 }
+        }
+      }
+    }
+    heap.ranked
+  }
+
+  /** Distributed top-k for a batch of queries. Returns exact (score, docId)
+    * per query, ranked (score desc, docId asc), up to k rows each. */
+  def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] = {
+    val spark = index.spark
+    import spark.implicits._
+    val dict = index.dictMap
+    val m = index.manifest
+    val avgdl = m.avgdl
+    val nDocs = m.nDocs
+    // per query: (termId, idf) sorted by termId; drop OOV; dedup terms
+    val qTerms: Map[Int, Array[(Int, Double)]] = queries.map { q =>
+      q.queryId -> q.terms.distinct.flatMap(dict.get)
+        .map(e => (e.termId, Bm25.idf(nDocs, e.df)))
+        .sortBy(_._1).toArray
+    }.toMap
+    val allIds = qTerms.values.flatten.map(_._1).toSeq.distinct
+    if (allIds.isEmpty) return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
+
+    val bucketRange = m.bucketRange
+    val blocksPerBucket = m.bucketRange / m.blockSize
+    val bQ = spark.sparkContext.broadcast(qTerms)
+    val kk = k
+
+    val blocksByBucket = index.postings
+      .filter(col("termId").isin(allIds: _*))   // pushed to parquet row groups
+      .as[PostingBlock]
+      .groupByKey(b => b.blockId / blocksPerBucket)
+    val statsByBucket = index.docstats.groupByKey(s => s.docId / bucketRange)
+
+    val candidates: Dataset[ScoredDoc] = blocksByBucket.cogroup(statsByBucket) {
+      (bucket, blocks, stats) =>
+        val blockArr = blocks.toArray
+        if (blockArr.isEmpty) Iterator.empty
+        else {
+          val docLens = new java.util.HashMap[Long, Integer]()
+          stats.foreach(s => docLens.put(s.docId, Integer.valueOf(s.docLen)))
+          val byTerm: Map[Int, Array[PostingBlock]] =
+            blockArr.groupBy(_.termId).map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+          bQ.value.iterator.flatMap { case (qid, terms) =>
+            val cursors = terms.flatMap { case (tid, idfVal) =>
+              byTerm.get(tid).map(bs => new TermCursor(tid, bs, idfVal, avgdl))
+            }
+            if (cursors.isEmpty) Iterator.empty
+            else wandBucket(cursors, docLens, avgdl, kk).iterator
+              .map { case (s, d) => ScoredDoc(qid, d, s) }
+          }
+        }
+    }
+
+    // reduce: per-query global top-k with a bounded heap (no full sort)
+    val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
+      val heap = new TopKHeap(kk)
+      it.foreach(c => heap.offer(c.score, c.docId))
+      (qid, heap.ranked.map { case (s, d) => (s, d) })
+    }.collect().toMap
+    queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Array.empty)).toMap
+  }
+}
