@@ -1,0 +1,75 @@
+package graft.index
+
+import graft.codec.VByte
+import graft.query.{Bm25, IndexHandle}
+import org.apache.spark.sql.Dataset
+
+/** Index invariant validator — the engine analog of the reference's
+  * `tokens_errors` grammar state machine (midi_tokenizer.py:3246-3370, E7).
+  *
+  * Checks, per posting block:
+  *  - docIds strictly increasing (gaps >= 1) and within the block's bucket;
+  *  - tf >= 1 for every posting;
+  *  - stored nDocs equals decoded length for both arrays;
+  *  - blockMaxScore dominates every member's exact BM25 impact;
+  *  - firstDocId equals the first decoded docId.
+  *
+  * Returns human-readable violations; an empty result is a clean index.
+  */
+object IndexValidator {
+
+  def validate(index: IndexHandle): Dataset[String] = {
+    val spark = index.spark
+    import spark.implicits._
+    val m = index.manifest
+    val nDocs = m.nDocs
+    val avgdl = m.avgdl
+    val bucketRange = m.bucketRange
+    val blocksPerBucket = m.bucketRange / m.blockSize
+    val dfByTermId: Map[Int, Long] = index.dictionary.collect().map(e => e.termId -> e.df).toMap
+    val bDf = spark.sparkContext.broadcast(dfByTermId)
+    // docLen per docId for exact impact recomputation
+    val lens: Map[Long, Int] = index.docstats.collect().map(s => s.docId -> s.docLen).toMap
+    val bLens = spark.sparkContext.broadcast(lens)
+
+    index.postings.flatMap { b =>
+      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+      def err(msg: String): Unit = errs += s"term=${b.termId} block=${b.blockId}: $msg"
+      val ids =
+        try VByte.decodeDocIds(b.docIdGaps)
+        catch { case e: Exception => err(s"docId decode failed: ${e.getMessage}"); Array.empty[Long] }
+      val tfs =
+        try VByte.decodeInts(b.tfs)
+        catch { case e: Exception => err(s"tf decode failed: ${e.getMessage}"); Array.empty[Int] }
+      if (ids.nonEmpty || tfs.nonEmpty) {
+        if (ids.length != b.nDocs) err(s"nDocs=${b.nDocs} but ${ids.length} docIds")
+        if (tfs.length != b.nDocs) err(s"nDocs=${b.nDocs} but ${tfs.length} tfs")
+        if (ids.nonEmpty && ids(0) != b.firstDocId) err(s"firstDocId=${b.firstDocId} != ids(0)=${ids(0)}")
+        var i = 1
+        while (i < ids.length) {
+          if (ids(i) <= ids(i - 1)) err(s"docIds not strictly increasing at $i")
+          i += 1
+        }
+        val bucket = b.blockId / blocksPerBucket
+        ids.foreach { d =>
+          if (d / bucketRange != bucket) err(s"docId $d outside bucket $bucket")
+        }
+        tfs.foreach { tf => if (tf < 1) err(s"tf=$tf < 1") }
+        val df = bDf.value.getOrElse(b.termId, -1L)
+        if (df < 0) err("termId not in dictionary")
+        else {
+          val idf = Bm25.idf(nDocs, df)
+          var j = 0
+          while (j < ids.length) {
+            val len = bLens.value.getOrElse(ids(j), 0)
+            val s = Bm25.scoreWithIdf(idf, tfs(j), len, avgdl)
+            if (s > b.blockMaxScore.toDouble)
+              err(f"member score $s%.9f exceeds blockMax ${b.blockMaxScore}%.9f at doc ${ids(j)}")
+            j += 1
+          }
+        }
+      } else if (b.nDocs != 0) err(s"empty arrays but nDocs=${b.nDocs}")
+      errs
+    }
+  }
+}

@@ -138,6 +138,17 @@ object IndexQueries {
         .orderBy("term_id")
     }),
 
+    // E7: the index invariant validator — summary row (block count from the
+    // on-disk index, violation count MUST be 0; oracle recomputes the
+    // expected block count from raw text)
+    "q_validate" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val h = IndexCache.handle(spark, sfDir)
+      val nBlocks = h.postings.count()
+      val nViolations = IndexValidator.validate(h).count()
+      Seq((nBlocks, nViolations)).toDF("n_blocks", "n_violations")
+    }),
+
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
 
@@ -262,6 +273,15 @@ object IndexQueries {
            |       max(nb.n_blocks) AS n_blocks
            |FROM d JOIN tf ON tf.term = d.term JOIN nb ON nb.term_id = d.term_id
            |GROUP BY d.term_id, d.df, d.cf ORDER BY term_id""".stripMargin,
+      "q_validate" ->
+        s"""WITH $corpusCte,
+           |per_bucket AS (
+           |  SELECT term, CAST(floor(doc_id / 65536) AS BIGINT) AS bucket, count(*) AS cnt
+           |  FROM tf GROUP BY term, bucket
+           |)
+           |SELECT CAST(sum(CAST(ceil(CAST(cnt AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks,
+           |       CAST(0 AS BIGINT) AS n_violations
+           |FROM per_bucket""".stripMargin,
       "q_bm25_topk" -> bm25Top,
       "q_bm25_brute" -> bm25Top
     )

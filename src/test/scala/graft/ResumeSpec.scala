@@ -1,0 +1,63 @@
+package graft
+
+import graft.index._
+import graft.query.IndexReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpointed resumability (north rule): kill after a partial commit,
+  * re-run, final index bit-identical — the transactional version of the
+  * reference's hidden-hash skip (utils/split.py:98-104). */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val cfg = IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 4, postingsBuckets = 2)
+
+  private def blocksSorted(dir: String): Array[(Int, Long, Long, Int, Seq[Byte], Seq[Byte], Float)] = {
+    val h = IndexReader.load(spark, dir)
+    h.postings.collect()
+      .map(b => (b.termId, b.blockId, b.firstDocId, b.nDocs, b.docIdGaps.toSeq, b.tfs.toSeq, b.blockMaxScore))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("crash after partial postings commit resumes to a bit-identical index") {
+    val full = "/tmp/graft_test_index/resume_full"
+    val crash = "/tmp/graft_test_index/resume_crash"
+    Seq(full, crash).foreach(d => graft.queries.IndexCache.deleteRecursively(new java.io.File(d)))
+
+    IndexBuilder.build(spark, sfDir, full, cfg)
+
+    // simulate: run 1 completes stats+dictionary+chunks 0-1, then "crashes"
+    IndexBuilder.build(spark, sfDir, crash, cfg)
+    // wipe the manifest and the last two chunks — as if the job died mid-flight
+    import java.nio.file._
+    Files.deleteIfExists(Paths.get(s"$crash/manifest.json"))
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(s"$crash/postings/chunk_00002"))
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(s"$crash/postings/chunk_00003"))
+
+    // resume: must rebuild ONLY the missing chunks and produce identical bits
+    val m2 = IndexBuilder.build(spark, sfDir, crash, cfg)
+    val mFull = Manifest.read(s"$full/manifest.json")
+    assert(m2 == mFull, "manifests differ after resume")
+    val a = blocksSorted(full)
+    val b = blocksSorted(crash)
+    assert(a.length == b.length, s"block counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"block differs: $x vs $y") }
+  }
+
+  test("lineage records every stage commit") {
+    val dir = "/tmp/graft_test_index/resume_full"
+    val rows = Lineage.load(spark, dir).collect()
+    val stages = rows.map(_.stage).toSet
+    assert(stages.contains("docstats") && stages.contains("dictionary") && stages.contains("postings"))
+    assert(rows.count(_.stage == "postings") >= 4) // one per chunk (6 after resume test ran first)
+    assert(rows.forall(_.status == "committed"))
+  }
+
+  test("re-running a completed build is a no-op (idempotent skip)") {
+    val dir = "/tmp/graft_test_index/resume_full"
+    val before = Lineage.load(spark, dir).count()
+    IndexBuilder.build(spark, sfDir, dir, cfg)
+    val after = Lineage.load(spark, dir).count()
+    assert(before == after, "completed build appended lineage rows on re-run")
+  }
+}

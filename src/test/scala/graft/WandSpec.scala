@@ -1,0 +1,91 @@
+package graft
+
+import graft.corpus.Pages
+import graft.index._
+import graft.query._
+import graft.queries.QuerySet
+import graft.tokenize.Tokenizers
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** Rank-identical top-k: block-max WAND vs the brute-force oracle, EXACT
+  * double score equality (the north rule's golden invariant — analog of the
+  * reference's encode→decode round-trip checks, tests/test_tokenize.py:201-250). */
+class WandSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val dir = {
+    val d = "/tmp/graft_test_index/wand"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(d))
+    // small bucketRange (512 = 4 blocks/bucket) to exercise multi-bucket paths
+    IndexBuilder.build(spark, sfDir, d,
+      IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 3, postingsBuckets = 4))
+    d
+  }
+  private lazy val handle = IndexReader.load(spark, dir)
+
+  private lazy val oracle: OracleScorer.Oracle = {
+    val cleaned = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    val td = IndexBuilder.termDocs(cleaned, Tokenizers.default)
+    val m = handle.manifest
+    OracleScorer.build(td, handle.dictMap, m.nDocs, m.avgdl)
+  }
+
+  private def assertRankIdentical(queries: Seq[QuerySpec], k: Int): Unit = {
+    val got = Wand.topK(handle, queries, k)
+    queries.foreach { q =>
+      val want = oracle.topK(q.terms, k)
+      val g = got(q.queryId)
+      assert(g.length == want.length, s"q=${q.terms} size: got ${g.length} want ${want.length}")
+      g.zip(want).zipWithIndex.foreach { case (((gs, gd), (ws, wd)), i) =>
+        assert(gd == wd, s"q=${q.terms} rank ${i + 1}: docId got $gd want $wd")
+        assert(gs == ws, s"q=${q.terms} rank ${i + 1}: score got $gs want $ws (EXACT equality required)")
+      }
+    }
+  }
+
+  test("fixture query set: rank- and score-identical to oracle at k=10") {
+    assertRankIdentical(QuerySet.queries, 10)
+  }
+
+  test("k larger than result set, k=1, and k=100") {
+    assertRankIdentical(QuerySet.queries, 1)
+    assertRankIdentical(QuerySet.queries, 100)
+  }
+
+  test("200 seeded random queries over the real vocabulary") {
+    val vocab = handle.dictMap.keys.toArray.sorted
+    val rnd = new scala.util.Random(42)
+    val qs = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      QuerySpec(i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))))
+    }
+    assertRankIdentical(qs, 10)
+  }
+
+  test("all-OOV query returns empty; empty query returns empty") {
+    val got = Wand.topK(handle, Seq(QuerySpec(1, Seq("nosuchterm")), QuerySpec(2, Seq.empty)), 10)
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("index invariants are clean (E7 validator)") {
+    val errs = IndexValidator.validate(handle).collect()
+    assert(errs.isEmpty, errs.take(5).mkString("; "))
+  }
+
+  test("block-max bounds are tight-ish: no block bound exceeds idf*(k1+1) ceiling") {
+    import spark.implicits._
+    val m = handle.manifest
+    val dfById = handle.dictMap.values.map(e => e.termId -> e.df).toMap
+    handle.postings.collect().foreach { b =>
+      val ceiling = Bm25.idf(m.nDocs, dfById(b.termId)) * (Bm25.K1 + 1.0)
+      assert(b.blockMaxScore.toDouble <= ceiling * (1.0 + 1e-6),
+        s"term=${b.termId} blockMax=${b.blockMaxScore} ceiling=$ceiling")
+    }
+  }
+
+  test("postings scan prunes by termId (pushdown reaches parquet)") {
+    val plan = handle.postings.filter(col("termId") === 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("termId"), plan.take(2000))
+  }
+}
