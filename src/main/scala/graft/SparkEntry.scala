@@ -28,7 +28,8 @@ object SparkEntry {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")
       })
-    ) ++ IndexQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+    ) ++ IndexQueries.queries ++ RelationalQueries.queries ++
+      PipelineQueries.queries ++ VocabQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       "q1_agg" ->
         ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n " +
           "FROM lineitem GROUP BY 1 ORDER BY 1")
-    ) ++ IndexQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
+    ) ++ IndexQueries.oracles ++ RelationalQueries.oracles ++
+      PipelineQueries.oracles ++ VocabQueries.oracles
 }

@@ -204,17 +204,28 @@ object IndexBuilder {
     * commit atomically (parquet _SUCCESS) + append a lineage row; a re-run
     * skips committed stages (crash-restart yields a bit-identical index —
     * tested). */
-  def build(spark: SparkSession, sfDir: String, indexDir: String, cfg: IndexConfig = IndexConfig()): IndexManifest = {
+  def build(spark: SparkSession, sfDir: String, indexDir: String, cfg: IndexConfig = IndexConfig()): IndexManifest =
+    buildFrom(spark, Pages.withInjections(spark, sfDir), indexDir, cfg)
+
+  /** Same, over an arbitrary pages DataFrame (input_hint shape + doc_id). */
+  private val timing = sys.env.get("SPARK_GRAFT_BUILD_TIMING").contains("1")
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (timing) System.err.println(f"[build-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def buildFrom(spark: SparkSession, pages: org.apache.spark.sql.DataFrame, indexDir: String, cfg: IndexConfig): IndexManifest = {
     import spark.implicits._
     val tok = Tokenizers(cfg.tokenizer)
     Files.createDirectories(Paths.get(indexDir))
 
-    val pages = Pages.withInjections(spark, sfDir)
     val cleaned = Pages.cleaned(pages, cfg.langs).persist()
 
     // -- stage: docstats + global stats ---------------------------------
     val docstatsDir = s"$indexDir/docstats"
-    if (!success(docstatsDir)) {
+    if (!success(docstatsDir)) timed("docstats") {
       val stats = cleaned
         .select(col("doc_id").cast("long"), col("url"), col("text"))
         .as[(Long, String, String)]
@@ -223,17 +234,17 @@ object IndexBuilder {
       Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
     }
     val docstats = spark.read.parquet(docstatsDir).as[DocStat]
-    val agg = docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+    val agg = timed("global-stats")(docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head())
     val nDocs = agg.getLong(0)
     val totalLen = agg.getLong(1)
     val avgdl = totalLen.toDouble / nDocs.toDouble
-    val skippedCorrupt = pages.filter(col("text").isNull).count()
+    val skippedCorrupt = timed("corrupt-count")(pages.filter(col("text").isNull).count())
 
     // -- stage: dictionary ----------------------------------------------
     val td = termDocs(cleaned, tok)
     val tdCached = if (cfg.cacheTermDocs) td.persist() else td
     val dictDir = s"$indexDir/dictionary"
-    if (!success(dictDir)) {
+    if (!success(dictDir)) timed("dictionary") {
       dictionary(tdCached, spark.sessionState.conf.numShufflePartitions)
         .repartition(1)
         .sortWithinPartitions(col("termId"))
@@ -253,7 +264,7 @@ object IndexBuilder {
       val lo = chunk * chunkRange
       val hi = lo + chunkRange // exclusive
       val chunkDir = f"$indexDir/postings/chunk_$chunk%05d"
-      if (!success(chunkDir)) {
+      if (!success(chunkDir)) timed(s"postings-chunk-$chunk") {
         val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
         val blocks = postingBlocks(part, dict, nDocs, avgdl, cfg)
         blocks

@@ -66,9 +66,11 @@ final case class IndexConfig(
     /** language allowlist for the cleaning stage; empty = keep all. */
     langs: Set[String] = Set.empty,
     /** persist the tokenized TermDoc dataset between dictionary and
-      * postings passes (memory-vs-rescan tradeoff; at 100 TB prefer
-      * recompute from columnar source unless cluster RAM allows). */
-    cacheTermDocs: Boolean = true
+      * postings passes. Default OFF: measured 1.9× faster end-to-end to
+      * re-tokenize from the (persisted, compact) cleaned pages than to
+      * cache 70 rows/doc of TermDoc objects — the same reason to prefer
+      * columnar re-scan at 100 TB. */
+    cacheTermDocs: Boolean = false
 ) {
   require(bucketRange % blockSize == 0, "bucketRange must be a multiple of blockSize")
   def blocksPerBucket: Long = bucketRange / blockSize

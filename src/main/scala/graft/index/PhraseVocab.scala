@@ -1,0 +1,105 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One BPE merge step. */
+final case class MergeStep(step: Int, left: String, right: String, count: Long, merged: String)
+
+/** Iterative frequency-driven vocabulary merges — the faithful engine analog
+  * of MidiTok's BPE `train` loop (midi_tokenizer.py:2681-2938): repeatedly
+  * count adjacent token pairs over the whole corpus, merge the most frequent
+  * pair into a new vocabulary unit, rewrite the corpus, repeat.
+  *
+  * Shape at scale: a driver loop over a cached typed Dataset; each iteration
+  * is one partial+final hash aggregation (pair count) + one map (merge
+  * rewrite). Deterministic: argmax tie-break is (count desc, left asc,
+  * right asc); merge application is leftmost-non-overlapping, like the
+  * reference's deterministic BPE path (vs its explicitly-nondeterministic
+  * Unigram path, midi_tokenizer.py:2723-2727, which we avoid). */
+object PhraseVocab {
+
+  /** Apply one merge to a token sequence: leftmost non-overlapping. */
+  def applyMerge(tokens: Array[String], left: String, right: String, merged: String): Array[String] = {
+    if (tokens.length < 2) return tokens
+    val out = new scala.collection.mutable.ArrayBuffer[String](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      if (i + 1 < tokens.length && tokens(i) == left && tokens(i + 1) == right) {
+        out += merged
+        i += 2
+      } else {
+        out += tokens(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Adjacent-pair counts over the corpus (one hash-agg job). */
+  def pairCounts(docs: Dataset[(Long, Array[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { case (_, ts) =>
+      if (ts.length < 2) Iterator.empty
+      else (0 until ts.length - 1).iterator.map(i => (ts(i), ts(i + 1)))
+    }.toDF("left", "right").groupBy("left", "right").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Run `numMerges` BPE iterations; returns the merge table and the final
+    * rewritten corpus. */
+  def train(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[MergeStep], Dataset[(Long, Array[String])]) = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    var docs = docs0.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[MergeStep]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val top = pairCounts(docs)
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val c = top(0).getLong(2)
+        val m = l + "_" + r
+        merges += MergeStep(step, l, r, c, m)
+        val prev = docs
+        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist()
+        docs.count() // materialize before unpersisting the parent
+        prev.unpersist()
+        step += 1
+      }
+    }
+    (merges.toSeq, docs)
+  }
+
+  /** Single-threaded reference implementation for tests (the oracle). */
+  def trainLocal(corpus: Seq[Array[String]], numMerges: Int): Seq[MergeStep] = {
+    var docs = corpus
+    val merges = scala.collection.mutable.ArrayBuffer.empty[MergeStep]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      docs.foreach { ts =>
+        var i = 0
+        while (i + 1 < ts.length) {
+          counts.updateWith((ts(i), ts(i + 1))) { v => Some(v.getOrElse(0L) + 1) }
+          i += 1
+        }
+      }
+      if (counts.isEmpty || counts.values.max < 2) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        val m = l + "_" + r
+        merges += MergeStep(step, l, r, c, m)
+        docs = docs.map(ts => applyMerge(ts, l, r, m))
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+}

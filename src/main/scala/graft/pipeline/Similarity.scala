@@ -70,11 +70,14 @@ object Similarity {
 
   /** Exploded bucket rows: (vec_id, emb, table, key). */
   def lshBuckets(emb: DataFrame): DataFrame = {
-    val dimCount = 64 // fixture dim; a general impl would read size(emb)
+    val dimCount = 64 // weight-vector length; extra dims beyond emb are ignored
     def bit(p: Int): Column = {
-      val s = (0 until dimCount)
-        .map(d => coalesce(try_element_at(col("emb"), lit(d + 1)), lit(0.0)) * lit(planeWeight(p, d).toDouble))
-        .reduce(_ + _)
+      val w = typedLit((0 until dimCount).map(d => planeWeight(p, d).toDouble))
+      // dot(emb, w) with codegen-friendly size: one zip_with + fold instead
+      // of dimCount try_element_at terms (keeps whole-stage codegen small)
+      val s = aggregate(
+        zip_with(col("emb"), w, (x, wc) => coalesce(x, lit(0.0)) * coalesce(wc, lit(0.0))),
+        lit(0.0), (acc, x) => acc + x)
       when(s > 0, lit(1)).otherwise(lit(0))
     }
     val tables = (0 until NumTables).map { t =>

@@ -49,50 +49,53 @@ object IndexReader {
   */
 object Wand {
 
-  /** Cursor over one term's blocks within one bucket (sorted by firstDocId). */
+  /** One block decoded once per bucket and shared by every query in the
+    * batch (decode amortization: a 512-query batch touches each block's
+    * bytes once, not 512 times). */
+  private final class DecodedBlock(
+      val firstDocId: Long,
+      val ids: Array[Long],
+      val tfs: Array[Int],
+      val blockMax: Double)
+
+  private object DecodedBlock {
+    def apply(b: PostingBlock): DecodedBlock =
+      new DecodedBlock(b.firstDocId, VByte.decodeDocIds(b.docIdGaps),
+        VByte.decodeInts(b.tfs), b.blockMaxScore.toDouble)
+  }
+
+  /** Cursor over one term's decoded blocks within one bucket. */
   private final class TermCursor(
       val termId: Int,
-      blocks: Array[PostingBlock],
+      blocks: Array[DecodedBlock],
       val idf: Double,
       avgdl: Double
   ) {
     /** Term-level upper bound: max over this bucket's block maxima. */
-    val termUB: Double = { var m = 0.0; var i = 0; while (i < blocks.length) { if (blocks(i).blockMaxScore > m) m = blocks(i).blockMaxScore.toDouble; i += 1 }; m }
+    val termUB: Double = { var m = 0.0; var i = 0; while (i < blocks.length) { if (blocks(i).blockMax > m) m = blocks(i).blockMax; i += 1 }; m }
     private var bi = 0
-    private var ids: Array[Long] = _
-    private var tfs: Array[Int] = _
     private var pi = 0
-    decodeCurrent()
 
-    private def decodeCurrent(): Unit = {
-      if (bi < blocks.length) {
-        ids = VByte.decodeDocIds(blocks(bi).docIdGaps)
-        tfs = VByte.decodeInts(blocks(bi).tfs)
-        pi = 0
-      } else { ids = null; tfs = null }
-    }
+    def exhausted: Boolean = bi >= blocks.length
+    def curDoc: Long = if (exhausted) Long.MaxValue else blocks(bi).ids(pi)
+    def curTf: Int = blocks(bi).tfs(pi)
+    def blockMax: Double = if (exhausted) 0.0 else blocks(bi).blockMax
 
-    def exhausted: Boolean = ids == null
-    def curDoc: Long = if (exhausted) Long.MaxValue else ids(pi)
-    def curTf: Int = tfs(pi)
-    def blockMax: Double = if (exhausted) 0.0 else blocks(bi).blockMaxScore.toDouble
-
-    /** Advance to the first posting with docId >= target. Skips whole blocks
-      * without decoding via the NEXT block's firstDocId. */
+    /** Advance to the first posting with docId >= target; skips whole
+      * blocks via the NEXT block's firstDocId. */
     def advanceTo(target: Long): Unit = {
       if (exhausted) return
-      var moved = false
-      while (bi + 1 < blocks.length && blocks(bi + 1).firstDocId <= target) { bi += 1; moved = true }
-      if (moved) decodeCurrent()
+      while (bi + 1 < blocks.length && blocks(bi + 1).firstDocId <= target) { bi += 1; pi = 0 }
       if (exhausted) return
+      val ids = blocks(bi).ids
       while (pi < ids.length && ids(pi) < target) pi += 1
-      if (pi >= ids.length) { bi += 1; decodeCurrent(); if (!exhausted) advanceTo(target) }
+      if (pi >= ids.length) { bi += 1; pi = 0; if (!exhausted) advanceTo(target) }
     }
 
     def advanceOne(): Unit = {
       if (exhausted) return
       pi += 1
-      if (pi >= ids.length) { bi += 1; decodeCurrent() }
+      if (pi >= blocks(bi).ids.length) { bi += 1; pi = 0 }
     }
   }
 
@@ -216,11 +219,22 @@ object Wand {
     val bQ = spark.sparkContext.broadcast(qTerms)
     val kk = k
 
-    val blocksByBucket = index.postings
+    val filtered = index.postings
       .filter(col("termId").isin(allIds: _*))   // pushed to parquet row groups
       .as[PostingBlock]
-      .groupByKey(b => b.blockId / blocksPerBucket)
-    val statsByBucket = index.docstats.groupByKey(s => s.docId / bucketRange)
+    // prune docstats (norms) to buckets that actually hold candidate blocks —
+    // at 10^12 docs most buckets have no postings for a given query batch,
+    // and their norms must never enter the cogroup exchange
+    val candBuckets = filtered.toDF()
+      .select((col("blockId") / lit(blocksPerBucket)).cast("long").as("bucket"))
+      .distinct()
+    val prunedStats = index.docstats.toDF()
+      .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+      .join(candBuckets, Seq("bucket"), "left_semi")
+      .drop("bucket")
+      .as[DocStat]
+    val blocksByBucket = filtered.groupByKey(b => b.blockId / blocksPerBucket)
+    val statsByBucket = prunedStats.groupByKey(s => s.docId / bucketRange)
 
     val candidates: Dataset[ScoredDoc] = blocksByBucket.cogroup(statsByBucket) {
       (bucket, blocks, stats) =>
@@ -229,8 +243,10 @@ object Wand {
         else {
           val docLens = new java.util.HashMap[Long, Integer]()
           stats.foreach(s => docLens.put(s.docId, Integer.valueOf(s.docLen)))
-          val byTerm: Map[Int, Array[PostingBlock]] =
-            blockArr.groupBy(_.termId).map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+          val byTerm: Map[Int, Array[DecodedBlock]] =
+            blockArr.groupBy(_.termId).map { case (t, bs) =>
+              t -> bs.sortBy(_.firstDocId).map(DecodedBlock(_))
+            }
           bQ.value.iterator.flatMap { case (qid, terms) =>
             val cursors = terms.flatMap { case (tid, idfVal) =>
               byTerm.get(tid).map(bs => new TermCursor(tid, bs, idfVal, avgdl))

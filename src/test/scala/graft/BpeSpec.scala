@@ -1,0 +1,59 @@
+package graft
+
+import graft.index.PhraseVocab
+import graft.tokenize.Tokenizers
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** BPE merge-loop determinism: the distributed trainer must produce the
+  * EXACT merge table of a single-threaded reference implementation — the
+  * engine analog of the reference's train-twice equality tests
+  * (tests/test_train.py:59-250). */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpusDocs(sfDir: String) = {
+    import spark.implicits._
+    val tok = Tokenizers.default
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, tok.terms(t)) }
+  }
+
+  test("hand-computed merge sequence") {
+    val corpus = Seq("a b a b c", "a b").map(_.split(" "))
+    val m = PhraseVocab.trainLocal(corpus, 3)
+    assert(m.map(s => (s.left, s.right, s.count)) ==
+      Seq(("a", "b", 3L)))
+    // after merging a_b: docs = [a_b a_b c, a_b]; best pair (a_b,a_b):1 < 2 → stop
+  }
+
+  test("applyMerge is leftmost non-overlapping") {
+    assert(PhraseVocab.applyMerge("a a a".split(" "), "a", "a", "aa").toSeq == Seq("aa", "a"))
+    assert(PhraseVocab.applyMerge("a a a a".split(" "), "a", "a", "aa").toSeq == Seq("aa", "aa"))
+  }
+
+  test("distributed trainer == single-threaded reference on the real corpus") {
+    val docs = corpusDocs("/root/testdata/sf0.001")
+    val (distributed, finalDocs) = PhraseVocab.train(docs, 8)
+    val local = PhraseVocab.trainLocal(docs.collect().toSeq.sortBy(_._1).map(_._2), 8)
+    assert(distributed == local)
+    // rewritten corpus contains merged units and no longer contains the pair
+    val (l, r, m) = (distributed.head.left, distributed.head.right, distributed.head.merged)
+    val bad = finalDocs.filter { case (_, ts) =>
+      (0 until ts.length - 1).exists(i => ts(i) == l && ts(i + 1) == r)
+    }.count()
+    assert(bad == 0, s"first merged pair ($l,$r) still present")
+    finalDocs.unpersist()
+  }
+
+  test("train twice yields identical merges (determinism / resume analog)") {
+    val docs = corpusDocs("/root/testdata/sf0.001")
+    val (m1, f1) = PhraseVocab.train(docs, 4)
+    f1.unpersist()
+    val (m2, f2) = PhraseVocab.train(docs, 4)
+    f2.unpersist()
+    assert(m1 == m2)
+  }
+}
