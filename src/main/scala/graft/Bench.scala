@@ -14,17 +14,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // optional tmpfs shuffle dir: isolates compute scaling from the single
+    // shared disk of this sandbox VM (a real cluster adds disks per node)
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Root dir for bench indexes (point at /dev/shm to take the disk out). */
+  def benchDir: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench")
+
+  /** Query batch size per measurement. */
+  def nQueries: Int = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "512").toInt
 
   /** Seeded query batch: fixture queries + random vocab combos. */
   def queryBatch(vocab: Array[String], n: Int): Seq[QuerySpec] = {
@@ -36,9 +45,21 @@ object Bench {
   }
 
   /** One full measurement at a given session. Returns
-    * (nDocs, buildSec, docsPerSec, nQueries, querySec, queriesPerSec). */
+    * (nDocs, buildSec, docsPerSec, nQueries, querySec, queriesPerSec).
+    * A small warm-up build+query pass runs first so JIT/codegen/parquet
+    * paths are compiled before timing (a production executor is long-lived
+    * and warm; a cold JVM otherwise spends a core-count-independent ~30 s
+    * in C2 compilation that swamps the scaling signal). */
   def measure(spark: SparkSession, sfDir: String, factor: Int, tag: String): (Long, Double, Double, Long, Double, Double) = {
-    val indexDir = s"/tmp/graft_bench/index_${tag}"
+    val warmDir = s"$benchDir/index_warm_${tag}"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(warmDir))
+    IndexBuilder.buildFrom(spark, CorpusGen.scaledPages(spark, sfDir, math.max(1, factor / 10)),
+      warmDir, IndexConfig(nChunks = 1, postingsBuckets = 32, bucketRange = 2048))
+    val warmHandle = IndexReader.load(spark, warmDir)
+    Wand.topK(warmHandle, queryBatch(warmHandle.dictMap.keys.toArray.sorted, 64), 10)
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(warmDir))
+
+    val indexDir = s"$benchDir/index_${tag}"
     graft.queries.IndexCache.deleteRecursively(new java.io.File(indexDir))
 
     val pages = CorpusGen.scaledPages(spark, sfDir, factor)
@@ -53,7 +74,7 @@ object Bench {
 
     val handle = IndexReader.load(spark, indexDir)
     val vocab = handle.dictMap.keys.toArray.sorted
-    val queries = queryBatch(vocab, 512)
+    val queries = queryBatch(vocab, nQueries)
     // one warm-up to exclude one-off planning/IO from the throughput number
     Wand.topK(handle, queries.take(8), 10)
     val t1 = System.nanoTime()

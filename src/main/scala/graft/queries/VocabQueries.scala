@@ -35,6 +35,20 @@ object VocabQueries {
       merges.toDF("step", "left", "right", "count", "merged").orderBy("step")
     }),
 
+    // A6: token-type frequency index — invert the dictionary into
+    // type → [ids] (type = first character class here; the reference
+    // groups vocab ids by token type, midi_tokenizer.py:2151-2169)
+    "q_a6_type_index" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      h.dictionary.toDF()
+        .withColumn("tok_type",
+          when(col("term").rlike("^[0-9]"), lit("num")).otherwise(substring(col("term"), 1, 1)))
+        .groupBy("tok_type")
+        .agg(array_join(array_sort(collect_list(col("termId"))), ",").as("term_ids"),
+          count(lit(1)).as("n"))
+        .orderBy("tok_type")
+    }),
+
     // U4-extra: conjunctive (AND) retrieval = posting-list intersection,
     // answered FROM the compressed index (decode → per-query countDistinct)
     "q_bool_and" -> ((s, d) => {
@@ -65,6 +79,17 @@ object VocabQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_a6_type_index" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |dict AS (SELECT term, row_number() OVER (ORDER BY df DESC, term) - 1 AS term_id FROM dft)
+        |SELECT CASE WHEN regexp_matches(term, '^[0-9]') THEN 'num' ELSE substr(term, 1, 1) END AS tok_type,
+        |       string_agg(term_id, ',' ORDER BY term_id) AS term_ids, count(*) AS n
+        |FROM dict GROUP BY 1 ORDER BY tok_type""".stripMargin,
     "q_bpe_pairs" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0

@@ -48,19 +48,35 @@ trait TokenizerStrategy extends Serializable {
 final class UnicodeWordTokenizer(val config: TokenizerConfig)
     extends TokenizerStrategy {
 
-  // Split on runs of anything that is not a Unicode letter or digit when
-  // stripPunct; otherwise split on whitespace only.
-  @transient private lazy val splitRe =
-    if (config.stripPunct) "[^\\p{L}\\p{N}]+".r else "\\s+".r
+  // Token chars: Unicode letters/digits when stripPunct (≡ splitting on
+  // [^\p{L}\p{N}]+ runs); anything non-whitespace otherwise (≡ \s+ split).
+  // Hand-rolled code-point scanner instead of a regex: this runs inside the
+  // hot flatMap on every corpus pass, and the regex engine plus split-array
+  // churn dominated tokenize profiles.
+  @inline private def isTokenCp(cp: Int): Boolean =
+    if (config.stripPunct) Character.isLetterOrDigit(cp)
+    else !Character.isWhitespace(cp)
 
   override def terms(text: String): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
     val base = if (config.lowercase) text.toLowerCase(java.util.Locale.ROOT) else text
-    splitRe
-      .split(base)
-      .iterator
-      .filter(t => t.length >= math.max(1, config.minTermLen))
-      .toArray
+    val minLen = math.max(1, config.minTermLen)
+    val out = Array.newBuilder[String]
+    val n = base.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = base.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenCp(cp)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (i - start >= minLen) out += base.substring(start, i)
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0 && n - start >= minLen) out += base.substring(start, n)
+    out.result()
   }
 
   override def tokenize(text: String): Array[(String, Int)] = {
