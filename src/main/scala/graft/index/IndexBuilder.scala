@@ -252,7 +252,10 @@ object IndexBuilder {
       Lineage.append(spark, indexDir, LineageRow(-1, "dictionary", -1L, System.currentTimeMillis(), "committed"))
     }
     val dictRows = spark.read.parquet(dictDir).as[TermEntry].collect()
-    val dict: Map[String, TermEntry] = dictRows.map(e => e.term -> e).toMap
+    // head/tail split: broadcast (and index) only the head under a cap —
+    // dense df-ordered termIds make the head exactly termId < cap
+    val headRows = cfg.vocabCap.fold(dictRows)(cap => dictRows.filter(_.termId < cap))
+    val dict: Map[String, TermEntry] = headRows.map(e => e.term -> e).toMap
 
     // -- stage: postings, chunked over docId ranges ----------------------
     val maxDocId = docstats.agg(coalesce(max(col("docId")), lit(0L))).head().getLong(0)

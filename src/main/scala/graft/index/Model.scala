@@ -65,6 +65,12 @@ final case class IndexConfig(
     postingsBuckets: Int = 8,
     /** language allowlist for the cleaning stage; empty = keep all. */
     langs: Set[String] = Set.empty,
+    /** head/tail vocabulary split (north star: frequency-driven vocab):
+      * only the `vocabCap` most-document-frequent terms get posting lists;
+      * tail terms are OOV (left-anti the head dictionary). None = full
+      * vocabulary. At a 100M-term web vocabulary this bounds the broadcast
+      * dictionary; the FULL dictionary table is still persisted on disk. */
+    vocabCap: Option[Int] = None,
     /** persist the tokenized TermDoc dataset between dictionary and
       * postings passes. Default OFF: measured 1.9× faster end-to-end to
       * re-tokenize from the (persisted, compact) cleaned pages than to
