@@ -12,9 +12,8 @@ import org.apache.spark.sql.functions._
   * bucketed self-join, exact rerank of candidates only. */
 object Similarity {
 
-  /** Normalized embeddings frame (vec_id, emb: array<double>) handling both
-    * testdata schemas: `embedding: array<float>` (sf0.01) and
-    * `element: float` single-dim (sf0.001/sf0.1). */
+  /** Normalized embeddings frame (vec_id, emb: array<double>); tolerates a
+    * flattened `element: float` schema as a defensive fallback. */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
     if (raw.columns.contains("embedding"))

@@ -59,8 +59,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("ANN LSH results are exact-cosine-ranked within candidates and recall >= 0.4 vs brute force") {
-    // sf0.01 has real 64-dim vectors (sf0.001's are 1-dim → degenerate LSH)
+  test("ANN LSH recall vs brute force on the fixed corpus") {
     val emb = Similarity.embeddings(spark, "/root/testdata/sf0.01")
     val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -68,7 +67,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ann.nonEmpty, "LSH ANN returned nothing")
     val recall = (brute intersect ann).size.toDouble / brute.size.toDouble
-    assert(recall >= 0.2, s"suspiciously low ANN recall $recall (1-dim fixture)")
+    assert(recall >= 0.2, s"suspiciously low ANN recall $recall")
+    info(s"ANN LSH recall@5 = $recall")
   }
 
   test("multimodal feature extraction: stub decode is deterministic and batch-shaped") {
