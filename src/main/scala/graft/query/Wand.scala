@@ -171,7 +171,13 @@ object Wand {
           if (bmSum > theta) {
             // exact evaluation: sum impacts in ascending-termId order
             val len = docLens.get(pivotDoc)
-            val dl = if (len == null) 0 else len.intValue()
+            // the build invariant guarantees a DocStat for every posting's
+            // doc — a miss means the bucket semi-join pruning or the
+            // docstats write is broken; fail loudly, never score with dl=0
+            if (len == null)
+              throw new IllegalStateException(
+                s"no DocStat for docId $pivotDoc — docstats pruning/build bug")
+            val dl = len.intValue()
             var score = 0.0
             // cursors are pre-sorted by termId at construction
             var t = 0
