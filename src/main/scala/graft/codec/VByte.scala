@@ -92,4 +92,43 @@ object VByte {
   def encodeDocIds(sorted: Array[Long]): Array[Byte] = encode(deltaGaps(sorted))
 
   def decodeDocIds(bytes: Array[Byte]): Array[Long] = undelta(decode(bytes))
+
+  /** Append one posting's strictly-increasing 1-based positions to the
+    * block's shared position stream: first absolute, then gaps (all ≥ 1). */
+  def putPositions(out: ByteArrayOutputStream, positions: Array[Int]): Unit = {
+    var i = 0
+    var prev = 0
+    while (i < positions.length) {
+      val p = positions(i)
+      require(p > prev, s"positions must be strictly increasing and >= 1, got $p after $prev")
+      put(out, (p - prev).toLong)
+      prev = p
+      i += 1
+    }
+  }
+
+  /** Inverse of [[putPositions]] over a whole block: the concatenated
+    * stream holds tfs(j) values for posting j, in posting order. */
+  def decodePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val vals = decode(bytes)
+    val out = new Array[Array[Int]](tfs.length)
+    var idx = 0
+    var j = 0
+    while (j < tfs.length) {
+      val tf = tfs(j)
+      val arr = new Array[Int](tf)
+      var prev = 0L
+      var i = 0
+      while (i < tf) {
+        prev += vals(idx)
+        arr(i) = prev.toInt
+        idx += 1
+        i += 1
+      }
+      out(j) = arr
+      j += 1
+    }
+    require(idx == vals.length, s"position stream length ${vals.length} != sum(tfs) $idx")
+    out
+  }
 }

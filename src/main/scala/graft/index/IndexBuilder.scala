@@ -12,7 +12,8 @@ import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
 
 /** TermIdDoc + docId skew-bucket — the shuffle key of the segment build. */
-final case class BucketedPosting(termId: Int, bucket: Long, docId: Long, tf: Int, docLen: Int)
+final case class BucketedPosting(termId: Int, bucket: Long, docId: Long, tf: Int, docLen: Int,
+    positions: Array[Int])
 
 /** The SPIMI-style index build (SURVEY.md §3.3 engine trace):
   *
@@ -37,9 +38,10 @@ final case class BucketedPosting(termId: Int, bucket: Long, docId: Long, tf: Int
   */
 object IndexBuilder {
 
-  /** Tokenize cleaned pages into one TermDoc per distinct (term, doc).
-    * Per-doc tf is computed inside the flatMap (map-side, no shuffle) —
-    * the analog of MidiTok's per-file SoA kernels (midi_tokenizer.py:674-743). */
+  /** Tokenize cleaned pages into one TermDoc per distinct (term, doc),
+    * carrying the term's ascending 1-based positions (tf = positions
+    * .length). Computed inside the flatMap (map-side, no shuffle) — the
+    * analog of MidiTok's per-file SoA kernels (midi_tokenizer.py:674-743). */
   def termDocs(cleaned: DataFrame, tok: TokenizerStrategy): Dataset[TermDoc] = {
     val spark = cleaned.sparkSession
     import spark.implicits._
@@ -48,11 +50,12 @@ object IndexBuilder {
       .as[(Long, String)]
       .flatMap { case (docId, text) =>
         val ts = tok.terms(text)
-        val m = new java.util.HashMap[String, Integer]()
+        val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
         var i = 0
         while (i < ts.length) {
-          val prev = m.get(ts(i))
-          m.put(ts(i), if (prev == null) Integer.valueOf(1) else Integer.valueOf(prev.intValue() + 1))
+          var b = m.get(ts(i))
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(ts(i), b) }
+          b += i + 1 // positions appended in ascending scan order
           i += 1
         }
         val out = new Array[TermDoc](m.size)
@@ -60,7 +63,8 @@ object IndexBuilder {
         val it = m.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
-          out(j) = TermDoc(e.getKey, docId, e.getValue.intValue(), ts.length)
+          val ps = e.getValue.result()
+          out(j) = TermDoc(e.getKey, docId, ps.length, ts.length, ps)
           j += 1
         }
         out
@@ -92,9 +96,7 @@ object IndexBuilder {
   private final class BlockIterator(
       rows: Iterator[BucketedPosting],
       blockSize: Int,
-      blocksPerBucket: Long,
-      idfs: Map[Int, Double],
-      avgdl: Double
+      blocksPerBucket: Long
   ) extends Iterator[PostingBlock] {
     private val buf = rows.buffered
     private var curTerm = -1
@@ -110,24 +112,29 @@ object IndexBuilder {
         curBucket = head.bucket
         localIdx = 0L
       }
-      val idfVal = idfs(curTerm)
       val docIds = new Array[Long](blockSize)
       val tfs = new Array[Int](blockSize)
+      val posOut = new ByteArrayOutputStream(blockSize * 2)
       var n = 0
-      var maxScore = 0.0
+      var maxTf = 0
+      var minDocLen = Int.MaxValue
       while (n < blockSize && buf.hasNext &&
         buf.head.termId == curTerm && buf.head.bucket == curBucket) {
         val r = buf.next()
         docIds(n) = r.docId
         tfs(n) = r.tf
-        val s = Bm25.scoreWithIdf(idfVal, r.tf, r.docLen, avgdl)
-        if (s > maxScore) maxScore = s
+        VByte.putPositions(posOut, r.positions)
+        if (r.tf > maxTf) maxTf = r.tf
+        if (r.docLen < minDocLen) minDocLen = r.docLen
         n += 1
       }
       val ids = java.util.Arrays.copyOf(docIds, n)
       val fs = java.util.Arrays.copyOf(tfs, n)
       val blockId = curBucket * blocksPerBucket + localIdx
       localIdx += 1
+      // (maxTf, minDocLen) is a stats-free block-max: the query computes
+      // impact(maxTf, minDocLen) under the CURRENT manifest idf/avgdl, and
+      // BM25 monotonicity (↑tf, ↓docLen) makes it dominate every member
       PostingBlock(
         curTerm,
         blockId,
@@ -135,7 +142,9 @@ object IndexBuilder {
         n,
         VByte.encodeDocIds(ids),
         VByte.encodeInts(fs),
-        Math.nextUp(maxScore.toFloat) // float bound must dominate exact doubles
+        posOut.toByteArray,
+        maxTf,
+        minDocLen
       )
     }
   }
@@ -144,20 +153,14 @@ object IndexBuilder {
   def postingBlocks(
       td: Dataset[TermDoc],
       dict: Map[String, TermEntry],
-      nDocs: Long,
-      avgdl: Double,
       cfg: IndexConfig
   ): Dataset[PostingBlock] = {
     val spark = td.sparkSession
     import spark.implicits._
     val bDict = spark.sparkContext.broadcast(dict)
-    val idfs: Map[Int, Double] =
-      dict.values.map(e => e.termId -> Bm25.idf(nDocs, e.df)).toMap
-    val bIdfs = spark.sparkContext.broadcast(idfs)
     val bucketRange = cfg.bucketRange
     val blockSize = cfg.blockSize
     val blocksPerBucket = cfg.blocksPerBucket
-    val avgdlV = avgdl
 
     val bucketed: Dataset[BucketedPosting] = td.mapPartitions { it =>
       val d = bDict.value
@@ -165,7 +168,7 @@ object IndexBuilder {
         d.get(p.term) match {
           case Some(e) =>
             Iterator.single(
-              BucketedPosting(e.termId, p.docId / bucketRange, p.docId, p.tf, p.docLen))
+              BucketedPosting(e.termId, p.docId / bucketRange, p.docId, p.tf, p.docLen, p.positions))
           case None => Iterator.empty // OOV under a capped dictionary
         }
       }
@@ -176,7 +179,7 @@ object IndexBuilder {
       .sortWithinPartitions(col("termId"), col("bucket"), col("docId"))
       .as[BucketedPosting]
       .mapPartitions { it =>
-        new BlockIterator(it, blockSize, blocksPerBucket, bIdfs.value, avgdlV)
+        new BlockIterator(it, blockSize, blocksPerBucket)
       }
   }
 
@@ -255,7 +258,7 @@ object IndexBuilder {
       val chunkDir = f"$indexDir/postings/chunk_$chunk%05d"
       if (!success(chunkDir)) timed(s"postings-chunk-$chunk") {
         val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
-        val blocks = postingBlocks(part, dict, nDocs, avgdl, cfg)
+        val blocks = postingBlocks(part, dict, cfg)
         blocks
           .repartition(cfg.postingsBuckets, col("termId"))
           .sortWithinPartitions(col("termId"), col("blockId"))
@@ -267,7 +270,7 @@ object IndexBuilder {
     }
 
     val manifest = IndexManifest(nDocs, totalLen, dictRows.length.toLong, skippedCorrupt,
-      cfg.blockSize, cfg.bucketRange, chunk)
+      cfg.blockSize, cfg.bucketRange, chunk, maxDocId)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
@@ -294,7 +297,7 @@ object Manifest {
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
-        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks}}"""
+        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId}}"""
     Files.writeString(Paths.get(path), json)
   }
 
@@ -306,6 +309,6 @@ object Manifest {
         .getOrElse(sys.error(s"manifest missing $k"))
     }
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
-      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt)
+      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"))
   }
 }

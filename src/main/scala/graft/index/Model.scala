@@ -2,11 +2,15 @@ package graft.index
 
 import graft.tokenize.TokenizerConfig
 
-/** One (term, doc) posting before compression. `docLen` is carried so the
-  * block builder can compute exact BM25 impacts for block-max metadata
-  * without a second join (the analog of MidiTok completing all parallel
-  * representations in one pass, `complete_sequence` midi_tokenizer.py:1683-1709). */
-final case class TermDoc(term: String, docId: Long, tf: Int, docLen: Int)
+/** One (term, doc) posting before compression. `positions` are the term's
+  * 1-based token positions in the document, ascending (`tf == positions
+  * .length`) — the engine keeps the reference's positional, losslessly
+  * decodable token streams (TokSequence, classes.py:118-307; decode
+  * midi_tokenizer.py:1927-1991). `docLen` is carried so the block builder
+  * can compute block metadata without a second join (the analog of MidiTok
+  * completing all parallel representations in one pass,
+  * `complete_sequence` midi_tokenizer.py:1683-1709). */
+final case class TermDoc(term: String, docId: Long, tf: Int, docLen: Int, positions: Array[Int])
 
 /** Same, after the broadcast dictionary lookup (J3). */
 final case class TermIdDoc(termId: Int, docId: Long, tf: Int, docLen: Int)
@@ -22,10 +26,20 @@ final case class DocStat(docId: Long, url: String, docLen: Int)
 /** One compressed posting block (FIXTURES.md §3).
   *
   * `docIdGaps` = delta-gap + VByte over the block's docIds (first absolute);
-  * `tfs` = VByte over term frequencies; `blockMaxScore` = float upper bound
-  * on every member's exact-double BM25 impact (rounded UP via nextUp so the
-  * bound always dominates — the block-max WAND safety invariant, the analog
-  * of MidiTok's grammar-validation invariants, midi_tokenizer.py:3246-3370).
+  * `tfs` = VByte over term frequencies; `positions` = concatenated VByte
+  * position-gap streams, one run of `tf` values per posting (first absolute,
+  * then gaps ≥ 1) — the positional payload that makes phrase/proximity
+  * queries answerable from the index (the reference's token streams are
+  * positional and losslessly decodable, classes.py:118-307).
+  *
+  * Block-max metadata is `(maxTf, minDocLen)` rather than a precomputed
+  * impact score: the BM25 impact is monotone increasing in tf and
+  * decreasing in docLen, so `impact(maxTf, minDocLen)` computed AT QUERY
+  * TIME with the manifest's current (idf, avgdl) dominates every member —
+  * exactly, in doubles, with no float-rounding hazard — and stays a valid
+  * bound when corpus stats drift under incremental append (the block-max
+  * WAND safety invariant, the analog of MidiTok's grammar-validation
+  * invariants, midi_tokenizer.py:3246-3370).
   *
   * `blockId = bucket * blocksPerBucket + localIdx` where
   * `bucket = docId / bucketRange`: blocks never span docId buckets, so a
@@ -39,7 +53,9 @@ final case class PostingBlock(
     nDocs: Int,
     docIdGaps: Array[Byte],
     tfs: Array[Byte],
-    blockMaxScore: Float
+    positions: Array[Byte],
+    maxTf: Int,
+    minDocLen: Int
 )
 
 /** Lineage row (FIXTURES.md §5) — per-chunk commit record enabling
@@ -91,7 +107,11 @@ final case class IndexManifest(
     skippedCorrupt: Long,
     blockSize: Int,
     bucketRange: Long,
-    nChunks: Int
+    nChunks: Int,
+    /** highest docId in the index — the append cursor (incremental builds
+      * add docs strictly beyond it, cf. re-runnable tokenize_dataset +
+      * the idempotent skip, utils/split.py:98-104). */
+    maxDocId: Long
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */

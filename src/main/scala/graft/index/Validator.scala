@@ -11,7 +11,11 @@ import org.apache.spark.sql.Dataset
   *  - docIds strictly increasing (gaps >= 1) and within the block's bucket;
   *  - tf >= 1 for every posting;
   *  - stored nDocs equals decoded length for both arrays;
-  *  - blockMaxScore dominates every member's exact BM25 impact;
+  *  - positions decode to exactly tf strictly-increasing values >= 1 per
+  *    posting, bounded by the doc's length;
+  *  - maxTf equals the max decoded tf; minDocLen equals the min member
+  *    docLen; the derived bound impact(maxTf, minDocLen) dominates every
+  *    member's exact BM25 impact;
   *  - firstDocId equals the first decoded docId.
   *
   * Returns human-readable violations; an empty result is a clean index.
@@ -55,18 +59,46 @@ object IndexValidator {
           if (d / bucketRange != bucket) err(s"docId $d outside bucket $bucket")
         }
         tfs.foreach { tf => if (tf < 1) err(s"tf=$tf < 1") }
+        if (tfs.nonEmpty && tfs.max != b.maxTf) err(s"maxTf=${b.maxTf} != max(tfs)=${tfs.max}")
+        // positional payload: tf values per posting, strictly increasing,
+        // 1-based, bounded by the doc's length
+        val poss =
+          try VByte.decodePositions(b.positions, tfs)
+          catch { case e: Exception => err(s"positions decode failed: ${e.getMessage}"); Array.empty[Array[Int]] }
+        if (poss.nonEmpty) {
+          var j = 0
+          while (j < poss.length) {
+            val ps = poss(j)
+            if (ps.length != tfs(j)) err(s"posting $j: ${ps.length} positions but tf=${tfs(j)}")
+            if (ps.nonEmpty && ps(0) < 1) err(s"posting $j: position ${ps(0)} < 1")
+            var q = 1
+            while (q < ps.length) {
+              if (ps(q) <= ps(q - 1)) err(s"posting $j: positions not strictly increasing")
+              q += 1
+            }
+            val dl = bLens.value.getOrElse(ids(j), Int.MaxValue)
+            if (ps.nonEmpty && ps(ps.length - 1) > dl)
+              err(s"posting $j: position ${ps(ps.length - 1)} exceeds docLen $dl")
+            j += 1
+          }
+        }
         val df = bDf.value.getOrElse(b.termId, -1L)
         if (df < 0) err("termId not in dictionary")
         else {
           val idf = Bm25.idf(nDocs, df)
+          val bound = Bm25.scoreWithIdf(idf, b.maxTf, b.minDocLen, avgdl)
+          var minLen = Int.MaxValue
           var j = 0
           while (j < ids.length) {
             val len = bLens.value.getOrElse(ids(j), 0)
+            if (len < minLen) minLen = len
             val s = Bm25.scoreWithIdf(idf, tfs(j), len, avgdl)
-            if (s > b.blockMaxScore.toDouble)
-              err(f"member score $s%.9f exceeds blockMax ${b.blockMaxScore}%.9f at doc ${ids(j)}")
+            if (s > bound)
+              err(f"member score $s%.9f exceeds derived bound $bound%.9f at doc ${ids(j)}")
             j += 1
           }
+          if (ids.nonEmpty && minLen != b.minDocLen)
+            err(s"minDocLen=${b.minDocLen} != min member docLen $minLen")
         }
       } else if (b.nDocs != 0) err(s"empty arrays but nDocs=${b.nDocs}")
       errs

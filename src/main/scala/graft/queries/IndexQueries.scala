@@ -114,7 +114,8 @@ object IndexQueries {
 
     // E4 + A8 + O1 + J4: block structure after the full SPIMI build —
     // per term: postings count (must equal df), block count, first docId,
-    // and the round-trip-decoded docId sum (proves the codec is lossless
+    // the round-trip-decoded docId sum, and the decoded POSITION sum
+    // (proves the docId, tf, and positional codecs are all lossless
     // through the whole build → write → read cycle).
     "q_postings_stats" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -123,20 +124,31 @@ object IndexQueries {
         .map { b =>
           val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
           val tfs = graft.codec.VByte.decodeInts(b.tfs)
-          (b.termId, b.nDocs, ids.length, ids.sum, tfs.map(_.toLong).sum, ids.min, ids.max)
+          val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+          (b.termId, b.nDocs, ids.length, ids.sum, tfs.map(_.toLong).sum,
+            poss.iterator.map(_.iterator.map(_.toLong).sum).sum, ids.min, ids.max)
         }
-        .toDF("term_id", "n_docs", "n_decoded", "docid_sum", "tf_sum", "min_doc", "max_doc")
+        .toDF("term_id", "n_docs", "n_decoded", "docid_sum", "tf_sum", "p_sum", "min_doc", "max_doc")
         .groupBy("term_id")
         .agg(
           sum("n_decoded").cast("long").as("df"),
           sum("tf_sum").cast("long").as("cf"),
           sum("docid_sum").cast("long").as("docid_sum"),
+          sum("p_sum").cast("long").as("pos_sum"),
           min("min_doc").as("first_doc"),
           max("max_doc").as("last_doc"),
           count(lit(1)).cast("long").as("n_blocks")
         )
         .orderBy("term_id")
     }),
+
+    // Positional retrieval: exact phrase match answered FROM the index —
+    // decode (docId, positions) for the phrase's terms only (termId
+    // pushdown prunes the postings scan), then equi-join successive terms
+    // on (doc_id, start). The reference's per-document token streams are
+    // positional and losslessly decodable (classes.py:118-307, decode
+    // midi_tokenizer.py:1927-1991); this is the query that needs them.
+    "q_phrase" -> ((spark, sfDir) => phraseMatch(spark, sfDir)),
 
     // E7: the index invariant validator — summary row (block count from the
     // on-disk index, violation count MUST be 0; oracle recomputes the
@@ -156,6 +168,46 @@ object IndexQueries {
     // partial aggs + broadcast of the tiny stats) — proves WAND == plan
     "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false))
   )
+
+  /** The fixed phrase-query set: two bigrams (incl. a repeated-term one —
+    * overlapping matches must all be reported) and two trigrams. */
+  val Phrases: Seq[(Int, Seq[String])] = Seq(
+    (1, Seq("merge", "join")),
+    (2, Seq("batch", "batch")),
+    (3, Seq("the", "fast", "key")),
+    (4, Seq("slow", "hash", "batch")))
+
+  /** All (phrase_id, doc_id, start_pos) matches for [[Phrases]]. */
+  private def phraseMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val dict = h.lookupTerms(Phrases.flatMap(_._2))
+    val allIds = Phrases.flatMap(_._2).distinct.flatMap(dict.get).map(_.termId)
+    val occ = h.postings
+      .filter(col("termId").isin(allIds.map(Int.box): _*)) // pruned point scan
+      .as[graft.index.PostingBlock]
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+        ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
+      }
+      .toDF("term_id", "doc_id", "pos")
+    val results = Phrases.map { case (pid, ts) =>
+      val resolved = ts.map(dict.get)
+      if (resolved.exists(_.isEmpty))
+        Seq.empty[(Int, Long, Int)].toDF("phrase_id", "doc_id", "pos")
+      else {
+        val parts = resolved.map(_.get.termId).zipWithIndex.map { case (tid, i) =>
+          occ.filter(col("term_id") === tid)
+            .select(col("doc_id"), (col("pos") - i).as("start"))
+        }
+        parts.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+          .select(lit(pid).as("phrase_id"), col("doc_id"), col("start").as("pos"))
+      }
+    }
+    results.reduce(_ unionByName _).orderBy("phrase_id", "doc_id", "pos")
+  }
 
   /** Top-10 per query; ranked by (round(score,6) desc, doc_id) for
     * cross-engine float robustness; scores reported rounded to 4. */
@@ -279,13 +331,30 @@ object IndexQueries {
            |  SELECT term_id,
            |         CAST(sum(CAST(ceil(CAST(cnt AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks
            |  FROM per_bucket GROUP BY term_id
-           |)
+           |),
+           |ps AS (SELECT term, CAST(sum(pos) AS BIGINT) AS pos_sum FROM tok GROUP BY term)
            |SELECT CAST(d.term_id AS INTEGER) AS term_id, d.df, d.cf,
            |       CAST(sum(tf.doc_id) AS BIGINT) AS docid_sum,
+           |       max(ps.pos_sum) AS pos_sum,
            |       min(tf.doc_id) AS first_doc, max(tf.doc_id) AS last_doc,
            |       max(nb.n_blocks) AS n_blocks
            |FROM d JOIN tf ON tf.term = d.term JOIN nb ON nb.term_id = d.term_id
+           |     JOIN ps ON ps.term = d.term
            |GROUP BY d.term_id, d.df, d.cf ORDER BY term_id""".stripMargin,
+      "q_phrase" -> {
+        val perPhrase = Phrases.map { case (pid, ts) =>
+          val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
+            s"JOIN tok t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '$t'"
+          }.mkString("\n")
+          s"""SELECT $pid AS phrase_id, t0.doc_id, CAST(t0.pos AS INTEGER) AS pos
+             |FROM tok t0
+             |$joins
+             |WHERE t0.term = '${ts.head}'""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $corpusCte
+           |$perPhrase
+           |ORDER BY phrase_id, doc_id, pos""".stripMargin
+      },
       "q_validate" ->
         s"""WITH $corpusCte,
            |per_bucket AS (

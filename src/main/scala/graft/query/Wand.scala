@@ -19,8 +19,21 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
   }
   def docstats: Dataset[DocStat] =
     spark.read.parquet(s"$dir/docstats").as[DocStat]
-  /** Driver-side dictionary map (broadcast-sized by construction; at a 100M
-    * vocab only the query terms would be looked up via a semi-join instead). */
+  /** Term-pruned dictionary lookup — the query path NEVER collects the
+    * whole dictionary: the `term IN (...)` predicate pushes to the parquet
+    * dictionary scan (asserted in PlanSpec), so a 512-query batch reads a
+    * few thousand dictionary rows even against a 100M-term vocabulary. */
+  def lookupTerms(terms: Seq[String]): Map[String, TermEntry] = {
+    import org.apache.spark.sql.functions.col
+    val ts = terms.distinct
+    if (ts.isEmpty) Map.empty
+    else dictionary.filter(col("term").isin(ts: _*)).collect()
+      .map(e => e.term -> e).toMap
+  }
+
+  /** Driver-side FULL dictionary map — bench/test-side only (vocabulary
+    * enumeration for query generation and oracle building); the query path
+    * uses [[lookupTerms]]. */
   lazy val dictMap: Map[String, TermEntry] =
     dictionary.collect().map(e => e.term -> e).toMap
 }
@@ -51,35 +64,50 @@ object Wand {
 
   /** One block decoded once per bucket and shared by every query in the
     * batch (decode amortization: a 512-query batch touches each block's
-    * bytes once, not 512 times). */
+    * bytes once, not 512 times). The positional payload is NOT decoded on
+    * the WAND path — phrase queries decode it separately. */
   private final class DecodedBlock(
       val firstDocId: Long,
       val ids: Array[Long],
       val tfs: Array[Int],
-      val blockMax: Double)
+      val maxTf: Int,
+      val minDocLen: Int)
 
   private object DecodedBlock {
     def apply(b: PostingBlock): DecodedBlock =
       new DecodedBlock(b.firstDocId, VByte.decodeDocIds(b.docIdGaps),
-        VByte.decodeInts(b.tfs), b.blockMaxScore.toDouble)
+        VByte.decodeInts(b.tfs), b.maxTf, b.minDocLen)
   }
 
-  /** Cursor over one term's decoded blocks within one bucket. */
+  /** Cursor over one term's decoded blocks within one bucket. Block upper
+    * bounds are derived at query time from the stored (maxTf, minDocLen)
+    * under the CURRENT (idf, avgdl): BM25 impact is monotone ↑tf / ↓docLen,
+    * so the bound dominates every member exactly, in doubles, and survives
+    * stats drift from incremental appends. */
   private final class TermCursor(
       val termId: Int,
       blocks: Array[DecodedBlock],
       val idf: Double,
       avgdl: Double
   ) {
-    /** Term-level upper bound: max over this bucket's block maxima. */
-    val termUB: Double = { var m = 0.0; var i = 0; while (i < blocks.length) { if (blocks(i).blockMax > m) m = blocks(i).blockMax; i += 1 }; m }
+    private val bounds: Array[Double] = {
+      val a = new Array[Double](blocks.length)
+      var i = 0
+      while (i < blocks.length) {
+        a(i) = Bm25.scoreWithIdf(idf, blocks(i).maxTf, blocks(i).minDocLen, avgdl)
+        i += 1
+      }
+      a
+    }
+    /** Term-level upper bound: max over this bucket's block bounds. */
+    val termUB: Double = { var m = 0.0; var i = 0; while (i < bounds.length) { if (bounds(i) > m) m = bounds(i); i += 1 }; m }
     private var bi = 0
     private var pi = 0
 
     def exhausted: Boolean = bi >= blocks.length
     def curDoc: Long = if (exhausted) Long.MaxValue else blocks(bi).ids(pi)
     def curTf: Int = blocks(bi).tfs(pi)
-    def blockMax: Double = if (exhausted) 0.0 else blocks(bi).blockMax
+    def blockMax: Double = if (exhausted) 0.0 else bounds(bi)
 
     /** Advance to the first posting with docId >= target; skips whole
       * blocks via the NEXT block's firstDocId. */
@@ -207,7 +235,9 @@ object Wand {
   def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] = {
     val spark = index.spark
     import spark.implicits._
-    val dict = index.dictMap
+    // term-pruned lookup of ONLY the batch's query terms (scale-safe: no
+    // full-dictionary collect on the query path)
+    val dict = index.lookupTerms(queries.flatMap(_.terms))
     val m = index.manifest
     val avgdl = m.avgdl
     val nDocs = m.nDocs

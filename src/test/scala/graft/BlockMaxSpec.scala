@@ -4,33 +4,56 @@ import graft.query.Bm25
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The block-max safety invariant in isolation (SURVEY.md §7 "hard parts"):
-  * the float upper bound stored per block must dominate the exact double
-  * impact of every member, including at float-rounding boundaries —
-  * guaranteed by Math.nextUp after the double→float cast. */
+  * blocks store (maxTf, minDocLen) and the query derives the upper bound
+  * impact(maxTf, minDocLen) under the CURRENT (idf, avgdl). BM25 impact is
+  * monotone increasing in tf and decreasing in docLen, so the derived bound
+  * must dominate every member's exact impact — in doubles, with no float
+  * rounding, and regardless of how corpus stats drift under append. */
 class BlockMaxSpec extends AnyFunSuite {
   private val rnd = new scala.util.Random(42)
 
-  test("nextUp(score.toFloat) strictly dominates the exact double, 100k random cases") {
+  test("impact(maxTf, minDocLen) dominates every member impact, 100k random blocks") {
     for (_ <- 1 to 100000) {
       val nDocs = 1L + rnd.nextLong(1L << 40)
       val df = 1L + (math.abs(rnd.nextLong()) % nDocs)
-      val tf = 1 + rnd.nextInt(1000)
-      val docLen = tf + rnd.nextInt(4096)
+      val idf = Bm25.idf(nDocs, df)
       val avgdl = 1.0 + rnd.nextDouble() * 4000.0
-      val exact = Bm25.score(tf, docLen, df, nDocs, avgdl)
-      val bound = Math.nextUp(exact.toFloat).toDouble
-      assert(bound > exact,
-        s"bound $bound does not dominate exact $exact (tf=$tf len=$docLen df=$df N=$nDocs)")
+      val nMembers = 1 + rnd.nextInt(16)
+      val members = Array.fill(nMembers) {
+        val tf = 1 + rnd.nextInt(1000)
+        val docLen = tf + rnd.nextInt(4096)
+        (tf, docLen)
+      }
+      val maxTf = members.map(_._1).max
+      val minDl = members.map(_._2).min
+      val bound = Bm25.scoreWithIdf(idf, maxTf, minDl, avgdl)
+      members.foreach { case (tf, dl) =>
+        val exact = Bm25.scoreWithIdf(idf, tf, dl, avgdl)
+        assert(exact <= bound,
+          s"member (tf=$tf,dl=$dl) impact $exact exceeds bound $bound (maxTf=$maxTf,minDl=$minDl)")
+      }
     }
   }
 
-  test("plain toFloat would NOT be safe (the rounding-down case exists)") {
-    // demonstrate the hazard nextUp protects against: find a score whose
-    // float rounding is below the exact double
-    val hazard = (1 to 1000000).exists { i =>
-      val x = 1.0 + i * 1e-7
-      x.toFloat.toDouble < x
+  test("the bound stays valid when avgdl/idf drift (append scenario)") {
+    // same block metadata, different corpus stats: the derived bound under
+    // the NEW stats still dominates members scored under the NEW stats
+    for (_ <- 1 to 10000) {
+      val members = Array.fill(1 + rnd.nextInt(8)) {
+        val tf = 1 + rnd.nextInt(100)
+        (tf, tf + rnd.nextInt(500))
+      }
+      val maxTf = members.map(_._1).max
+      val minDl = members.map(_._2).min
+      // stats after an append: arbitrary new values
+      val nDocs2 = 1L + rnd.nextLong(1L << 30)
+      val df2 = 1L + (math.abs(rnd.nextLong()) % nDocs2)
+      val idf2 = Bm25.idf(nDocs2, df2)
+      val avgdl2 = 1.0 + rnd.nextDouble() * 1000.0
+      val bound = Bm25.scoreWithIdf(idf2, maxTf, minDl, avgdl2)
+      members.foreach { case (tf, dl) =>
+        assert(Bm25.scoreWithIdf(idf2, tf, dl, avgdl2) <= bound)
+      }
     }
-    assert(hazard, "expected at least one round-down case in the sweep")
   }
 }

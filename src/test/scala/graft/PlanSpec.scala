@@ -67,7 +67,7 @@ class PlanSpec extends AnyFunSuite {
     val td = IndexBuilder.termDocs(cleaned, Tokenizers.default)
     val dictRows = IndexBuilder.dictionary(td, 4).collect()
     val dict = dictRows.map(e => e.term -> e).toMap
-    val blocks = IndexBuilder.postingBlocks(td, dict, 500L, 60.0, graft.index.IndexConfig())
+    val blocks = IndexBuilder.postingBlocks(td, dict, graft.index.IndexConfig())
     val plan = planOf(blocks.toDF())
     // one exchange introduced by repartition(termId, bucket); the upstream
     // url-dedup window adds its own — allow at most 2 total

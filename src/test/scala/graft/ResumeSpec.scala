@@ -12,10 +12,11 @@ class ResumeSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private val cfg = IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 4, postingsBuckets = 2)
 
-  private def blocksSorted(dir: String): Array[(Int, Long, Long, Int, Seq[Byte], Seq[Byte], Float)] = {
+  private def blocksSorted(dir: String): Array[(Int, Long, Long, Int, Seq[Byte], Seq[Byte], Seq[Byte], Int, Int)] = {
     val h = IndexReader.load(spark, dir)
     h.postings.collect()
-      .map(b => (b.termId, b.blockId, b.firstDocId, b.nDocs, b.docIdGaps.toSeq, b.tfs.toSeq, b.blockMaxScore))
+      .map(b => (b.termId, b.blockId, b.firstDocId, b.nDocs, b.docIdGaps.toSeq, b.tfs.toSeq,
+        b.positions.toSeq, b.maxTf, b.minDocLen))
       .sortBy(t => (t._1, t._2))
   }
 

@@ -73,15 +73,27 @@ class WandSpec extends AnyFunSuite {
     assert(errs.isEmpty, errs.take(5).mkString("; "))
   }
 
-  test("block-max bounds are tight-ish: no block bound exceeds idf*(k1+1) ceiling") {
-    import spark.implicits._
+  test("derived block bounds are tight-ish: no bound exceeds the idf*(k1+1) ceiling") {
     val m = handle.manifest
     val dfById = handle.dictMap.values.map(e => e.termId -> e.df).toMap
     handle.postings.collect().foreach { b =>
-      val ceiling = Bm25.idf(m.nDocs, dfById(b.termId)) * (Bm25.K1 + 1.0)
-      assert(b.blockMaxScore.toDouble <= ceiling * (1.0 + 1e-6),
-        s"term=${b.termId} blockMax=${b.blockMaxScore} ceiling=$ceiling")
+      val idf = Bm25.idf(m.nDocs, dfById(b.termId))
+      val bound = Bm25.scoreWithIdf(idf, b.maxTf, b.minDocLen, m.avgdl)
+      val ceiling = idf * (Bm25.K1 + 1.0)
+      assert(bound <= ceiling * (1.0 + 1e-6),
+        s"term=${b.termId} bound=$bound ceiling=$ceiling")
     }
+  }
+
+  test("query-time dictionary lookup is term-pruned (no full-dictionary scan)") {
+    val plan = handle.dictionary
+      .filter(org.apache.spark.sql.functions.col("term").isin("spark", "join"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"), plan.take(2000))
+    // and the lookup itself resolves correctly
+    val m = handle.lookupTerms(Seq("spark", "join", "zzzoov"))
+    assert(m.contains("spark") && m.contains("join") && !m.contains("zzzoov"))
+    assert(m == handle.dictMap.view.filterKeys(Set("spark", "join")).toMap)
   }
 
   test("postings scan prunes by termId (pushdown reaches parquet)") {
