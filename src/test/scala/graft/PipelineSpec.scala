@@ -59,16 +59,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("ANN LSH recall vs brute force on the fixed corpus") {
+  test("hybrid IVF∪LSH ANN recall@5 >= 0.9 vs brute force (sf0.01)") {
     val emb = Similarity.embeddings(spark, "/root/testdata/sf0.01")
     val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ann = Similarity.annTopK(emb, 0L until 10L, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ann.nonEmpty, "LSH ANN returned nothing")
+    assert(ann.nonEmpty, "ANN returned nothing")
     val recall = (brute intersect ann).size.toDouble / brute.size.toDouble
-    assert(recall >= 0.2, s"suspiciously low ANN recall $recall")
-    info(s"ANN LSH recall@5 = $recall")
+    assert(recall >= 0.9, s"ANN recall@5 $recall below the 0.9 gate")
+    info(s"hybrid IVF∪LSH ANN recall@5 = $recall")
+  }
+
+  test("hybrid ANN recall@5 >= 0.9 at sf0.001 too (robustness across scales)") {
+    val emb = Similarity.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(emb, 0L until 10L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annTopK(emb, 0L until 10L, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size.toDouble
+    assert(recall >= 0.9, s"ANN recall@5 $recall below the 0.9 gate")
+    info(s"hybrid IVF∪LSH ANN recall@5 (sf0.001) = $recall")
+  }
+
+  test("LSH near-dup pairs == exact cartesian pairs on the planted fixture (recall 1.0)") {
+    for (d <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val emb = Similarity.withPlantedNearDups(Similarity.embeddings(spark, d))
+      val exact = Similarity.cosineNearDupPairs(emb, 0.99).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Similarity.lshNearDupPairs(emb, 0.99).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, s"$d: no planted pairs found — injection broken")
+      assert(lsh == exact, s"$d: LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+      // every planted base must pair with its jittered copy
+      val planted = Similarity.embeddings(spark, d)
+        .filter(org.apache.spark.sql.functions.expr("vec_id % 10 = 0"))
+        .count()
+      assert(exact.count { case (a, b, _) => b == a + Similarity.PlantOffset } == planted)
+    }
   }
 
   test("multimodal feature extraction: stub decode is deterministic and batch-shaped") {
