@@ -1,15 +1,50 @@
 package graft.queries
 
 import graft.corpus.Pages
-import graft.index.PhraseVocab
-import graft.tokenize.Tokenizers
+import graft.index.{IndexBuilder, IndexConfig, MergeStep, PhraseVocab}
+import graft.query.{IndexHandle, IndexReader}
+import graft.tokenize.{TokenizerConfig, Tokenizers}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** The trained BPE merges CONSUMED: merge table + a full index rebuilt over
+  * the merge-rewritten corpus, so merged units get termIds and posting
+  * lists — the engine analog of `encode_token_ids` re-encoding sequences
+  * with the trained vocab (midi_tokenizer.py:3008-3039). Cached per sfDir
+  * (one train + one build per JVM). */
+object MergedIndexCache {
+  final val NumMerges = 8
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[MergeStep], IndexHandle)]()
+
+  def get(spark: SparkSession, sfDir: String): (Seq[MergeStep], IndexHandle) =
+    cache.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val (merges, finalDocs) = PhraseVocab.train(VocabQueries.tokenDocs(spark, sfDir), NumMerges)
+      // rewritten token streams → pages (input_hint shape); merged units
+      // keep their '_' glue, so the whitespace (stripPunct=false) tokenizer
+      // round-trips them as single terms
+      val pages = finalDocs
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          concat(lit("merged://"), col("doc_id")).as("url"),
+          timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+          encode(col("text"), "UTF-8").as("html"),
+          col("text"), lit("en").as("lang"))
+      val dir = s"/tmp/graft_merged_index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(dir))
+      IndexBuilder.buildFrom(spark, pages, dir,
+        IndexConfig(tokenizer = TokenizerConfig(stripPunct = false)))
+      finalDocs.unpersist()
+      (merges, IndexReader.load(spark, dir))
+    })
+}
 
 /** Vocabulary-merge (BPE `train` analog, E3) and boolean-retrieval queries. */
 object VocabQueries {
 
-  private def tokenDocs(s: SparkSession, d: String) = {
+  private[queries] def tokenDocs(s: SparkSession, d: String) = {
     import s.implicits._
     val tok = Tokenizers.default
     Pages.cleaned(Pages.withInjections(s, d))
@@ -26,13 +61,25 @@ object VocabQueries {
         .limit(100)),
 
     // E3 full loop: 8 deterministic merges (driver loop over cached corpus).
-    // Non-SQL-expressible (iterative) → rows-only for the driver; exact
-    // equality with a single-threaded reference asserted in BpeSpec.
+    // Oracle: a DuckDB replay — 8 chained CTE steps, each computing its own
+    // argmax pair (lead-adjacency counts, (cnt desc, left, right) tiebreak)
+    // and applying the leftmost-non-overlapping rewrite (alternating take
+    // within runs of consecutive matches).
     "q_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val (merges, finalDocs) = PhraseVocab.train(tokenDocs(s, d), 8)
-      finalDocs.unpersist()
+      val (merges, _) = MergedIndexCache.get(s, d)
       merges.toDF("step", "left", "right", "count", "merged").orderBy("step")
+    }),
+
+    // E3 consumed (encode_token_ids analog): the dictionary of the index
+    // REBUILT over the merge-rewritten corpus — merged units ('l_r') hold
+    // dense termIds and real posting lists (BpeSpec checks their postings
+    // decode to exactly the docs containing them).
+    "q_merged_dict" -> ((s, d) => {
+      val (_, handle) = MergedIndexCache.get(s, d)
+      handle.dictionary.toDF()
+        .select(col("termId").as("term_id"), col("term"), col("df"), col("cf"))
+        .orderBy("term_id")
     }),
 
     // A6: token-type frequency index — invert the dictionary into
@@ -78,7 +125,86 @@ object VocabQueries {
     })
   )
 
+  /** Chained CTEs replaying `n` BPE merges in pure SQL. Step k reads
+    * s{k-1}(doc_id, pos, term) and emits s{k}, picking its own argmax pair
+    * b{k}. Greedy leftmost-non-overlapping rewrite: mark matches (term=l ∧
+    * next=r), group runs of consecutive matches, take alternate members
+    * starting at the first (only l==r pairs can actually run), drop the row
+    * after each taken one. */
+  private def bpeReplaySql(n: Int): String = {
+    // AS MATERIALIZED everywhere: DuckDB otherwise inlines the chained
+    // CTEs, re-scanning the base table exponentially many times
+    val sb = new StringBuilder("s0 AS MATERIALIZED (SELECT doc_id, pos, term FROM tok)")
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(s""",
+         |pk$k AS MATERIALIZED (
+         |  SELECT term AS l, nxt AS r, count(*) AS cnt
+         |  FROM (SELECT term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s$p)
+         |  WHERE nxt IS NOT NULL GROUP BY term, nxt
+         |),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM pk$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, term,
+         |         coalesce(term = (SELECT l FROM b$k)
+         |                  AND lead(term) OVER (PARTITION BY doc_id ORDER BY pos) = (SELECT r FROM b$k),
+         |                  FALSE) AS mt,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM s$p
+         |),
+         |g$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, term, mt, rn,
+         |         CASE WHEN mt THEN rn - row_number() OVER (PARTITION BY doc_id, mt ORDER BY rn) END AS grp
+         |  FROM m$k
+         |),
+         |t$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, term, rn,
+         |         mt AND (row_number() OVER (PARTITION BY doc_id, grp ORDER BY rn) % 2 = 1) AS taken
+         |  FROM g$k
+         |),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN taken THEN (SELECT l FROM b$k) || '_' || (SELECT r FROM b$k) ELSE term END AS term
+         |  FROM (SELECT doc_id, pos, term, taken,
+         |               coalesce(lag(taken) OVER (PARTITION BY doc_id ORDER BY rn), FALSE) AS prev_taken
+         |        FROM t$k)
+         |  WHERE NOT prev_taken
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val bpeCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      |),
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         unnest(string_split(lower(text), ' ')) AS term,
+      |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+      |  FROM corpus
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> {
+      val n = MergedIndexCache.NumMerges
+      val recs = (1 to n).map(k =>
+        s"""SELECT CAST(${k - 1} AS INTEGER) AS step, l AS "left", r AS "right", cnt AS "count", l || '_' || r AS merged FROM b$k""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeCorpusCte,
+         |${bpeReplaySql(n)}
+         |SELECT * FROM ($recs) ORDER BY step""".stripMargin
+    },
+    "q_merged_dict" -> {
+      val n = MergedIndexCache.NumMerges
+      s"""WITH $bpeCorpusCte,
+         |${bpeReplaySql(n)},
+         |tfm AS (SELECT doc_id, term, count(*) AS tf FROM s$n GROUP BY doc_id, term),
+         |dftm AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tfm GROUP BY term)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,
+         |       term, df, cf
+         |FROM dftm ORDER BY term_id""".stripMargin
+    },
     "q_a6_type_index" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0

@@ -48,6 +48,30 @@ class BpeSpec extends AnyFunSuite {
     finalDocs.unpersist()
   }
 
+  test("merged units get termIds and real posting lists (encode_token_ids analog)") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val (merges, handle) = graft.queries.MergedIndexCache.get(spark, sfDir)
+    assert(merges.nonEmpty)
+    val dict = handle.dictMap
+    merges.foreach(m => assert(dict.contains(m.merged), s"${m.merged} missing from merged dictionary"))
+    // postings of every merged unit decode to exactly the docs containing it
+    var docs = corpusDocs(sfDir).collect().toSeq
+    merges.foreach { m =>
+      docs = docs.map { case (id, ts) => (id, PhraseVocab.applyMerge(ts, m.left, m.right, m.merged)) }
+    }
+    merges.foreach { m =>
+      val tid = dict(m.merged).termId
+      val postDocs = handle.postings
+        .filter(col("termId") === tid).as[graft.index.PostingBlock]
+        .flatMap(b => graft.codec.VByte.decodeDocIds(b.docIdGaps))
+        .collect().toSet
+      val want = docs.filter(_._2.contains(m.merged)).map(_._1).toSet
+      assert(postDocs == want, s"postings for ${m.merged}: got ${postDocs.size} docs want ${want.size}")
+      assert(dict(m.merged).df == want.size.toLong)
+    }
+  }
+
   test("train twice yields identical merges (determinism / resume analog)") {
     val docs = corpusDocs("/root/testdata/sf0.001")
     val (m1, f1) = PhraseVocab.train(docs, 4)
