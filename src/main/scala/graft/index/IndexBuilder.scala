@@ -248,7 +248,12 @@ object IndexBuilder {
 
     // -- stage: postings, chunked over docId ranges ----------------------
     val maxDocId = docstats.agg(coalesce(max(col("docId")), lit(0L))).head().getLong(0)
-    val rawChunk = (maxDocId + 1 + cfg.nChunks - 1) / cfg.nChunks
+    // P1 density-balanced sizing: nChunks == 0 derives the chunk count from
+    // the exact corpus token total, bounding per-chunk postings volume
+    val nChunks =
+      if (cfg.nChunks > 0) cfg.nChunks
+      else math.max(1L, (totalLen + cfg.targetTokensPerChunk - 1) / cfg.targetTokensPerChunk).toInt
+    val rawChunk = (maxDocId + 1 + nChunks - 1) / nChunks
     // chunk boundary aligned to bucketRange so buckets never span chunks
     val chunkRange = math.max(((rawChunk + cfg.bucketRange - 1) / cfg.bucketRange) * cfg.bucketRange, cfg.bucketRange)
     var chunk = 0
@@ -274,6 +279,88 @@ object IndexBuilder {
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
+    manifest
+  }
+
+  // --------------------------------------------------------------- append
+
+  /** Incremental append: add new documents (docIds strictly beyond the
+    * manifest's maxDocId) to an existing index WITHOUT touching committed
+    * chunks — the engine analog of re-running `tokenize_dataset` over a
+    * grown corpus (midi_tokenizer.py:3084-3198 + the idempotent skip,
+    * utils/split.py:98-104).
+    *
+    * Id stability: existing termIds never change; new terms get ids
+    * appended after vocabSize, ordered (df desc, term) among themselves.
+    * df/cf/nDocs/totalLen/avgdl are refreshed in dictionary + manifest —
+    * safe because block bounds are (maxTf, minDocLen), derived under the
+    * CURRENT stats at query time, so committed blocks stay exact.
+    *
+    * `cfg` must carry the same tokenizer/blockSize/bucketRange as the
+    * original build (block geometry is checked against the manifest). */
+  def append(spark: SparkSession, deltaPages: DataFrame, indexDir: String, cfg: IndexConfig): IndexManifest = {
+    import spark.implicits._
+    val old = Manifest.read(s"$indexDir/manifest.json")
+    require(cfg.blockSize == old.blockSize && cfg.bucketRange == old.bucketRange,
+      s"append config (${cfg.blockSize},${cfg.bucketRange}) != index geometry (${old.blockSize},${old.bucketRange})")
+    val tok = Tokenizers(cfg.tokenizer)
+    val cleaned = Pages.cleaned(deltaPages, cfg.langs).persist()
+
+    // delta docstats (appended files into the same directory)
+    val stats = cleaned
+      .select(col("doc_id").cast("long"), col("url"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
+      .persist()
+    val agg = stats.agg(coalesce(min(col("docId")), lit(Long.MaxValue)),
+      coalesce(max(col("docId")), lit(-1L)), count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+    val (minNew, maxNew, nNew, lenNew) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    require(nNew == 0 || minNew > old.maxDocId,
+      s"append docIds must exceed maxDocId=${old.maxDocId}, got min=$minNew")
+    stats.write.mode("append").parquet(s"$indexDir/docstats")
+
+    // dictionary: update df/cf in place, append NEW terms after vocabSize
+    val td = termDocs(cleaned, tok).persist()
+    val deltaStats = td.groupBy("term")
+      .agg(count(lit(1)).as("d_df"), sum(col("tf")).as("d_cf"))
+    val oldDict = spark.read.parquet(s"$indexDir/dictionary")
+    val joined = oldDict.join(deltaStats, Seq("term"), "full_outer").persist()
+    val updated = joined.filter(col("termId").isNotNull)
+      .select(col("termId"),
+        col("term"),
+        (col("df") + coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
+        (col("cf") + coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
+    val fresh = joined.filter(col("termId").isNull)
+      .select(col("term"), col("d_df").as("df"), col("d_cf").as("cf"))
+    val (freshRanked, _) = graft.plans.GlobalRank.withRowNumber(
+      fresh, Seq(col("df").desc, col("term").asc), "rn",
+      spark.sessionState.conf.numShufflePartitions)
+    val freshDict = freshRanked.select(
+      (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
+      col("term"), col("df").cast("long"), col("cf").cast("long"))
+    val newDict = updated.unionByName(freshDict).as[TermEntry].collect().sortBy(_.termId)
+    joined.unpersist()
+    // rewrite the dictionary table (linear in vocab; ids unchanged for old terms)
+    newDict.toSeq.toDS()
+      .repartition(1).sortWithinPartitions(col("termId"))
+      .write.mode("overwrite").parquet(s"$indexDir/dictionary")
+
+    // postings: one new chunk from the delta under the UPDATED dictionary
+    val dict: Map[String, TermEntry] = newDict.map(e => e.term -> e).toMap
+    val chunkDir = f"$indexDir/postings/chunk_${old.nChunks}%05d"
+    postingBlocks(td, dict, cfg)
+      .repartition(cfg.postingsBuckets, col("termId"))
+      .sortWithinPartitions(col("termId"), col("blockId"))
+      .write.mode("overwrite").parquet(chunkDir)
+    Lineage.append(spark, indexDir,
+      LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
+
+    val skipped = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
+    val manifest = IndexManifest(old.nDocs + nNew, old.totalLen + lenNew,
+      newDict.length.toLong, skipped, old.blockSize, old.bucketRange,
+      old.nChunks + 1, math.max(old.maxDocId, maxNew))
+    Manifest.write(s"$indexDir/manifest.json", manifest)
+    td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
   }
 }

@@ -75,8 +75,16 @@ final case class IndexConfig(
     blockSize: Int = 128,
     /** docId range per skew bucket; MUST be a multiple of blockSize. */
     bucketRange: Long = 65536L,
-    /** resumable build chunks over the docId space. */
+    /** resumable build chunks over the docId space; 0 = AUTO — size the
+      * chunk count from the measured corpus token total so each chunk's
+      * postings stay bounded regardless of document density (the engine
+      * form of density-balanced chunking, `split_files_for_training`
+      * utils/split.py:243-360; we size from EXACT docstats totals rather
+      * than the reference's per-file estimates since docstats precede the
+      * postings stages anyway). */
     nChunks: Int = 1,
+    /** AUTO chunk target: tokens (≈ postings cost) per chunk. */
+    targetTokensPerChunk: Long = 50000000L,
     /** output files / clustering buckets for the postings table. */
     postingsBuckets: Int = 8,
     /** language allowlist for the cleaning stage; empty = keep all. */

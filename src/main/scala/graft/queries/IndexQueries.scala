@@ -112,6 +112,20 @@ object IndexQueries {
         .orderBy("doc_id")
     }),
 
+    // A7/E6: per-document max-tf attribute (+ its argmax term) — the
+    // per-doc attribute-control analog (track_attribute_controls.py:19-305)
+    "q_a7_doc_maxtf" -> ((spark, sfDir) => {
+      val tok = Tokenizers.default
+      val td = IndexBuilder.termDocs(cleanedDocs(spark, sfDir), tok)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("docId").orderBy(col("tf").desc, col("term").asc)
+      td.toDF()
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("docId").as("doc_id"), col("term").as("top_term"), col("tf").as("max_tf"))
+        .orderBy("doc_id")
+    }),
+
     // E4 + A8 + O1 + J4: block structure after the full SPIMI build —
     // per term: postings count (must equal df), block count, first docId,
     // the round-trip-decoded docId sum, and the decoded POSITION sum
@@ -314,6 +328,13 @@ object IndexQueries {
         s"""WITH $corpusCte
            |SELECT doc_id, CAST(doc_len AS INTEGER) AS doc_len
            |FROM doclen ORDER BY doc_id""".stripMargin,
+      "q_a7_doc_maxtf" ->
+        s"""WITH $corpusCte
+           |SELECT doc_id, term AS top_term, CAST(tf AS INTEGER) AS max_tf FROM (
+           |  SELECT doc_id, term, tf,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+           |  FROM tf)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       // blocks split at 128 postings AND at docId-bucket (65536) boundaries
       "q_postings_stats" ->
         s"""WITH $corpusCte,

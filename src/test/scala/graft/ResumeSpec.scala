@@ -61,4 +61,19 @@ class ResumeSpec extends AnyFunSuite {
     val after = Lineage.load(spark, dir).count()
     assert(before == after, "completed build appended lineage rows on re-run")
   }
+
+  test("AUTO chunk sizing (P1): chunk count derives from corpus tokens; bits unchanged") {
+    val auto = "/tmp/graft_test_index/resume_auto"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(auto))
+    // sf0.001 has ~35k tokens → target 6000 tokens/chunk → ≥ 4 chunks
+    val m = IndexBuilder.build(spark, sfDir, auto,
+      cfg.copy(nChunks = 0, targetTokensPerChunk = 6000L))
+    assert(m.nChunks >= 4, s"expected auto-sized chunks, got ${m.nChunks}")
+    // block content identical to the fixed-chunk build (chunking is
+    // bucket-aligned, so blocks never depend on the chunk count)
+    val a = blocksSorted("/tmp/graft_test_index/resume_full")
+    val b = blocksSorted(auto)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
