@@ -164,6 +164,11 @@ object IndexQueries {
     // midi_tokenizer.py:1927-1991); this is the query that needs them.
     "q_phrase" -> ((spark, sfDir) => phraseMatch(spark, sfDir)),
 
+    // Positional proximity retrieval: ordered term pairs within a 3-token
+    // window, counted per doc — the second consumer of the positional
+    // payload (doc_id equi-join + range filter; postings-bounded shuffle)
+    "q_near" -> ((spark, sfDir) => nearMatch(spark, sfDir)),
+
     // E7: the index invariant validator — summary row (block count from the
     // on-disk index, violation count MUST be 0; oracle recomputes the
     // expected block count from raw text)
@@ -191,14 +196,17 @@ object IndexQueries {
     (3, Seq("the", "fast", "key")),
     (4, Seq("slow", "hash", "batch")))
 
-  /** All (phrase_id, doc_id, start_pos) matches for [[Phrases]]. */
-  private def phraseMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+  /** Decoded (term_id, doc_id, pos) rows for the given termIds only — the
+    * postings scan is pruned by termId pushdown, so row volume is bounded
+    * by the looked-up terms' postings, never the corpus. */
+  private def positionalOccurrences(
+      spark: SparkSession,
+      h: graft.query.IndexHandle,
+      termIds: Seq[Int]
+  ): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val h = IndexCache.handle(spark, sfDir)
-    val dict = h.lookupTerms(Phrases.flatMap(_._2))
-    val allIds = Phrases.flatMap(_._2).distinct.flatMap(dict.get).map(_.termId)
-    val occ = h.postings
-      .filter(col("termId").isin(allIds.map(Int.box): _*)) // pruned point scan
+    h.postings
+      .filter(col("termId").isin(termIds.map(Int.box): _*)) // pruned point scan
       .as[graft.index.PostingBlock]
       .flatMap { b =>
         val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
@@ -207,6 +215,47 @@ object IndexQueries {
         ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
       }
       .toDF("term_id", "doc_id", "pos")
+  }
+
+  /** Ordered proximity pairs: (first, second) with 1 <= pos2 - pos1 <= Window. */
+  val NearPairs: Seq[(Int, String, String)] =
+    Seq((1, "merge", "join"), (2, "the", "key"), (3, "batch", "stream"))
+  final val NearWindow = 3
+
+  /** Per (pair, doc): how many proximity matches — positions from the
+    * index, doc_id equi-join + range filter (scale shape: shuffle bounded
+    * by the pair terms' postings). */
+  private def nearMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val dict = h.lookupTerms(NearPairs.flatMap(p => Seq(p._2, p._3)))
+    val allIds = NearPairs.flatMap(p => Seq(p._2, p._3)).distinct.flatMap(dict.get).map(_.termId)
+    val occ = positionalOccurrences(spark, h, allIds)
+    val results = NearPairs.map { case (pid, t1, t2) =>
+      (dict.get(t1), dict.get(t2)) match {
+        case (Some(e1), Some(e2)) =>
+          val a = occ.filter(col("term_id") === e1.termId)
+            .select(col("doc_id"), col("pos").as("pos_a"))
+          val b = occ.filter(col("term_id") === e2.termId)
+            .select(col("doc_id"), col("pos").as("pos_b"))
+          a.join(b, Seq("doc_id"))
+            .filter((col("pos_b") - col("pos_a")).between(1, NearWindow))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_matches"))
+            .select(lit(pid).as("pair_id"), col("doc_id"), col("n_matches"))
+        case _ => Seq.empty[(Int, Long, Long)].toDF("pair_id", "doc_id", "n_matches")
+      }
+    }
+    results.reduce(_ unionByName _).orderBy("pair_id", "doc_id")
+  }
+
+  /** All (phrase_id, doc_id, start_pos) matches for [[Phrases]]. */
+  private def phraseMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val dict = h.lookupTerms(Phrases.flatMap(_._2))
+    val allIds = Phrases.flatMap(_._2).distinct.flatMap(dict.get).map(_.termId)
+    val occ = positionalOccurrences(spark, h, allIds)
     val results = Phrases.map { case (pid, ts) =>
       val resolved = ts.map(dict.get)
       if (resolved.exists(_.isEmpty))
@@ -362,6 +411,18 @@ object IndexQueries {
            |FROM d JOIN tf ON tf.term = d.term JOIN nb ON nb.term_id = d.term_id
            |     JOIN ps ON ps.term = d.term
            |GROUP BY d.term_id, d.df, d.cf ORDER BY term_id""".stripMargin,
+      "q_near" -> {
+        val per = NearPairs.map { case (pid, t1, t2) =>
+          s"""SELECT CAST($pid AS INTEGER) AS pair_id, a.doc_id, count(*) AS n_matches
+             |FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+             |  AND b.pos - a.pos BETWEEN 1 AND $NearWindow AND b.term = '$t2'
+             |WHERE a.term = '$t1'
+             |GROUP BY a.doc_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $corpusCte
+           |$per
+           |ORDER BY pair_id, doc_id""".stripMargin
+      },
       "q_phrase" -> {
         val perPhrase = Phrases.map { case (pid, ts) =>
           val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
