@@ -180,6 +180,23 @@ object IndexQueries {
       Seq((nBlocks, nViolations)).toDF("n_blocks", "n_violations")
     }),
 
+    // Incremental append, oracle-checked: build over the first half of the
+    // docId space, APPEND the second half, and report the final dictionary
+    // as (term, df, cf) — which must equal the full-corpus statistics
+    // (termIds are append-order-dependent by design, so keyed by term).
+    "q_append_dict" -> ((spark, sfDir) => {
+      val base = s"/tmp/graft_append_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(base))
+      val pages = Pages.withInjections(spark, sfDir)
+      val mid = pages.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val cfg = graft.index.IndexConfig()
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), base, cfg)
+      IndexBuilder.append(spark, pages.filter(col("doc_id") > mid), base, cfg)
+      graft.query.IndexReader.load(spark, base).dictionary.toDF()
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    }),
+
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
 
@@ -411,6 +428,9 @@ object IndexQueries {
            |FROM d JOIN tf ON tf.term = d.term JOIN nb ON nb.term_id = d.term_id
            |     JOIN ps ON ps.term = d.term
            |GROUP BY d.term_id, d.df, d.cf ORDER BY term_id""".stripMargin,
+      "q_append_dict" ->
+        s"""WITH $corpusCte
+           |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
       "q_near" -> {
         val per = NearPairs.map { case (pid, t1, t2) =>
           s"""SELECT CAST($pid AS INTEGER) AS pair_id, a.doc_id, count(*) AS n_matches
