@@ -67,4 +67,35 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame of an opaque payload. */
+  final case class Frame(id: Long, frameIdx: Int, frameLen: Int, frameChecksum: Long)
+
+  final val FrameBytes = 64
+  final val FrameStride = 4
+
+  /** Frame sampling (the video-ish operator): split each payload into
+    * fixed [[FrameBytes]] frames and keep every [[FrameStride]]-th one —
+    * a one-to-many mapPartitions pass, payload-local, zero shuffle (the
+    * real video decoder would replace the per-frame kernel; the frame
+    * arithmetic, batch shape, and output schema are the actual contract). */
+  def sampleFrames(rows: Dataset[MediaRow]): Dataset[Frame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.payload
+        val nFrames = (p.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames).iterator
+          .filter(_ % FrameStride == 0)
+          .map { f =>
+            val from = f * FrameBytes
+            val until = math.min(from + FrameBytes, p.length)
+            var sum = 0L
+            var i = from
+            while (i < until) { sum = (sum + (p(i) & 0xff)) % 1000000007L; i += 1 }
+            Frame(r.id, f, until - from, sum)
+          }
+      }
+    }
+  }
 }

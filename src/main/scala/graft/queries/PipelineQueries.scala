@@ -47,6 +47,17 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // frame sampling over opaque payloads (the video-shaped operator):
+    // 64-byte frames, every 4th kept, per-frame byte checksum
+    "q_multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.mediaRows(s, d))
+        .toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("frameLen").as("frame_len"), col("frameChecksum").as("frame_checksum"))
+        .orderBy("id", "frame_idx")
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDupGroups(s.read.parquet(s"$d/documents.parquet"))
         .orderBy("text_hash")),
@@ -212,6 +223,24 @@ object PipelineQueries {
         |                   (acc, c) -> (acc + c) % 1000000007) AS byte_checksum
         |FROM b
         |ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |f AS (
+         |  SELECT doc_id, hx, n,
+         |         unnest(generate_series(0, CAST(ceil(CAST(n AS DOUBLE) / ${Multimodal.FrameBytes}.0) AS BIGINT) - 1)) AS frame_idx
+         |  FROM b
+         |)
+         |SELECT doc_id AS id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |       CAST(least(${Multimodal.FrameBytes}, n - frame_idx * ${Multimodal.FrameBytes}) AS INTEGER) AS frame_len,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(generate_series(1, least(${Multimodal.FrameBytes}, n - frame_idx * ${Multimodal.FrameBytes})),
+         |                          i -> CAST(('0x' || substr(hx, CAST(2 * frame_idx * ${Multimodal.FrameBytes} + 2 * i - 1 AS BIGINT), 2)) AS BIGINT))),
+         |           (acc, c) -> (acc + c) % 1000000007) AS frame_checksum
+         |FROM f WHERE frame_idx % ${Multimodal.FrameStride} = 0
+         |ORDER BY id, frame_idx""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
