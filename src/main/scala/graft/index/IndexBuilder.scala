@@ -297,7 +297,13 @@ object IndexBuilder {
     * CURRENT stats at query time, so committed blocks stay exact.
     *
     * `cfg` must carry the same tokenizer/blockSize/bucketRange as the
-    * original build (block geometry is checked against the manifest). */
+    * original build (block geometry is checked against the manifest).
+    *
+    * Unlike [[buildFrom]], one append is NOT internally crash-resumable
+    * (its stages don't checkpoint individually); callers needing
+    * exactly-once delivery drive appends through
+    * [[graft.streaming.StreamingIngest]], whose stream checkpoint replays
+    * an interrupted micro-batch. */
   def append(spark: SparkSession, deltaPages: DataFrame, indexDir: String, cfg: IndexConfig): IndexManifest = {
     import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
