@@ -180,6 +180,29 @@ object IndexQueries {
       Seq((nBlocks, nViolations)).toDF("n_blocks", "n_violations")
     }),
 
+    // Head/tail vocabulary split (the frequency-driven vocab cap): build
+    // with vocabCap=10 — ONLY the 10 most-document-frequent terms get
+    // posting lists (tail terms are OOV; the FULL dictionary still
+    // persists). Output: the indexed head, with df recomputed from the
+    // postings themselves (proves the capped index carries exactly the
+    // head's postings, nothing more, nothing less).
+    "q_vocab_cap" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val base = s"/tmp/graft_cap_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(base))
+      IndexBuilder.buildFrom(spark, Pages.withInjections(spark, sfDir), base,
+        graft.index.IndexConfig(vocabCap = Some(10)))
+      val h = graft.query.IndexReader.load(spark, base)
+      val dfFromPostings = h.postings
+        .map(b => (b.termId, b.nDocs.toLong))
+        .toDF("term_id", "n")
+        .groupBy("term_id").agg(sum(col("n")).as("df_postings"))
+      h.dictionary.toDF()
+        .join(dfFromPostings, col("termId") === col("term_id"), "inner")
+        .select(col("term"), col("df_postings"))
+        .orderBy("term")
+    }),
+
     // Incremental append, oracle-checked: build over the first half of the
     // docId space, APPEND the second half, and report the final dictionary
     // as (term, df, cf) — which must equal the full-corpus statistics
@@ -431,6 +454,10 @@ object IndexQueries {
       "q_append_dict" ->
         s"""WITH $corpusCte
            |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
+      "q_vocab_cap" ->
+        s"""WITH $corpusCte,
+           |head AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 10)
+           |SELECT term, df AS df_postings FROM head ORDER BY term""".stripMargin,
       "q_near" -> {
         val per = NearPairs.map { case (pid, t1, t2) =>
           s"""SELECT CAST($pid AS INTEGER) AS pair_id, a.doc_id, count(*) AS n_matches
