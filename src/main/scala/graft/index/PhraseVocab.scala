@@ -52,13 +52,18 @@ object PhraseVocab {
     val spark = docs0.sparkSession
     import spark.implicits._
     var docs = docs0.persist()
+    // the parent of `docs`; unpersisted only AFTER a job has materialized
+    // `docs` (the pair-count collect), so each iteration runs exactly ONE
+    // Spark job instead of a count + an agg
+    var parent: Dataset[(Long, Array[String])] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[MergeStep]
     var step = 0
     var done = false
     while (step < numMerges && !done) {
       val top = pairCounts(docs)
         .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
-        .limit(1).collect()
+        .limit(1).collect() // materializes `docs` into its cache
+      if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty || top(0).getLong(2) < 2) done = true
       else {
         val l = top(0).getString(0)
@@ -66,13 +71,13 @@ object PhraseVocab {
         val c = top(0).getLong(2)
         val m = l + "_" + r
         merges += MergeStep(step, l, r, c, m)
-        val prev = docs
+        parent = docs
         docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist()
-        docs.count() // materialize before unpersisting the parent
-        prev.unpersist()
         step += 1
       }
     }
+    // materialize the final rewrite once so the last parent can be dropped
+    if (parent != null) { docs.count(); parent.unpersist() }
     (merges.toSeq, docs)
   }
 

@@ -27,6 +27,30 @@ class VByteSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip: block position streams (concatenated per-posting gap runs)") {
+    for (_ <- 1 to 500) {
+      val nPostings = 1 + rnd.nextInt(40)
+      val posLists = Array.fill(nPostings) {
+        val tf = 1 + rnd.nextInt(30)
+        val gaps = Array.fill(tf)(1 + rnd.nextInt(5000))
+        gaps.scanLeft(0)(_ + _).drop(1) // strictly increasing, 1-based
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      posLists.foreach(ps => VByte.putPositions(out, ps))
+      val decoded = VByte.decodePositions(out.toByteArray, posLists.map(_.length))
+      assert(decoded.length == nPostings)
+      posLists.indices.foreach(j => assert(decoded(j).sameElements(posLists(j))))
+    }
+  }
+
+  test("decodePositions rejects a truncated/mismatched stream") {
+    val out = new java.io.ByteArrayOutputStream()
+    VByte.putPositions(out, Array(1, 3, 7))
+    intercept[IllegalArgumentException] {
+      VByte.decodePositions(out.toByteArray, Array(2)) // sum(tfs) != stream length
+    }
+  }
+
   test("round-trip: ints (term frequencies)") {
     for (_ <- 1 to 500) {
       val a = Array.fill(rnd.nextInt(200))(rnd.nextInt(Int.MaxValue))
