@@ -145,27 +145,80 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for given pairs (verification step after LSH). */
-  def jaccardVerify(spark: SparkSession, sfDir: String, pairs: DataFrame, n: Int = 3): DataFrame = {
+  /** (doc_id, shingle) relation — one row per DISTINCT shingle per doc. */
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
     import spark.implicits._
-    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+    spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => docShingles(t, n).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (verification step after
+    * LSH). Candidate-bounded by construction: the intersection counts come
+    * from joining the PAIRS to the shingle relation (pair → a-shingles →
+    * matching b-shingles), so the expensive equality join touches only the
+    * candidates' shingles — never a corpus-wide shingle self-join — and a
+    * globally common shingle costs O(candidates sharing it), not O(corpus²).
+    * The per-doc set sizes are likewise computed only for candidate docs
+    * (semi-join pruning). Pairs with an empty intersection are dropped
+    * (their Jaccard is 0 and below any useful threshold). */
+  def jaccardVerify(spark: SparkSession, sfDir: String, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(spark, sfDir, n)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(candSh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(candSh.as("b"),
+        col("b.doc_id") === col("doc_b") && col("b.shingle") === col("a.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "inner")
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6))
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** EXACT Jaccard-threshold candidate enumeration WITHOUT an all-pairs
+    * join — prefix filtering (the AllPairs / PPJoin candidate generation;
+    * same early-pruning discipline the reference applies before expensive
+    * work, midi_tokenizer.py:544-582).
+    *
+    * Order every doc's shingles by (global frequency asc, shingle asc) —
+    * rarest first — and keep only the first `|s| - ⌈t·|s|⌉ + 1` as the
+    * doc's PREFIX. Prefix-filtering theorem: if J(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and under any common total order two sets
+    * with that much overlap must share an element inside both prefixes
+    * (all intersection elements ≤ min(max(prefixA), max(prefixB)) lie in
+    * both prefixes). So the prefix self-join loses NO qualifying pair —
+    * exactness is oracle-checked against the all-pairs SQL — while join
+    * fanout is driven by RARE shingles: a shingle of global frequency f
+    * appears in at most f prefixes, and frequent shingles fall outside
+    * prefixes entirely. Feed the result to [[jaccardVerify]]. */
+  def prefixFilterPairs(spark: SparkSession, sfDir: String, threshold: Double, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(spark, sfDir, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)
+    val prefix = sh
+      .join(freq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select("doc_id", "shingle")
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 }

@@ -86,17 +86,14 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    "q_ngram_jaccard" -> ((s, d) => {
-      import s.implicits._
-      // exact all-pairs n-gram Jaccard >= 0.5 (the LSH-free baseline)
-      val all = Dedup.signatures(s, d).filter(_.nShingles > 0)
-        .map(_.docId).toDF("doc_id")
-      val pairs = all.as("a").join(all.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      Dedup.jaccardVerify(s, d, pairs)
+    // EXACT n-gram Jaccard >= 0.5 with NO all-pairs join: prefix-filtered
+    // candidate generation (rarest-shingle prefixes, provably lossless at
+    // the threshold) + candidate-bounded verify. The oracle below is the
+    // all-pairs SQL, so exactness is hash-asserted on every gate run.
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardVerify(s, d, Dedup.prefixFilterPairs(s, d, 0.5))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
 
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),

@@ -17,20 +17,16 @@ object RelationalQueries {
     * value column to a small sorted broadcast grid via binary search —
     * never a shuffle join. Tie → smaller grid value. */
   private val grid: Array[Double] = Array(1.0, 5.0, 10.0, 25.0, 50.0)
-  private val closestUdf = udf { (v: Double) =>
-    val g = grid // tiny constant closed over (the "broadcast" dimension)
-    var i = java.util.Arrays.binarySearch(g, v)
-    if (i >= 0) g(i)
-    else {
-      val ins = -i - 1
-      if (ins == 0) g(0)
-      else if (ins >= g.length) g(g.length - 1)
-      else {
-        val lo = g(ins - 1); val hi = g(ins)
-        if (math.abs(lo - v) <= math.abs(hi - v)) lo else hi
-      }
+
+  /** Nearest-grid snap as a pure codegen `when`-chain over the sorted grid's
+    * midpoints: `v <= (g(i)+g(i+1))/2` snaps to `g(i)` (a midpoint tie has
+    * equal distance to both neighbors and snaps to the SMALLER value, so the
+    * boundary comparison is `<=`). Stays inside whole-stage codegen — no
+    * ScalaUDF on the path (the last one, removed per round-2 verdict #7). */
+  private def closestGrid(v: Column): Column =
+    grid.init.zip(grid.tail).foldRight(lit(grid.last): Column) {
+      case ((lo, hi), acc) => when(v <= lit((lo + hi) / 2.0), lit(lo)).otherwise(acc)
     }
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -61,7 +57,7 @@ object RelationalQueries {
     "q_j1_closest_grid" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          closestUdf(col("l_quantity")).as("q_snap"))
+          closestGrid(col("l_quantity")).as("q_snap"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     // J2: range join — event time matched to the containing section

@@ -42,6 +42,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed ${missed.size} high-jaccard pairs: ${missed.take(5)}")
   }
 
+  test("jaccardVerify intersection is candidate-bounded (pairs relation below the count aggregate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val df = Dedup.jaccardVerify(spark, sfDir, pairs)
+    val plan = df.queryExecution.optimizedPlan
+    // every aggregate computing the intersection count must have the
+    // candidate-pairs relation (a LocalRelation here) in its SUBTREE —
+    // i.e. the expensive shingle-equality join is candidate-pruned, not a
+    // corpus-wide self-join filtered after the fact
+    val interAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "inter") => a
+    }
+    assert(interAggs.nonEmpty, s"no intersection aggregate found:\n$plan")
+    interAggs.foreach { a =>
+      assert(a.collectLeaves().exists(_.isInstanceOf[LocalRelation]),
+        s"intersection aggregate not bounded by the pairs relation:\n$a")
+    }
+    // and the per-doc size aggregates are semi-join pruned to candidate docs
+    assert(plan.toString.contains("LeftSemi"),
+      s"sizes not semi-join pruned to candidate docs:\n$plan")
+  }
+
+  test("prefix-filtered exact jaccard == all-pairs exact jaccard at threshold 0.5 (lossless)") {
+    import spark.implicits._
+    val ids = Dedup.signatures(spark, sfDir).filter(_.nShingles > 0).map(_.docId).collect()
+    val all = ids.toSeq.toDF("doc_id")
+    val allPairs = all.as("a").join(all.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val exact = Dedup.jaccardVerify(spark, sfDir, allPairs)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = Dedup.jaccardVerify(spark, sfDir, Dedup.prefixFilterPairs(spark, sfDir, 0.5))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "no qualifying pairs on the fixture — test degenerate")
+    assert(viaPrefix == exact,
+      s"prefix filter lost ${(exact -- viaPrefix).size} / gained ${(viaPrefix -- exact).size} pairs")
+  }
+
   test("simhash hamming distance of exact dups is 0; of random pairs usually > 0") {
     import spark.implicits._
     val sigs = Dedup.signatures(spark, sfDir).collect()

@@ -62,6 +62,14 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected exchange count:\n${plan.take(1500)}")
   }
 
+  test("no ScalaUDF anywhere in the driver-facing relational plans") {
+    for (name <- Seq("q_j1_closest_grid", "q_f7_reproject", "q_x_math")) {
+      val plan = planOf(graft.queries.RelationalQueries.queries(name)(spark, sfDir))
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name left whole-stage codegen:\n${plan.take(1200)}")
+    }
+  }
+
   test("posting-block build plan has exactly one exchange (the salted shuffle)") {
     val cleaned = Pages.cleaned(Pages.withInjections(spark, sfDir))
     val td = IndexBuilder.termDocs(cleaned, Tokenizers.default)
