@@ -71,23 +71,41 @@ object IndexBuilder {
       }
   }
 
+  /** The live dictionary directory for a given manifest version. Appends
+    * write version N+1 derived from version N and commit the manifest last,
+    * so a replayed append regenerates v(N+1) from the untouched base
+    * (overwrite-idempotent) instead of accumulating into a shared table. */
+  def dictDirFor(indexDir: String, version: Int): String =
+    f"$indexDir/dictionary/v$version%05d"
+
   /** Frequency-ordered dense termIds WITHOUT a single-partition global
     * window (which would bottleneck at a 100M-term vocabulary):
     * range-repartition on (df desc, term), per-partition row_number, plus
     * prefix offsets from a tiny per-partition count collect.
     * Total order (df desc, term asc) is unique ⇒ ids are deterministic
-    * regardless of range boundaries. */
-  def dictionary(td: Dataset[TermDoc], partitions: Int): Dataset[TermEntry] = {
+    * regardless of range boundaries.
+    *
+    * Returns the ranked entries (already range-clustered: partition i holds
+    * a contiguous ascending termId range, so a direct write is
+    * termId-clustered with NO extra exchange), the vocabulary size, and the
+    * rank cache's release handle — call it after materializing. */
+  def dictionaryRanked(td: Dataset[TermDoc], partitions: Int): (Dataset[TermEntry], Long, () => Unit) = {
     val spark = td.sparkSession
     import spark.implicits._
     val stats = td.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val (ranked, _) = graft.plans.GlobalRank.withRowNumber(
+    val ranked = graft.plans.GlobalRank.withRowNumber(
       stats, Seq(col("df").desc, col("term").asc), "rn", partitions)
-    ranked
+    val ds = ranked.df
       .select((col("rn") - 1).cast("int").as("termId"),
         col("term"), col("df").cast("long"), col("cf").cast("long"))
       .as[TermEntry]
+    (ds, ranked.total, ranked.release)
   }
+
+  /** Convenience wrapper (tests/ad-hoc); leaks the rank cache — production
+    * paths use [[dictionaryRanked]] and release. */
+  def dictionary(td: Dataset[TermDoc], partitions: Int): Dataset[TermEntry] =
+    dictionaryRanked(td, partitions)._1
 
   /** Streaming block builder over rows pre-sorted by (termId, bucket, docId).
     * Constant memory: at most `blockSize` postings buffered (the SPIMI
@@ -213,13 +231,20 @@ object IndexBuilder {
     val cleaned = Pages.cleaned(pages, cfg.langs).persist()
 
     // -- stage: docstats + global stats ---------------------------------
+    // Layout: docstats/part=<id> partitions — "base" for the batch build,
+    // one per append batch — so each writer OVERWRITES its own partition
+    // (idempotent on replay, never mode(append) into a shared dir). Files
+    // are range-clustered by docId so a query's bucket predicate prunes
+    // parquet row groups/files, not just rows.
     val docstatsDir = s"$indexDir/docstats"
-    if (!success(docstatsDir)) timed("docstats") {
+    if (!success(s"$docstatsDir/part=base")) timed("docstats") {
       val stats = cleaned
         .select(col("doc_id").cast("long"), col("url"), col("text"))
         .as[(Long, String, String)]
         .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
-      stats.repartition(cfg.postingsBuckets).write.mode("overwrite").parquet(docstatsDir)
+      stats.repartitionByRange(cfg.postingsBuckets, col("docId"))
+        .sortWithinPartitions(col("docId"))
+        .write.mode("overwrite").parquet(s"$docstatsDir/part=base")
       Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
     }
     val docstats = spark.read.parquet(docstatsDir).as[DocStat]
@@ -232,18 +257,26 @@ object IndexBuilder {
     // -- stage: dictionary ----------------------------------------------
     val td = termDocs(cleaned, tok)
     val tdCached = if (cfg.cacheTermDocs) td.persist() else td
-    val dictDir = s"$indexDir/dictionary"
+    val dictDir = dictDirFor(indexDir, 0)
+    var vocabSize = -1L
     if (!success(dictDir)) timed("dictionary") {
-      dictionary(tdCached, spark.sessionState.conf.numShufflePartitions)
-        .repartition(1)
-        .sortWithinPartitions(col("termId"))
-        .write.mode("overwrite").parquet(dictDir)
+      // the ranked output is already range-clustered by termId — a direct
+      // multi-file write, no repartition(1) single-task bottleneck
+      val (entries, total, release) =
+        dictionaryRanked(tdCached, spark.sessionState.conf.numShufflePartitions)
+      entries.write.mode("overwrite").parquet(dictDir)
+      release()
+      vocabSize = total
       Lineage.append(spark, indexDir, LineageRow(-1, "dictionary", -1L, System.currentTimeMillis(), "committed"))
     }
-    val dictRows = spark.read.parquet(dictDir).as[TermEntry].collect()
+    if (vocabSize < 0) vocabSize = spark.read.parquet(dictDir).count()
     // head/tail split: broadcast (and index) only the head under a cap —
-    // dense df-ordered termIds make the head exactly termId < cap
-    val headRows = cfg.vocabCap.fold(dictRows)(cap => dictRows.filter(_.termId < cap))
+    // dense df-ordered termIds make the head exactly termId < cap, and the
+    // predicate is pushed BELOW the collect into the termId-clustered scan
+    // (a capped build never materializes the tail on the driver)
+    val dictSource = spark.read.parquet(dictDir)
+    val headRows = cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
+      .as[TermEntry].collect()
     val dict: Map[String, TermEntry] = headRows.map(e => e.term -> e).toMap
 
     // -- stage: postings, chunked over docId ranges ----------------------
@@ -274,7 +307,7 @@ object IndexBuilder {
       chunk += 1
     }
 
-    val manifest = IndexManifest(nDocs, totalLen, dictRows.length.toLong, skippedCorrupt,
+    val manifest = IndexManifest(nDocs, totalLen, vocabSize, skippedCorrupt,
       cfg.blockSize, cfg.bucketRange, chunk, maxDocId)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
@@ -299,20 +332,35 @@ object IndexBuilder {
     * `cfg` must carry the same tokenizer/blockSize/bucketRange as the
     * original build (block geometry is checked against the manifest).
     *
-    * Unlike [[buildFrom]], one append is NOT internally crash-resumable
-    * (its stages don't checkpoint individually); callers needing
-    * exactly-once delivery drive appends through
-    * [[graft.streaming.StreamingIngest]], whose stream checkpoint replays
-    * an interrupted micro-batch. */
-  def append(spark: SparkSession, deltaPages: DataFrame, indexDir: String, cfg: IndexConfig): IndexManifest = {
+    * Crash/replay safety (exactly-once with [[graft.streaming
+    * .StreamingIngest]]): every write of one append is an OVERWRITE of a
+    * destination derived from the BASE manifest — the docstats `part=`
+    * partition, the dictionary version v(N+1) computed from v(N), and the
+    * postings chunk `old.nChunks` — and the manifest (carrying
+    * `lastBatchId`) commits last. A replay after a mid-append crash
+    * regenerates identical state; a replay after the manifest commit is
+    * skipped outright via `batchId <= lastBatchId`. The only non-idempotent
+    * trace is an extra informational lineage row.
+    *
+    * Scale discipline: the dictionary is NEVER collected to the driver.
+    * The merged dictionary is written distributed (termId-range-clustered),
+    * and the broadcast map for the delta's posting build is a semi-join of
+    * the new dictionary against the DELTA's terms — driver memory is
+    * bounded by the batch's vocabulary, not the corpus vocabulary (the
+    * reference's trained vocab likewise streams through the trainer and is
+    * never materialized monolithically mid-train, midi_tokenizer
+    * .py:2924-2934). */
+  def append(spark: SparkSession, deltaPages: DataFrame, indexDir: String, cfg: IndexConfig,
+      batchId: Option[Long] = None): IndexManifest = {
     import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
+    if (batchId.exists(_ <= old.lastBatchId)) return old // committed-batch replay: no-op
     require(cfg.blockSize == old.blockSize && cfg.bucketRange == old.bucketRange,
       s"append config (${cfg.blockSize},${cfg.bucketRange}) != index geometry (${old.blockSize},${old.bucketRange})")
     val tok = Tokenizers(cfg.tokenizer)
     val cleaned = Pages.cleaned(deltaPages, cfg.langs).persist()
 
-    // delta docstats (appended files into the same directory)
+    // delta docstats → own partition directory, overwritten on replay
     val stats = cleaned
       .select(col("doc_id").cast("long"), col("url"), col("text"))
       .as[(Long, String, String)]
@@ -322,14 +370,21 @@ object IndexBuilder {
       coalesce(max(col("docId")), lit(-1L)), count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
     val (minNew, maxNew, nNew, lenNew) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
     require(nNew == 0 || minNew > old.maxDocId,
-      s"append docIds must exceed maxDocId=${old.maxDocId}, got min=$minNew")
-    stats.write.mode("append").parquet(s"$indexDir/docstats")
+      s"append docIds must exceed maxDocId=${old.maxDocId}, got min=$minNew " +
+        "(no side effects were taken; if batches arrive from a streaming file source, " +
+        "same-instant files may be discovered out of docId order — raise maxFilesPerTrigger " +
+        "so they coalesce into one batch)")
+    val partName = s"b${batchId.getOrElse(old.nChunks.toLong)}"
+    stats.repartitionByRange(cfg.postingsBuckets, col("docId"))
+      .sortWithinPartitions(col("docId"))
+      .write.mode("overwrite").parquet(s"$indexDir/docstats/part=$partName")
 
-    // dictionary: update df/cf in place, append NEW terms after vocabSize
+    // dictionary v(N+1) from v(N): update df/cf of existing terms, append
+    // NEW terms after vocabSize — all distributed, written multi-file
     val td = termDocs(cleaned, tok).persist()
     val deltaStats = td.groupBy("term")
       .agg(count(lit(1)).as("d_df"), sum(col("tf")).as("d_cf"))
-    val oldDict = spark.read.parquet(s"$indexDir/dictionary")
+    val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
     val joined = oldDict.join(deltaStats, Seq("term"), "full_outer").persist()
     val updated = joined.filter(col("termId").isNotNull)
       .select(col("termId"),
@@ -338,21 +393,30 @@ object IndexBuilder {
         (col("cf") + coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
     val fresh = joined.filter(col("termId").isNull)
       .select(col("term"), col("d_df").as("df"), col("d_cf").as("cf"))
-    val (freshRanked, _) = graft.plans.GlobalRank.withRowNumber(
+    val freshRanked = graft.plans.GlobalRank.withRowNumber(
       fresh, Seq(col("df").desc, col("term").asc), "rn",
       spark.sessionState.conf.numShufflePartitions)
-    val freshDict = freshRanked.select(
+    val freshDict = freshRanked.df.select(
       (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
       col("term"), col("df").cast("long"), col("cf").cast("long"))
-    val newDict = updated.unionByName(freshDict).as[TermEntry].collect().sortBy(_.termId)
-    joined.unpersist()
-    // rewrite the dictionary table (linear in vocab; ids unchanged for old terms)
-    newDict.toSeq.toDS()
-      .repartition(1).sortWithinPartitions(col("termId"))
-      .write.mode("overwrite").parquet(s"$indexDir/dictionary")
+    val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
+    updated.unionByName(freshDict)
+      .repartitionByRange(cfg.postingsBuckets, col("termId"))
+      .sortWithinPartitions(col("termId"))
+      .write.mode("overwrite").parquet(newDictDir)
+    freshRanked.release()
+    val vocabSize = old.vocabSize + freshRanked.total
 
-    // postings: one new chunk from the delta under the UPDATED dictionary
-    val dict: Map[String, TermEntry] = newDict.map(e => e.term -> e).toMap
+    // postings: one new chunk from the delta under the UPDATED dictionary.
+    // Broadcast map = new dictionary ⋉ delta terms (batch-bounded collect),
+    // head-filtered under a vocabulary cap exactly like the base build.
+    val deltaDict = spark.read.parquet(newDictDir)
+      .join(deltaStats.select("term"), Seq("term"), "left_semi")
+    val headDelta = cfg.vocabCap.fold(deltaDict)(cap => deltaDict.filter(col("termId") < cap))
+    val dict: Map[String, TermEntry] =
+      headDelta.select("termId", "term", "df", "cf").as[TermEntry]
+        .collect().map(e => e.term -> e).toMap
+    joined.unpersist()
     val chunkDir = f"$indexDir/postings/chunk_${old.nChunks}%05d"
     postingBlocks(td, dict, cfg)
       .repartition(cfg.postingsBuckets, col("termId"))
@@ -363,8 +427,9 @@ object IndexBuilder {
 
     val skipped = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
     val manifest = IndexManifest(old.nDocs + nNew, old.totalLen + lenNew,
-      newDict.length.toLong, skipped, old.blockSize, old.bucketRange,
-      old.nChunks + 1, math.max(old.maxDocId, maxNew))
+      vocabSize, skipped, old.blockSize, old.bucketRange,
+      old.nChunks + 1, math.max(old.maxDocId, maxNew),
+      old.dictVersion + 1, batchId.getOrElse(old.lastBatchId))
     Manifest.write(s"$indexDir/manifest.json", manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
@@ -390,7 +455,8 @@ object Manifest {
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
-        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId}}"""
+        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
+        s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId}}"""
     Files.writeString(Paths.get(path), json)
   }
 
@@ -402,6 +468,7 @@ object Manifest {
         .getOrElse(sys.error(s"manifest missing $k"))
     }
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
-      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"))
+      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
+      f("dictVersion").toInt, f("lastBatchId"))
   }
 }

@@ -119,7 +119,17 @@ final case class IndexManifest(
     /** highest docId in the index — the append cursor (incremental builds
       * add docs strictly beyond it, cf. re-runnable tokenize_dataset +
       * the idempotent skip, utils/split.py:98-104). */
-    maxDocId: Long
+    maxDocId: Long,
+    /** version counter of the dictionary table: the live dictionary lives at
+      * `dictionary/v%05d`. Appends write version N+1 from version N and only
+      * then commit the manifest, so a crashed/replayed append re-derives the
+      * SAME v(N+1) from the untouched base — overwrite-idempotent, never
+      * accumulate (the delta is applied at most once). */
+    dictVersion: Int = 0,
+    /** last applied streaming micro-batch id (exactly-once cursor): an
+      * append carrying a batchId <= this is a checkpoint replay of work
+      * already committed and is skipped entirely. -1 = no streamed batch. */
+    lastBatchId: Long = -1L
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */

@@ -18,19 +18,28 @@ import org.apache.spark.sql.functions._
   * regardless of where the range boundaries land.
   *
   * Used by the dictionary build (dense df-ordered termIds — a 100M-term
-  * vocabulary ranks in parallel) and the ntile binning operator (W8).
+  * vocabulary ranks in parallel), the append path's fresh-term ranking, and
+  * the ntile binning operator (W8).
   */
 object GlobalRank {
 
-  /** Returns (df + `out` column with the global 1-based row number, total
-    * row count). The input is persisted internally for the counting pass;
-    * callers that re-scan the result repeatedly should persist it themselves. */
+  /** Result of a global ranking pass. The ranked plan reads the internally
+    * persisted range-partitioned input (the counting pass and the ranked
+    * pass MUST see the same partitioning — range sampling is only
+    * deterministic within one compiled plan), so callers MUST call
+    * [[Ranked.release]] once the ranked output has been materialized
+    * (written / collected); before that, releasing would force a
+    * re-partitioning with fresh sampling and invalidate the offsets. */
+  final case class Ranked(df: DataFrame, total: Long, release: () => Unit)
+
+  /** Global 1-based row number in column `out`; see [[Ranked]] for the
+    * release contract. */
   def withRowNumber(
       df: DataFrame,
       order: Seq[Column],
       out: String = "rn",
       partitions: Int = 0
-  ): (DataFrame, Long) = {
+  ): Ranked = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
     val sorted = df
@@ -38,10 +47,11 @@ object GlobalRank {
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
+    val release = () => { sorted.unpersist(); () }
     val counts: Array[(Int, Long)] = sorted.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty) {
-      return (sorted.withColumn(out, lit(0L)).drop("__pid"), 0L)
+      return Ranked(sorted.withColumn(out, lit(0L)).drop("__pid"), 0L, release)
     }
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val o = acc; acc += c; pid -> o }
@@ -51,19 +61,28 @@ object GlobalRank {
     val ranked = sorted
       .withColumn(out, element_at(offMap, col("__pid")) + row_number().over(w))
       .drop("__pid")
-    (ranked, acc)
+    Ranked(ranked, acc, release)
   }
 
   /** Exact `ntile(k)` over a unique total order, two-phase (no global
     * window): global row number, then the ntile formula — with n rows the
-    * first (n mod k) tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋. */
+    * first (n mod k) tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋.
+    *
+    * The result is eagerly materialized via `localCheckpoint` so the
+    * internal ranking cache can be released HERE (no caller-visible release
+    * contract); the checkpoint blocks are reclaimed by the ContextCleaner
+    * when the returned frame is garbage-collected, unlike a `persist` entry
+    * which would pin memory for the JVM lifetime. */
   def ntileBins(df: DataFrame, order: Seq[Column], k: Int, out: String): DataFrame = {
-    val (ranked, total) = withRowNumber(df, order, "__grn")
-    val big = total % k       // number of size (base+1) tiles
-    val base = total / k
+    val r = withRowNumber(df, order, "__grn")
+    val big = r.total % k       // number of size (base+1) tiles
+    val base = r.total / k
     val cut = big * (base + 1) // rows covered by the big tiles
     val bin = when(col("__grn") <= cut, (col("__grn") - 1) / (base + 1) + 1)
       .otherwise(lit(big) + (col("__grn") - 1 - cut) / math.max(base, 1L) + 1)
-    ranked.withColumn(out, bin.cast("int")).drop("__grn")
+    val out0 = r.df.withColumn(out, bin.cast("int")).drop("__grn")
+      .localCheckpoint(true)
+    r.release()
+    out0
   }
 }

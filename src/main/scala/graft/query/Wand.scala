@@ -12,7 +12,8 @@ final case class ScoredDoc(queryId: Int, docId: Long, score: Double)
 final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexManifest) {
   import spark.implicits._
   def dictionary: Dataset[TermEntry] =
-    spark.read.parquet(s"$dir/dictionary").as[TermEntry]
+    spark.read.parquet(graft.index.IndexBuilder.dictDirFor(dir, manifest.dictVersion))
+      .select("termId", "term", "df", "cf").as[TermEntry]
   def postings: Dataset[PostingBlock] = {
     val dirs = (0 until manifest.nChunks).map(c => f"$dir/postings/chunk_$c%05d")
     spark.read.parquet(dirs: _*).as[PostingBlock]
@@ -230,6 +231,30 @@ object Wand {
     heap.ranked
   }
 
+  /** docstats restricted to the given docId buckets. Small bucket sets
+    * (the normal case: ≤ the query batch's block count) become an
+    * OR-of-docId-ranges predicate pushed INTO the parquet scan — docstats
+    * are range-clustered by docId on write, so min/max footer stats skip
+    * whole files/row groups, not just rows. Large sets fall back to a
+    * semi-join (same semantics, row-level pruning). */
+  def docstatsForBuckets(index: IndexHandle, buckets: Array[Long]): Dataset[DocStat] = {
+    val spark = index.spark
+    import spark.implicits._
+    val bucketRange = index.manifest.bucketRange
+    if (buckets.length <= 256) {
+      val pred = buckets.map { b =>
+        col("docId") >= b * bucketRange && col("docId") < (b + 1) * bucketRange
+      }.reduce(_ || _)
+      index.docstats.filter(pred)
+    } else {
+      index.docstats.toDF()
+        .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+        .join(buckets.toSeq.toDF("bucket"), Seq("bucket"), "left_semi")
+        .drop("bucket")
+        .as[DocStat]
+    }
+  }
+
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)
     * per query, ranked (score desc, docId asc), up to k rows each. */
   def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] = {
@@ -260,15 +285,19 @@ object Wand {
       .as[PostingBlock]
     // prune docstats (norms) to buckets that actually hold candidate blocks —
     // at 10^12 docs most buckets have no postings for a given query batch,
-    // and their norms must never enter the cogroup exchange
+    // and their norms must never enter the cogroup exchange. The candidate
+    // bucket set is tiny (≤ the query terms' block count), so collect it and
+    // push an OR-of-docId-ranges predicate INTO the docstats scan: with
+    // docstats range-clustered by docId on write, parquet min/max stats skip
+    // whole files/row groups, not just rows. Very large batches fall back to
+    // the semi-join (same semantics, row-level pruning).
     val candBuckets = filtered.toDF()
       .select((col("blockId") / lit(blocksPerBucket)).cast("long").as("bucket"))
       .distinct()
-    val prunedStats = index.docstats.toDF()
-      .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
-      .join(candBuckets, Seq("bucket"), "left_semi")
-      .drop("bucket")
-      .as[DocStat]
+    val bucketList: Array[Long] = candBuckets.as[Long].collect()
+    if (bucketList.isEmpty)
+      return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
+    val prunedStats = docstatsForBuckets(index, bucketList)
     val blocksByBucket = filtered.groupByKey(b => b.blockId / blocksPerBucket)
     val statsByBucket = prunedStats.groupByKey(s => s.docId / bucketRange)
 

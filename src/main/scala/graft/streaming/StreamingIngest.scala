@@ -11,13 +11,25 @@ import org.apache.spark.sql.types._
   * — the "process what's there, then stop" shape that maps onto Iceberg
   * incremental scans at production).
   *
+  * Exactly-once = checkpoint replay (at-least-once delivery) × idempotent
+  * apply: `foreachBatch`'s batchId is threaded into [[IndexBuilder.append]],
+  * which (a) skips batches at or below the manifest's committed
+  * `lastBatchId` cursor outright, and (b) makes every write of an
+  * in-flight batch an overwrite of a destination derived from the base
+  * manifest (docstats `part=` partition, dictionary version N+1, postings
+  * chunk), committing the manifest last — so a crash at ANY point inside or
+  * after a batch replays to identical state, never double-applies df/cf.
+  * One stream lineage per index: the checkpoint lives inside the index dir
+  * and batchIds are monotone within it.
+  *
   * This is the streaming face of the reference's re-runnable
-  * `tokenize_dataset` over a grown corpus (midi_tokenizer.py:3084-3198):
-  * the checkpoint guarantees each input file is appended exactly once
-  * across restarts, the same role as the hidden-hash idempotent skip
-  * (utils/split.py:98-104). Batches must arrive in ascending-docId order
-  * (the append contract); the file source's discovery order provides that
-  * for chronologically landed files. */
+  * `tokenize_dataset` over a grown corpus (midi_tokenizer.py:3084-3198),
+  * the same role as the hidden-hash idempotent skip (utils/split.py:98-104).
+  * Batches must arrive in ascending-docId order (the append contract); the
+  * default maxFilesPerTrigger coalesces many files into one batch, so
+  * same-instant files cannot be split across batches in the wrong order —
+  * append validates BEFORE any side effect and fails with an actionable
+  * message otherwise. */
 object StreamingIngest {
 
   /** input_hint pages schema for the streaming source. */
@@ -38,7 +50,7 @@ object StreamingIngest {
       inputDir: String,
       indexDir: String,
       cfg: IndexConfig,
-      maxFilesPerTrigger: Int = 1
+      maxFilesPerTrigger: Int = 1024
   ): IndexManifest = {
     val stream = spark.readStream
       .schema(pagesSchema)
@@ -48,8 +60,8 @@ object StreamingIngest {
       .queryName(s"graft-ingest-${System.nanoTime()}")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { IndexBuilder.append(spark, batch, indexDir, cfg); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { IndexBuilder.append(spark, batch, indexDir, cfg, Some(batchId)); () }
       }
       .start()
     q.awaitTermination()

@@ -48,7 +48,9 @@ class StreamingIngestSpec extends AnyFunSuite {
     pages.filter(col("doc_id") >= 320)
       .coalesce(1).write.mode("append").parquet(s"$inputDir/part2")
 
-    val m = StreamingIngest.ingestAvailable(spark, s"$inputDir/*", indexDir, cfg)
+    // maxFilesPerTrigger = 1 forces TWO micro-batches (multi-append coverage)
+    val m = StreamingIngest.ingestAvailable(spark, s"$inputDir/*", indexDir, cfg,
+      maxFilesPerTrigger = 1)
     IndexBuilder.buildFrom(spark, pages, fullDir, cfg)
     pages.unpersist()
     val mf = Manifest.read(s"$fullDir/manifest.json")
@@ -67,7 +69,55 @@ class StreamingIngestSpec extends AnyFunSuite {
     val indexDir = "/tmp/graft_test_index/stream_ingest/index"
     val before = Manifest.read(s"$indexDir/manifest.json")
     val after = StreamingIngest.ingestAvailable(
-      spark, "/tmp/graft_test_index/stream_ingest/incoming/*", indexDir, cfg)
+      spark, "/tmp/graft_test_index/stream_ingest/incoming/*", indexDir, cfg,
+      maxFilesPerTrigger = 1)
     assert(after == before, "drained stream re-run modified the index")
+  }
+
+  test("replayed micro-batch (at-least-once delivery) does not double-apply df/cf") {
+    val root = "/tmp/graft_test_index/stream_replay"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val pages = Pages.withInjections(spark, sfDir).persist()
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < 192), indexDir, cfg)
+    val delta = pages.filter(col("doc_id") >= 192)
+
+    // first delivery of batch 7 commits
+    val m1 = IndexBuilder.append(spark, delta, indexDir, cfg, batchId = Some(7L))
+    assert(m1.lastBatchId == 7L && m1.dictVersion == 1)
+    val dictAfter = IndexReader.load(spark, indexDir).dictionary.collect()
+      .map(e => (e.term, e.df, e.cf)).sortBy(_._1).toSeq
+
+    // checkpoint replay of the SAME batch id must be a pure no-op
+    val m2 = IndexBuilder.append(spark, delta, indexDir, cfg, batchId = Some(7L))
+    assert(m2 == m1, "replayed batch changed the manifest")
+    val dictReplay = IndexReader.load(spark, indexDir).dictionary.collect()
+      .map(e => (e.term, e.df, e.cf)).sortBy(_._1).toSeq
+    assert(dictReplay == dictAfter, "replayed batch mutated the dictionary (df/cf double-applied)")
+    assert(IndexValidator.validate(IndexReader.load(spark, indexDir)).collect().isEmpty)
+    pages.unpersist()
+  }
+
+  test("same-instant files coalesce into one batch under the default trigger (no ordering hazard)") {
+    val root = "/tmp/graft_test_index/stream_coalesce"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val inputDir = s"$root/incoming"
+    val pages = Pages.withInjections(spark, sfDir).persist()
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < 192), indexDir, cfg)
+    // two files written back-to-back, NO mtime separation — under
+    // maxFilesPerTrigger=1 their discovery order would be undefined; the
+    // default trigger folds them into one batch, which append accepts
+    pages.filter(col("doc_id") >= 320)
+      .coalesce(1).write.mode("overwrite").parquet(s"$inputDir/late")
+    pages.filter(col("doc_id") >= 192 && col("doc_id") < 320)
+      .coalesce(1).write.mode("append").parquet(s"$inputDir/early")
+    val m = StreamingIngest.ingestAvailable(spark, s"$inputDir/*", indexDir, cfg)
+    val full = s"$root/full"
+    IndexBuilder.buildFrom(spark, pages, full, cfg)
+    val mf = Manifest.read(s"$full/manifest.json")
+    assert(m.nDocs == mf.nDocs && m.totalLen == mf.totalLen && m.vocabSize == mf.vocabSize)
+    assert(IndexValidator.validate(IndexReader.load(spark, indexDir)).collect().isEmpty)
+    pages.unpersist()
   }
 }

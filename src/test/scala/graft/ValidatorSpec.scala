@@ -22,9 +22,9 @@ class ValidatorSpec extends AnyFunSuite {
     val m = Manifest.read(s"$src/manifest.json")
     // single consolidated chunk in the copy
     Manifest.write(s"$dst/manifest.json", m.copy(nChunks = 1))
-    val dict = spark.read.parquet(s"$src/dictionary")
+    val dict = spark.read.parquet(IndexBuilder.dictDirFor(src, m.dictVersion))
     dropTermId.fold(dict)(t => dict.filter(col("termId") =!= t))
-      .write.mode("overwrite").parquet(s"$dst/dictionary")
+      .write.mode("overwrite").parquet(IndexBuilder.dictDirFor(dst, m.dictVersion))
     spark.read.parquet(s"$src/docstats").write.mode("overwrite").parquet(s"$dst/docstats")
     postings.write.mode("overwrite").parquet(f"$dst/postings/chunk_${0}%05d")
   }

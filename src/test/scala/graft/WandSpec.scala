@@ -100,4 +100,16 @@ class WandSpec extends AnyFunSuite {
     val plan = handle.postings.filter(col("termId") === 3).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("termId"), plan.take(2000))
   }
+
+  test("docstats lookup pushes docId-range predicates into the clustered scan (file pruning)") {
+    val pruned = Wand.docstatsForBuckets(handle, Array(0L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(docId"),
+      s"docId range not pushed to parquet:\n${plan.take(2000)}")
+    // semantics: exactly the bucket's docs
+    val r = handle.manifest.bucketRange
+    val got = pruned.collect().map(_.docId).sorted.toSeq
+    val want = handle.docstats.collect().map(_.docId).filter(d => d >= 0 && d < r).sorted.toSeq
+    assert(got == want)
+  }
 }
