@@ -114,7 +114,8 @@ object IndexBuilder {
   private final class BlockIterator(
       rows: Iterator[BucketedPosting],
       blockSize: Int,
-      blocksPerBucket: Long
+      blocksPerBucket: Long,
+      computers: Seq[BlockMetaComputer]
   ) extends Iterator[PostingBlock] {
     private val buf = rows.buffered
     private var curTerm = -1
@@ -136,6 +137,8 @@ object IndexBuilder {
       var n = 0
       var maxTf = 0
       var minDocLen = Int.MaxValue
+      // E6 registry: fresh accumulators per block, one observe per posting
+      val states = computers.map(_.start()).toArray
       while (n < blockSize && buf.hasNext &&
         buf.head.termId == curTerm && buf.head.bucket == curBucket) {
         val r = buf.next()
@@ -144,6 +147,8 @@ object IndexBuilder {
         VByte.putPositions(posOut, r.positions)
         if (r.tf > maxTf) maxTf = r.tf
         if (r.docLen < minDocLen) minDocLen = r.docLen
+        var ci = 0
+        while (ci < states.length) { states(ci).observe(r.tf, r.docLen, r.positions); ci += 1 }
         n += 1
       }
       val ids = java.util.Arrays.copyOf(docIds, n)
@@ -162,7 +167,8 @@ object IndexBuilder {
         VByte.encodeInts(fs),
         posOut.toByteArray,
         maxTf,
-        minDocLen
+        minDocLen,
+        states.iterator.flatMap(_.emit()).toMap
       )
     }
   }
@@ -179,6 +185,7 @@ object IndexBuilder {
     val bucketRange = cfg.bucketRange
     val blockSize = cfg.blockSize
     val blocksPerBucket = cfg.blocksPerBucket
+    val computers = cfg.metaComputers
 
     val bucketed: Dataset[BucketedPosting] = td.mapPartitions { it =>
       val d = bDict.value
@@ -197,7 +204,7 @@ object IndexBuilder {
       .sortWithinPartitions(col("termId"), col("bucket"), col("docId"))
       .as[BucketedPosting]
       .mapPartitions { it =>
-        new BlockIterator(it, blockSize, blocksPerBucket)
+        new BlockIterator(it, blockSize, blocksPerBucket, computers)
       }
   }
 

@@ -55,8 +55,53 @@ final case class PostingBlock(
     tfs: Array[Byte],
     positions: Array[Byte],
     maxTf: Int,
-    minDocLen: Int
+    minDocLen: Int,
+    /** extension metadata from the configured [[BlockMetaComputer]]s (E6);
+      * the hot WAND fields (maxTf, minDocLen) stay typed columns. */
+    meta: Map[String, Int] = Map.empty
 )
+
+/** Pluggable per-block metadata computer (E6) — the engine analog of the
+  * reference's attribute-control registry (pluggable computers registered
+  * per tokenizer, attribute_controls/classes.py:22-59 + registry
+  * midi_tokenizer.py:334-346). The block builder instantiates fresh state
+  * per block, feeds it every posting, and stores the emitted named integers
+  * in [[PostingBlock.meta]]; queries consult them as pruning bounds. The
+  * core (maxTf, minDocLen) bound is computer #0 — wired to the typed block
+  * fields WAND's hot path reads — and extension computers add map entries. */
+trait BlockMetaComputer extends Serializable {
+  /** fresh accumulator for one block */
+  def start(): BlockMetaState
+}
+
+trait BlockMetaState {
+  def observe(tf: Int, docLen: Int, positions: Array[Int]): Unit
+  /** named integer metadata for the finished block */
+  def emit(): Seq[(String, Int)]
+}
+
+/** Position-span bounds: `minPos` = smallest first-position, `maxPos` =
+  * largest last-position over the block's postings. A proximity query
+  * `t1 .. t2 within w` needs a t2 occurrence in [posA+1, posA+w], so
+  * a t2 block with `maxPos < minPosA + 1` or `minPos > maxPosA + w`
+  * (bucket-wise) can be skipped WITHOUT decoding its payload — the
+  * proximity analog of the block-max bound. */
+object PosSpanComputer extends BlockMetaComputer {
+  final val MinPosKey = "minPos"
+  final val MaxPosKey = "maxPos"
+  def start(): BlockMetaState = new BlockMetaState {
+    private var minPos = Int.MaxValue
+    private var maxPos = 0
+    def observe(tf: Int, docLen: Int, positions: Array[Int]): Unit =
+      if (positions.nonEmpty) {
+        if (positions(0) < minPos) minPos = positions(0)
+        if (positions(positions.length - 1) > maxPos) maxPos = positions(positions.length - 1)
+      }
+    def emit(): Seq[(String, Int)] =
+      if (maxPos == 0) Seq.empty
+      else Seq(MinPosKey -> minPos, MaxPosKey -> maxPos)
+  }
+}
 
 /** Lineage row (FIXTURES.md §5) — per-chunk commit record enabling
   * checkpointed resume (the hidden-hash skip of utils/split.py:98-104,
@@ -95,6 +140,10 @@ final case class IndexConfig(
       * vocabulary. At a 100M-term web vocabulary this bounds the broadcast
       * dictionary; the FULL dictionary table is still persisted on disk. */
     vocabCap: Option[Int] = None,
+    /** the E6 block-metadata registry run by the block builder; outputs
+      * land in [[PostingBlock.meta]]. The core (maxTf, minDocLen) bound is
+      * always computed (typed fields); these add to it. */
+    metaComputers: Seq[BlockMetaComputer] = Seq(PosSpanComputer),
     /** persist the tokenized TermDoc dataset between dictionary and
       * postings passes. Default OFF: measured 1.9× faster end-to-end to
       * re-tokenize from the (persisted, compact) cleaned pages than to

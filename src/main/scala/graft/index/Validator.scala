@@ -47,10 +47,11 @@ object IndexValidator {
       .join(dictDf, col("termId") === col("d_termId"), "left_outer")
       .select(col("termId"), col("blockId"), col("firstDocId"), col("nDocs"),
         col("docIdGaps"), col("tfs"), col("positions"), col("maxTf"), col("minDocLen"),
+        col("meta"),
         org.apache.spark.sql.functions.coalesce(col("df"), org.apache.spark.sql.functions.lit(-1L)).as("_df"))
-      .as[(Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Int, Int, Long)]
-      .map { case (t, bid, fd, n, gaps, tfs, pos, mx, mn, df) =>
-        (PostingBlock(t, bid, fd, n, gaps, tfs, pos, mx, mn), df)
+      .as[(Int, Long, Long, Int, Array[Byte], Array[Byte], Array[Byte], Int, Int, Map[String, Int], Long)]
+      .map { case (t, bid, fd, n, gaps, tfs, pos, mx, mn, meta, df) =>
+        (PostingBlock(t, bid, fd, n, gaps, tfs, pos, mx, mn, meta), df)
       }
 
     val blocksByBucket = withDf.groupByKey { case (b, _) => b.blockId / blocksPerBucket }
@@ -108,6 +109,19 @@ object IndexValidator {
         try VByte.decodePositions(b.positions, tfs)
         catch { case e: Exception => err(s"positions decode failed: ${e.getMessage}"); Array.empty[Array[Int]] }
       if (poss.nonEmpty) {
+        // E6 posSpan metadata must bound the decoded positions exactly
+        (b.meta.get(PosSpanComputer.MinPosKey), b.meta.get(PosSpanComputer.MaxPosKey)) match {
+          case (Some(mp), Some(xp)) =>
+            val nonEmpty = poss.filter(_.nonEmpty)
+            if (nonEmpty.isEmpty) err("posSpan meta present but no positions")
+            else {
+              val fMin = nonEmpty.iterator.map(_.head).min
+              val lMax = nonEmpty.iterator.map(_.last).max
+              if (mp != fMin) err(s"meta minPos=$mp != min first-position $fMin")
+              if (xp != lMax) err(s"meta maxPos=$xp != max last-position $lMax")
+            }
+          case _ => // computer not configured for this index — nothing to check
+        }
         var j = 0
         while (j < poss.length) {
           val ps = poss(j)

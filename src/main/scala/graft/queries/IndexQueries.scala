@@ -156,6 +156,17 @@ object IndexQueries {
         .orderBy("term_id")
     }),
 
+    // The LOSSLESS INVERSE (decode): reconstruct the ordered per-document
+    // term stream of a docId range FROM THE INDEX ALONE — the reference's
+    // core contract that decode(encode(x)) == preprocessed x
+    // (midi_tokenizer.py:1927-1991; round-trip tests
+    // tests/test_tokenize.py:201-250). The oracle tokenizes the raw text,
+    // so a green row proves corpus → index → decode loses nothing.
+    // DecodeSpec additionally asserts FULL-corpus reconstruction equality.
+    "q_decode" -> ((spark, sfDir) =>
+      decodeRange(spark, IndexCache.handle(spark, sfDir), DecodeLo, DecodeHi)
+        .orderBy("doc_id", "pos")),
+
     // Positional retrieval: exact phrase match answered FROM the index —
     // decode (docId, positions) for the phrase's terms only (termId
     // pushdown prunes the postings scan), then equi-join successive terms
@@ -228,6 +239,42 @@ object IndexQueries {
     "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false))
   )
 
+  /** q_decode's fixed docId range (a few buckets' worth of docs). */
+  final val DecodeLo = 64L
+  final val DecodeHi = 320L
+
+  /** Decode: (doc_id, pos, term) for every token of docIds in [lo, hi),
+    * reconstructed purely from the positional index. Scale shape: the
+    * postings scan is pruned to the range's docId BUCKETS via a blockId
+    * range predicate (blocks never span buckets, so
+    * `blockId ∈ [loBucket·bpb, (hiBucket+1)·bpb)` is exact and pushes to
+    * parquet); per-posting rows are emitted only for in-range docs; the
+    * term strings come from a distributed dictionary join on termId — no
+    * driver-side vocabulary. Cost is O(range's tokens + dictionary scan),
+    * independent of corpus size. */
+  def decodeRange(spark: SparkSession, h: graft.query.IndexHandle, lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val m = h.manifest
+    val blocksPerBucket = m.bucketRange / m.blockSize
+    val bLo = lo / m.bucketRange
+    val bHi = (hi - 1) / m.bucketRange
+    val occ = h.postings
+      .filter(col("blockId") >= bLo * blocksPerBucket &&
+        col("blockId") < (bHi + 1) * blocksPerBucket) // bucket-exact, pushed down
+      .as[graft.index.PostingBlock]
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+        ids.indices.iterator
+          .filter(j => ids(j) >= lo && ids(j) < hi)
+          .flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
+      }
+      .toDF("term_id", "doc_id", "pos")
+    occ.join(h.dictionary.toDF().select(col("termId").as("term_id"), col("term")), "term_id")
+      .select(col("doc_id"), col("pos"), col("term"))
+  }
+
   /** The fixed phrase-query set: two bigrams (incl. a repeated-term one —
     * overlapping matches must all be reported) and two trigrams. */
   val Phrases: Seq[(Int, Seq[String])] = Seq(
@@ -262,21 +309,79 @@ object IndexQueries {
     Seq((1, "merge", "join"), (2, "the", "key"), (3, "batch", "stream"))
   final val NearWindow = 3
 
+  /** Per-block posSpan metadata of one term — block rows only, NO payload
+    * decode. Indexes built without the computer degrade to the un-prunable
+    * span [1, ∞). Positions fit in int; spans are widened to long so the
+    * `max_pos + window` comparison cannot overflow under ANSI. */
+  private def blockSpans(h: graft.query.IndexHandle, termId: Int): org.apache.spark.sql.DataFrame = {
+    val bpb = h.manifest.bucketRange / h.manifest.blockSize
+    h.postings.toDF()
+      .filter(col("termId") === termId)
+      .select(col("blockId"),
+        (col("blockId") / lit(bpb)).cast("long").as("bucket"),
+        coalesce(element_at(col("meta"), lit(graft.index.PosSpanComputer.MinPosKey)), lit(1))
+          .cast("long").as("min_pos"),
+        coalesce(element_at(col("meta"), lit(graft.index.PosSpanComputer.MaxPosKey)), lit(Int.MaxValue))
+          .cast("long").as("max_pos"))
+  }
+
+  /** E6 metadata as a pruning bound: the (t1-block, t2-block) pairs that
+    * can possibly produce a `t1 .. t2 within window` match — same bucket
+    * (positions only compare within a doc, docs live in one bucket) AND
+    * pos-span overlap: some t2 position in [minPosA+1, maxPosA+window].
+    * Returns the surviving blockIds per side; only those get decoded. */
+  def proximitySurvivors(
+      h: graft.query.IndexHandle,
+      t1: Int,
+      t2: Int,
+      window: Int
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val a = blockSpans(h, t1).select(col("blockId").as("block_a"), col("bucket"),
+      col("min_pos").as("min_a"), col("max_pos").as("max_a"))
+    val b = blockSpans(h, t2).select(col("blockId").as("block_b"), col("bucket"),
+      col("min_pos").as("min_b"), col("max_pos").as("max_b"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("max_b") >= col("min_a") + 1 && col("min_b") <= col("max_a") + window)
+    (pairs.select(col("block_a").as("blockId")).distinct(),
+      pairs.select(col("block_b").as("blockId")).distinct())
+  }
+
+  /** Decoded occurrences of one term restricted to the given blockIds. */
+  private def occurrencesForBlocks(
+      spark: SparkSession,
+      h: graft.query.IndexHandle,
+      termId: Int,
+      keep: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    h.postings.toDF()
+      .filter(col("termId") === termId)
+      .join(keep, Seq("blockId"), "left_semi")
+      .as[graft.index.PostingBlock]
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+        ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (ids(j), p)))
+      }
+      .toDF("doc_id", "pos")
+  }
+
   /** Per (pair, doc): how many proximity matches — positions from the
-    * index, doc_id equi-join + range filter (scale shape: shuffle bounded
-    * by the pair terms' postings). */
+    * index; blocks are pruned by the E6 posSpan bound BEFORE any payload
+    * decode, then doc_id equi-join + range filter (scale shape: shuffle
+    * bounded by the surviving blocks' postings). */
   private def nearMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val h = IndexCache.handle(spark, sfDir)
     val dict = h.lookupTerms(NearPairs.flatMap(p => Seq(p._2, p._3)))
-    val allIds = NearPairs.flatMap(p => Seq(p._2, p._3)).distinct.flatMap(dict.get).map(_.termId)
-    val occ = positionalOccurrences(spark, h, allIds)
     val results = NearPairs.map { case (pid, t1, t2) =>
       (dict.get(t1), dict.get(t2)) match {
         case (Some(e1), Some(e2)) =>
-          val a = occ.filter(col("term_id") === e1.termId)
+          val (keepA, keepB) = proximitySurvivors(h, e1.termId, e2.termId, NearWindow)
+          val a = occurrencesForBlocks(spark, h, e1.termId, keepA)
             .select(col("doc_id"), col("pos").as("pos_a"))
-          val b = occ.filter(col("term_id") === e2.termId)
+          val b = occurrencesForBlocks(spark, h, e2.termId, keepB)
             .select(col("doc_id"), col("pos").as("pos_b"))
           a.join(b, Seq("doc_id"))
             .filter((col("pos_b") - col("pos_a")).between(1, NearWindow))
@@ -458,6 +563,11 @@ object IndexQueries {
         s"""WITH $corpusCte,
            |head AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 10)
            |SELECT term, df AS df_postings FROM head ORDER BY term""".stripMargin,
+      "q_decode" ->
+        s"""WITH $corpusCte
+           |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term
+           |FROM tok WHERE doc_id >= $DecodeLo AND doc_id < $DecodeHi
+           |ORDER BY doc_id, pos""".stripMargin,
       "q_near" -> {
         val per = NearPairs.map { case (pid, t1, t2) =>
           s"""SELECT CAST($pid AS INTEGER) AS pair_id, a.doc_id, count(*) AS n_matches

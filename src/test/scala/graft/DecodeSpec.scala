@@ -1,0 +1,51 @@
+package graft
+
+import graft.corpus.Pages
+import graft.queries.{IndexCache, IndexQueries}
+import graft.tokenize.Tokenizers
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The decode round-trip contract: the positional index is a LOSSLESS
+  * encoding of the cleaned, tokenized corpus — inverting it reproduces
+  * every document's ordered term stream exactly (the reference's
+  * decode == preprocessed-original contract, midi_tokenizer.py:1927-1991,
+  * tests/test_tokenize.py:201-250). */
+class DecodeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("FULL-corpus reconstruction: decode(index) == tokenize(cleaned corpus), doc by doc") {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val decoded = IndexQueries.decodeRange(spark, h, 0L, h.manifest.maxDocId + 1)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (doc, rows) =>
+        doc -> rows.sortBy(_.getInt(1)).map(r => (r.getInt(1), r.getString(2))).toSeq
+      }
+    val tok = Tokenizers.default
+    val expected = Pages.cleaned(Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (doc, text) =>
+        doc -> tok.terms(text).zipWithIndex.map { case (t, i) => (i + 1, t) }.toSeq
+      }
+      .filter(_._2.nonEmpty) // zero-token docs have no postings to invert
+      .toMap
+    assert(decoded.keySet == expected.keySet,
+      s"doc sets differ: missing=${(expected.keySet -- decoded.keySet).take(5)} " +
+        s"extra=${(decoded.keySet -- expected.keySet).take(5)}")
+    expected.foreach { case (doc, terms) =>
+      assert(decoded(doc) == terms, s"doc $doc reconstruction differs")
+    }
+  }
+
+  test("decode scan is bucket-pruned: blockId range predicate pushes to parquet") {
+    val h = IndexCache.handle(spark, sfDir)
+    val plan = IndexQueries.decodeRange(spark, h, 0L, 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("blockId"),
+      s"blockId range not pushed down:\n${plan.take(2000)}")
+  }
+}
