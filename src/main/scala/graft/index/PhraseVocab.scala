@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 /** One BPE merge step. */
 final case class MergeStep(step: Int, left: String, right: String, count: Long, merged: String)
 
+/** One WordPiece merge step: the pair maximizing the likelihood score
+  * count(l,r) / (count(l)·count(r)) rather than the raw pair count. */
+final case class WpMergeStep(step: Int, left: String, right: String, count: Long,
+    score: Double, merged: String)
+
 /** Iterative frequency-driven vocabulary merges — the faithful engine analog
   * of MidiTok's BPE `train` loop (midi_tokenizer.py:2681-2938): repeatedly
   * count adjacent token pairs over the whole corpus, merge the most frequent
@@ -79,6 +84,89 @@ object PhraseVocab {
     // materialize the final rewrite once so the last parent can be dropped
     if (parent != null) { docs.count(); parent.unpersist() }
     (merges.toSeq, docs)
+  }
+
+  /** WordPiece-style training: the merge argmax is the LIKELIHOOD score
+    * `count(l,r) / (count(l)·count(r))` — pairs that co-occur more than
+    * their unigram frequencies predict win, rather than the raw-count BPE
+    * argmax. The reference trains BPE, Unigram AND WordPiece through the
+    * same surface (midi_tokenizer.py:2784-2832); this is the engine's
+    * second trainer, exercising a join-scored aggregation the BPE loop
+    * never does (pair counts ⋈ unigram counts).
+    *
+    * Determinism (cross-engine): candidates are pairs with count >= 2;
+    * the score is one double multiply + one divide of exact integer
+    * counts — bit-identical in the JVM and the SQL oracle — and ties break
+    * on (left, right). Each iteration is ONE Spark action (the pair and
+    * unigram aggregations meet in a single top-1 job). */
+  def trainWordPiece(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[WpMergeStep], Dataset[(Long, Array[String])]) = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    var docs = docs0.persist()
+    var parent: Dataset[(Long, Array[String])] = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[WpMergeStep]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val uni = docs.flatMap { case (_, ts) => ts.iterator }
+        .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
+      val top = pairCounts(docs)
+        .filter(col("cnt") >= 2)
+        .join(uni.select(col("t").as("left"), col("c").as("cl")), "left")
+        .join(uni.select(col("t").as("right"), col("c").as("cr")), "right")
+        .withColumn("score",
+          col("cnt").cast("double") / (col("cl").cast("double") * col("cr").cast("double")))
+        .select("left", "right", "cnt", "score")
+        .orderBy(col("score").desc, col("left").asc, col("right").asc)
+        .limit(1).collect() // materializes `docs` into its cache
+      if (parent != null) { parent.unpersist(); parent = null }
+      if (top.isEmpty) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val c = top(0).getLong(2)
+        val sc = top(0).getDouble(3)
+        val m = l + "_" + r
+        merges += WpMergeStep(step, l, r, c, sc, m)
+        parent = docs
+        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist()
+        step += 1
+      }
+    }
+    if (parent != null) { docs.count(); parent.unpersist() }
+    (merges.toSeq, docs)
+  }
+
+  /** Single-threaded WordPiece reference for tests (the oracle twin). */
+  def trainLocalWordPiece(corpus: Seq[Array[String]], numMerges: Int): Seq[WpMergeStep] = {
+    var docs = corpus
+    val merges = scala.collection.mutable.ArrayBuffer.empty[WpMergeStep]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val uni = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      docs.foreach { ts =>
+        ts.foreach(t => uni.updateWith(t)(v => Some(v.getOrElse(0L) + 1)))
+        var i = 0
+        while (i + 1 < ts.length) {
+          pairs.updateWith((ts(i), ts(i + 1)))(v => Some(v.getOrElse(0L) + 1))
+          i += 1
+        }
+      }
+      val cands = pairs.iterator.filter(_._2 >= 2).map { case ((l, r), c) =>
+        (l, r, c, c.toDouble / (uni(l).toDouble * uni(r).toDouble))
+      }.toSeq
+      if (cands.isEmpty) done = true
+      else {
+        val (l, r, c, sc) = cands.minBy { case (a, b, _, s) => (-s, a, b) }
+        val m = l + "_" + r
+        merges += WpMergeStep(step, l, r, c, sc, m)
+        docs = docs.map(ts => applyMerge(ts, l, r, m))
+        step += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** Single-threaded reference implementation for tests (the oracle). */

@@ -44,6 +44,9 @@ object MergedIndexCache {
 /** Vocabulary-merge (BPE `train` analog, E3) and boolean-retrieval queries. */
 object VocabQueries {
 
+  /** WordPiece trainer iterations for q_wp_merges. */
+  final val WpMerges = 6
+
   private[queries] def tokenDocs(s: SparkSession, d: String) = {
     import s.implicits._
     val tok = Tokenizers.default
@@ -80,6 +83,19 @@ object VocabQueries {
       handle.dictionary.toDF()
         .select(col("termId").as("term_id"), col("term"), col("df"), col("cf"))
         .orderBy("term_id")
+    }),
+
+    // E3 second trainer (the reference's multi-model surface trains BPE,
+    // Unigram AND WordPiece, midi_tokenizer.py:2784-2832): WordPiece-style
+    // likelihood-scored merges — count(l,r)/(count(l)·count(r)) argmax —
+    // replayed step-for-step by the SQL oracle. The score doubles are
+    // bit-identical across engines (one multiply + one divide of exact
+    // integer counts), so they are emitted UNROUNDED.
+    "q_wp_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, finalDocs) = PhraseVocab.trainWordPiece(tokenDocs(s, d), WpMerges)
+      finalDocs.unpersist()
+      merges.toDF("step", "left", "right", "count", "score", "merged").orderBy("step")
     }),
 
     // A6: token-type frequency index — invert the dictionary into
@@ -131,19 +147,35 @@ object VocabQueries {
     * next=r), group runs of consecutive matches, take alternate members
     * starting at the first (only l==r pairs can actually run), drop the row
     * after each taken one. */
-  private def bpeReplaySql(n: Int): String = {
+  private def bpeReplaySql(n: Int): String = replaySql(n, wordPiece = false)
+
+  private def replaySql(n: Int, wordPiece: Boolean): String = {
     // AS MATERIALIZED everywhere: DuckDB otherwise inlines the chained
     // CTEs, re-scanning the base table exponentially many times
     val sb = new StringBuilder("s0 AS MATERIALIZED (SELECT doc_id, pos, term FROM tok)")
     for (k <- 1 to n) {
       val p = k - 1
+      val argmax =
+        if (!wordPiece)
+          s"""b$k AS MATERIALIZED (SELECT l, r, cnt FROM pk$k ORDER BY cnt DESC, l, r LIMIT 1),"""
+        else
+          // likelihood score: exact-int counts cast to DOUBLE, one multiply
+          // + one divide — bit-identical to the Scala trainer's doubles
+          s"""u$k AS MATERIALIZED (SELECT term, count(*) AS c FROM s$p GROUP BY term),
+             |b$k AS MATERIALIZED (
+             |  SELECT p.l, p.r, p.cnt,
+             |         CAST(p.cnt AS DOUBLE) / (CAST(ul.c AS DOUBLE) * CAST(ur.c AS DOUBLE)) AS score
+             |  FROM pk$k p JOIN u$k ul ON ul.term = p.l JOIN u$k ur ON ur.term = p.r
+             |  WHERE p.cnt >= 2
+             |  ORDER BY score DESC, p.l, p.r LIMIT 1
+             |),""".stripMargin
       sb.append(s""",
          |pk$k AS MATERIALIZED (
          |  SELECT term AS l, nxt AS r, count(*) AS cnt
          |  FROM (SELECT term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s$p)
          |  WHERE nxt IS NOT NULL GROUP BY term, nxt
          |),
-         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM pk$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |$argmax
          |m$k AS MATERIALIZED (
          |  SELECT doc_id, pos, term,
          |         coalesce(term = (SELECT l FROM b$k)
@@ -193,6 +225,15 @@ object VocabQueries {
         .mkString("\nUNION ALL\n")
       s"""WITH $bpeCorpusCte,
          |${bpeReplaySql(n)}
+         |SELECT * FROM ($recs) ORDER BY step""".stripMargin
+    },
+    "q_wp_merges" -> {
+      val n = WpMerges
+      val recs = (1 to n).map(k =>
+        s"""SELECT CAST(${k - 1} AS INTEGER) AS step, l AS "left", r AS "right", cnt AS "count", score, l || '_' || r AS merged FROM b$k""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $bpeCorpusCte,
+         |${replaySql(n, wordPiece = true)}
          |SELECT * FROM ($recs) ORDER BY step""".stripMargin
     },
     "q_merged_dict" -> {

@@ -72,6 +72,28 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("WordPiece: likelihood argmax diverges from the count argmax where it should") {
+    // "a b" dominates by raw count (BPE's pick) but a and b are frequent
+    // elsewhere, so its likelihood is diluted; x and y occur ONLY together —
+    // count 3, score 3/(3·3) = 1/3 beats 10/(14·14)
+    val corpus = (Seq.fill(10)("a b") ++ Seq.fill(4)("a c b") ++ Seq.fill(3)("x y"))
+      .map(_.split(" "))
+    val bpe = PhraseVocab.trainLocal(corpus, 1)
+    val wp = PhraseVocab.trainLocalWordPiece(corpus, 1)
+    assert(bpe.head.left == "a" && bpe.head.right == "b")
+    assert(wp.head.left == "x" && wp.head.right == "y")
+    assert(wp.head.count == 3L && math.abs(wp.head.score - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("distributed WordPiece trainer == single-threaded reference on the real corpus") {
+    val docs = corpusDocs("/root/testdata/sf0.001")
+    val (distributed, finalDocs) = PhraseVocab.trainWordPiece(docs, 6)
+    finalDocs.unpersist()
+    val local = PhraseVocab.trainLocalWordPiece(docs.collect().toSeq.sortBy(_._1).map(_._2), 6)
+    assert(distributed == local) // includes bit-exact score equality
+    assert(distributed.nonEmpty)
+  }
+
   test("train twice yields identical merges (determinism / resume analog)") {
     val docs = corpusDocs("/root/testdata/sf0.001")
     val (m1, f1) = PhraseVocab.train(docs, 4)
