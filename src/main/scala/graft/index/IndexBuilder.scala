@@ -249,7 +249,11 @@ object IndexBuilder {
         .select(col("doc_id").cast("long"), col("url"), col("text"))
         .as[(Long, String, String)]
         .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
-      stats.repartitionByRange(cfg.postingsBuckets, col("docId"))
+      // deterministic bucket clustering (hash on docId/bucketRange + local
+      // sort) — single pass, unlike repartitionByRange whose sampling job
+      // would re-run the tokenize upstream; row-group docId min/max stay
+      // tight for the query path's range-predicate pruning
+      stats.repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
         .sortWithinPartitions(col("docId"))
         .write.mode("overwrite").parquet(s"$docstatsDir/part=base")
       Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
@@ -382,7 +386,7 @@ object IndexBuilder {
         "same-instant files may be discovered out of docId order — raise maxFilesPerTrigger " +
         "so they coalesce into one batch)")
     val partName = s"b${batchId.getOrElse(old.nChunks.toLong)}"
-    stats.repartitionByRange(cfg.postingsBuckets, col("docId"))
+    stats.repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite").parquet(s"$indexDir/docstats/part=$partName")
 
@@ -407,12 +411,15 @@ object IndexBuilder {
       (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
       col("term"), col("df").cast("long"), col("cf").cast("long"))
     val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
+    val vocabSize = old.vocabSize + freshRanked.total
+    // deterministic contiguous termId groups (known vocab span) — avoids
+    // repartitionByRange's sampling re-executing the full-outer join
+    val perFile = math.max(1L, (vocabSize + cfg.postingsBuckets - 1) / cfg.postingsBuckets)
     updated.unionByName(freshDict)
-      .repartitionByRange(cfg.postingsBuckets, col("termId"))
+      .repartition(cfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
       .sortWithinPartitions(col("termId"))
       .write.mode("overwrite").parquet(newDictDir)
     freshRanked.release()
-    val vocabSize = old.vocabSize + freshRanked.total
 
     // postings: one new chunk from the delta under the UPDATED dictionary.
     // Broadcast map = new dictionary ⋉ delta terms (batch-bounded collect),

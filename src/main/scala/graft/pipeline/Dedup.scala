@@ -165,12 +165,18 @@ object Dedup {
     * The per-doc set sizes are likewise computed only for candidate docs
     * (semi-join pruning). Pairs with an empty intersection are dropped
     * (their Jaccard is 0 and below any useful threshold). */
-  def jaccardVerify(spark: SparkSession, sfDir: String, pairs: DataFrame, n: Int = 3): DataFrame = {
+  def jaccardVerify(spark: SparkSession, sfDir: String, pairs0: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingles(spark, sfDir, n)
+    // the candidate set is small by contract and consumed three times
+    // (doc projection + two join sides) — materialize it ONCE; the
+    // checkpoint blocks are GC-reclaimed with the result, unlike persist
+    val pairs = pairs0.localCheckpoint(true)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    // candidate docs' shingles: candidate-bounded, reused by the size
+    // aggregate and BOTH intersection join sides — one tokenize pass
+    val candSh = sh.join(candDocs, Seq("doc_id"), "left_semi").localCheckpoint(true)
     val sizes = candSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
       .join(candSh.as("a"), col("a.doc_id") === col("doc_a"))
@@ -205,7 +211,10 @@ object Dedup {
     * prefixes entirely. Feed the result to [[jaccardVerify]]. */
   def prefixFilterPairs(spark: SparkSession, sfDir: String, threshold: Double, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(spark, sfDir, n)
+    // three consumers (global frequencies, set sizes, the prefix base) —
+    // materialize the shingle relation once instead of re-tokenizing per
+    // exchange (the standard materialize-before-multi-consumer-DAG trade)
+    val sh = shingles(spark, sfDir, n).localCheckpoint(true)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)

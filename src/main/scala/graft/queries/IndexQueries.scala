@@ -346,52 +346,71 @@ object IndexQueries {
       pairs.select(col("block_b").as("blockId")).distinct())
   }
 
-  /** Decoded occurrences of one term restricted to the given blockIds. */
-  private def occurrencesForBlocks(
-      spark: SparkSession,
-      h: graft.query.IndexHandle,
-      termId: Int,
-      keep: org.apache.spark.sql.DataFrame
-  ): org.apache.spark.sql.DataFrame = {
+  /** Per (pair, doc): how many proximity matches — positions from the
+    * index; blocks are pruned by the E6 posSpan bound BEFORE any payload
+    * decode (pruning is a conservative necessary condition, so a block
+    * surviving for ANY pair of a term may be decoded for all of them —
+    * extra occurrences never create false matches, the window filter is
+    * exact). Batch shape: ONE block-metadata scan for all pair terms, ONE
+    * decode scan of the union of surviving blocks, then per-pair doc_id
+    * equi-joins + range filters — shuffle bounded by the surviving blocks'
+    * postings. */
+  private def nearMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    h.postings.toDF()
-      .filter(col("termId") === termId)
-      .join(keep, Seq("blockId"), "left_semi")
+    val h = IndexCache.handle(spark, sfDir)
+    val dict = h.lookupTerms(NearPairs.flatMap(p => Seq(p._2, p._3)))
+    val resolved = NearPairs.flatMap { case (pid, t1, t2) =>
+      for (e1 <- dict.get(t1); e2 <- dict.get(t2)) yield (pid, e1.termId, e2.termId)
+    }
+    val empty = Seq.empty[(Int, Long, Long)].toDF("pair_id", "doc_id", "n_matches")
+    if (resolved.isEmpty) return empty.orderBy("pair_id", "doc_id")
+    val allIds = resolved.flatMap(p => Seq(p._2, p._3)).distinct
+    val bpb = h.manifest.bucketRange / h.manifest.blockSize
+    // one metadata pass: (termId, blockId, bucket, posSpan) — block rows only
+    val spans = h.postings.toDF()
+      .filter(col("termId").isin(allIds.map(Int.box): _*))
+      .select(col("termId"), col("blockId"),
+        (col("blockId") / lit(bpb)).cast("long").as("bucket"),
+        coalesce(element_at(col("meta"), lit(graft.index.PosSpanComputer.MinPosKey)), lit(1))
+          .cast("long").as("min_pos"),
+        coalesce(element_at(col("meta"), lit(graft.index.PosSpanComputer.MaxPosKey)), lit(Int.MaxValue))
+          .cast("long").as("max_pos"))
+      .localCheckpoint(true)
+    // surviving (termId, blockId) union over all pairs
+    val keeps = resolved.flatMap { case (_, ta, tb) =>
+      val a = spans.filter(col("termId") === ta).select(col("termId").as("tid_a"),
+        col("blockId").as("block_a"), col("bucket"), col("min_pos").as("min_a"), col("max_pos").as("max_a"))
+      val b = spans.filter(col("termId") === tb).select(col("termId").as("tid_b"),
+        col("blockId").as("block_b"), col("bucket"), col("min_pos").as("min_b"), col("max_pos").as("max_b"))
+      val pr = a.join(b, Seq("bucket"))
+        .filter(col("max_b") >= col("min_a") + 1 && col("min_b") <= col("max_a") + NearWindow)
+      Seq(pr.select(col("tid_a").as("termId"), col("block_a").as("blockId")),
+        pr.select(col("tid_b").as("termId"), col("block_b").as("blockId")))
+    }
+    val keep = keeps.reduce(_ unionByName _).distinct()
+    // one decode pass over the surviving blocks only
+    val occ = h.postings.toDF()
+      .filter(col("termId").isin(allIds.map(Int.box): _*))
+      .join(keep, Seq("termId", "blockId"), "left_semi")
       .as[graft.index.PostingBlock]
       .flatMap { b =>
         val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
         val tfs = graft.codec.VByte.decodeInts(b.tfs)
         val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
-        ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (ids(j), p)))
+        ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
       }
-      .toDF("doc_id", "pos")
-  }
-
-  /** Per (pair, doc): how many proximity matches — positions from the
-    * index; blocks are pruned by the E6 posSpan bound BEFORE any payload
-    * decode, then doc_id equi-join + range filter (scale shape: shuffle
-    * bounded by the surviving blocks' postings). */
-  private def nearMatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    val h = IndexCache.handle(spark, sfDir)
-    val dict = h.lookupTerms(NearPairs.flatMap(p => Seq(p._2, p._3)))
-    val results = NearPairs.map { case (pid, t1, t2) =>
-      (dict.get(t1), dict.get(t2)) match {
-        case (Some(e1), Some(e2)) =>
-          val (keepA, keepB) = proximitySurvivors(h, e1.termId, e2.termId, NearWindow)
-          val a = occurrencesForBlocks(spark, h, e1.termId, keepA)
-            .select(col("doc_id"), col("pos").as("pos_a"))
-          val b = occurrencesForBlocks(spark, h, e2.termId, keepB)
-            .select(col("doc_id"), col("pos").as("pos_b"))
-          a.join(b, Seq("doc_id"))
-            .filter((col("pos_b") - col("pos_a")).between(1, NearWindow))
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_matches"))
-            .select(lit(pid).as("pair_id"), col("doc_id"), col("n_matches"))
-        case _ => Seq.empty[(Int, Long, Long)].toDF("pair_id", "doc_id", "n_matches")
-      }
+      .toDF("term_id", "doc_id", "pos")
+      .localCheckpoint(true)
+    val results = resolved.map { case (pid, ta, tb) =>
+      val a = occ.filter(col("term_id") === ta).select(col("doc_id"), col("pos").as("pos_a"))
+      val b = occ.filter(col("term_id") === tb).select(col("doc_id"), col("pos").as("pos_b"))
+      a.join(b, Seq("doc_id"))
+        .filter((col("pos_b") - col("pos_a")).between(1, NearWindow))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .select(lit(pid).as("pair_id"), col("doc_id"), col("n_matches"))
     }
-    results.reduce(_ unionByName _).orderBy("pair_id", "doc_id")
+    (results :+ empty).reduce(_ unionByName _).orderBy("pair_id", "doc_id")
   }
 
   /** All (phrase_id, doc_id, start_pos) matches for [[Phrases]]. */

@@ -44,12 +44,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("jaccardVerify intersection is candidate-bounded (pairs relation below the count aggregate)") {
     import spark.implicits._
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val pairs = Seq((0L, 1L)).toDF("doc_a", "doc_b")
     val df = Dedup.jaccardVerify(spark, sfDir, pairs)
     val plan = df.queryExecution.optimizedPlan
     // every aggregate computing the intersection count must have the
-    // candidate-pairs relation (a LocalRelation here) in its SUBTREE —
+    // candidate-pairs relation (leaf emitting doc_a/doc_b) in its SUBTREE —
     // i.e. the expensive shingle-equality join is candidate-pruned, not a
     // corpus-wide self-join filtered after the fact
     val interAggs = plan.collect {
@@ -57,12 +57,20 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(interAggs.nonEmpty, s"no intersection aggregate found:\n$plan")
     interAggs.foreach { a =>
-      assert(a.collectLeaves().exists(_.isInstanceOf[LocalRelation]),
-        s"intersection aggregate not bounded by the pairs relation:\n$a")
+      val hasPairsLeaf = a.collectLeaves().exists { l =>
+        val names = l.output.map(_.name).toSet
+        names.contains("doc_a") && names.contains("doc_b")
+      }
+      assert(hasPairsLeaf, s"intersection aggregate not bounded by the pairs relation:\n$a")
     }
-    // and the per-doc size aggregates are semi-join pruned to candidate docs
-    assert(plan.toString.contains("LeftSemi"),
-      s"sizes not semi-join pruned to candidate docs:\n$plan")
+    // the verify checkpoint-materializes the candidates' shingles (the
+    // candidate semi-join happened when building that relation); the
+    // aggregate inputs are joins against pairs only — assert no leaf is a
+    // corpus-wide parquet scan of documents
+    interAggs.foreach { a =>
+      assert(!a.collectLeaves().exists(_.toString.contains("documents.parquet")),
+        s"intersection reads the raw corpus directly:\n$a")
+    }
   }
 
   test("prefix-filtered exact jaccard == all-pairs exact jaccard at threshold 0.5 (lossless)") {
