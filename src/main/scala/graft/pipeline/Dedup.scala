@@ -165,8 +165,9 @@ object Dedup {
     * The per-doc set sizes are likewise computed only for candidate docs
     * (semi-join pruning). Pairs with an empty intersection are dropped
     * (their Jaccard is 0 and below any useful threshold). */
-  def jaccardVerify(spark: SparkSession, sfDir: String, pairs0: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(spark, sfDir, n)
+  def jaccardVerify(spark: SparkSession, sfDir: String, pairs0: DataFrame, n: Int = 3,
+      shingles0: Option[DataFrame] = None): DataFrame = {
+    val sh = shingles0.getOrElse(shingles(spark, sfDir, n))
     // the candidate set is small by contract and consumed three times
     // (doc projection + two join sides) — materialize it ONCE; the
     // checkpoint blocks are GC-reclaimed with the result, unlike persist
@@ -209,12 +210,14 @@ object Dedup {
     * fanout is driven by RARE shingles: a shingle of global frequency f
     * appears in at most f prefixes, and frequent shingles fall outside
     * prefixes entirely. Feed the result to [[jaccardVerify]]. */
-  def prefixFilterPairs(spark: SparkSession, sfDir: String, threshold: Double, n: Int = 3): DataFrame = {
+  def prefixFilterPairs(spark: SparkSession, sfDir: String, threshold: Double, n: Int = 3,
+      shingles0: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // three consumers (global frequencies, set sizes, the prefix base) —
     // materialize the shingle relation once instead of re-tokenizing per
-    // exchange (the standard materialize-before-multi-consumer-DAG trade)
-    val sh = shingles(spark, sfDir, n).localCheckpoint(true)
+    // exchange (the standard materialize-before-multi-consumer-DAG trade);
+    // callers verifying afterwards pass the same materialized relation in
+    val sh = shingles0.getOrElse(shingles(spark, sfDir, n).localCheckpoint(true))
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)

@@ -90,10 +90,14 @@ object PipelineQueries {
     // candidate generation (rarest-shingle prefixes, provably lossless at
     // the threshold) + candidate-bounded verify. The oracle below is the
     // all-pairs SQL, so exactness is hash-asserted on every gate run.
-    "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.jaccardVerify(s, d, Dedup.prefixFilterPairs(s, d, 0.5))
+    "q_ngram_jaccard" -> ((s, d) => {
+      // one tokenize pass shared by candidate generation AND verify
+      val sh = Dedup.shingles(s, d).localCheckpoint(true)
+      val pairs = Dedup.prefixFilterPairs(s, d, 0.5, shingles0 = Some(sh))
+      Dedup.jaccardVerify(s, d, pairs, shingles0 = Some(sh))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
