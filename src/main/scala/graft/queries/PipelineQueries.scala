@@ -113,7 +113,19 @@ object PipelineQueries {
 
     // approximate by design → no SQL oracle; recall ≥ 0.9 asserted in tests
     "q_ann_lsh" -> ((s, d) =>
-      Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5))
+      Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
+
+    // dedup GROUPS from near-dup pairs: exact connected components by
+    // distributed min-label propagation; component = keep-min canonical
+    // representative. Oracle: recursive-CTE transitive closure over the
+    // same exact pair set.
+    "q_dedup_groups" -> ((s, d) => {
+      val pairs = Similarity.lshNearDupPairs(
+        Similarity.withPlantedNearDups(Similarity.embeddings(s, d)), 0.99)
+      Components.connectedComponents(pairs.select("id_a", "id_b"))
+        .select(col("id").as("vec_id"), col("component"))
+        .orderBy("vec_id")
+    })
   )
 
   // ------------------------------------------------------------------ SQL
@@ -152,6 +164,35 @@ object PipelineQueries {
     Dedup.coeffs.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }
       .mkString(", ")
+
+  /** Shared planted-near-dup cosine-pair CTE chain, ending in
+    * `p(id_a, id_b, cos)` over ALL pairs (exact cartesian — oracle-side
+    * only). */
+  private val cosinePairsCte: String =
+    """e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+        |),
+        |jit AS (
+        |  SELECT base_id + 1000000 AS vec_id,
+        |         list_transform(generate_series(1, len(emb)),
+        |           i -> emb[i] * (1.0 + (CAST((31 * base_id + (i - 1)) % 7 AS DOUBLE) - 3.0) / 1000.0)) AS emb
+        |  FROM (SELECT vec_id AS base_id, emb FROM e0 WHERE vec_id % 10 = 0)
+        |),
+        |e AS (SELECT vec_id, emb FROM e0 UNION ALL SELECT vec_id, emb FROM jit),
+        |p AS (
+        |  -- strict left-fold sums (list_reduce) replicate Spark's
+        |  -- aggregate() addend order bit-for-bit; list_sum may reorder
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(
+        |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
+        |             (acc, x) -> acc + x)
+        |           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(a.emb, x -> x * x)), (acc, x) -> acc + x))
+        |              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list_transform(b.emb, x -> x * x)), (acc, x) -> acc + x))), 4) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_text_quality" ->
@@ -355,30 +396,29 @@ object PipelineQueries {
     // exact cartesian over the SAME planted-near-dup-augmented set the
     // engine buckets — the jitter is replicated bit-for-bit in SQL
     "q_cosine_neardup" ->
-      """WITH e0 AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
-        |),
-        |jit AS (
-        |  SELECT base_id + 1000000 AS vec_id,
-        |         list_transform(generate_series(1, len(emb)),
-        |           i -> emb[i] * (1.0 + (CAST((31 * base_id + (i - 1)) % 7 AS DOUBLE) - 3.0) / 1000.0)) AS emb
-        |  FROM (SELECT vec_id AS base_id, emb FROM e0 WHERE vec_id % 10 = 0)
-        |),
-        |e AS (SELECT vec_id, emb FROM e0 UNION ALL SELECT vec_id, emb FROM jit),
-        |p AS (
-        |  -- strict left-fold sums (list_reduce) replicate Spark's
-        |  -- aggregate() addend order bit-for-bit; list_sum may reorder
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         round(
-        |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |               list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
-        |             (acc, x) -> acc + x)
-        |           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |                 list_transform(a.emb, x -> x * x)), (acc, x) -> acc + x))
-        |              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |                  list_transform(b.emb, x -> x * x)), (acc, x) -> acc + x))), 4) AS cos
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |)
-        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin
+      s"""WITH $cosinePairsCte
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact connected components of the >= 0.99 near-dup pair graph:
+    // transitive closure via a recursive CTE (min reachable id per vertex)
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $cosinePairsCte,
+         |edges AS (SELECT id_a, id_b FROM p WHERE cos >= 0.99),
+         |verts AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges)
+         |),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges
+         |),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id
+         |)
+         |SELECT id AS vec_id, min(r) AS component FROM reach
+         |GROUP BY id ORDER BY vec_id""".stripMargin
   )
+
 }
