@@ -98,6 +98,18 @@ object IndexQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // E1/§2.11 second strategy: the char-trigram (subword) tokenization —
+    // same Generate shape, different strategy behind the config surface
+    "q_tokenize_ngram" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val tok = Tokenizers(graft.tokenize.TokenizerConfig(strategy = "chargram"))
+      cleanedDocs(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => tok.tokenize(text).map { case (t, p) => (id, p, t) } }
+        .toDF("doc_id", "pos", "term")
+        .orderBy("doc_id", "pos")
+    }),
+
     // A1: the frequency-driven dictionary build (dense df-ordered termIds)
     "q_dictionary" -> ((spark, sfDir) => {
       IndexCache.handle(spark, sfDir).dictionary.toDF()
@@ -532,6 +544,29 @@ object IndexQueries {
         s"""WITH $corpusCte
            |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term
            |FROM tok ORDER BY doc_id, pos""".stripMargin,
+      "q_tokenize_ngram" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE text IS NOT NULL AND length(text) > 0
+           |),
+           |words AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(lower(text), ' ')) AS w,
+           |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS wp
+           |  FROM corpus
+           |),
+           |grams AS (
+           |  SELECT doc_id, wp,
+           |         unnest(CASE WHEN length(w) < 3 THEN [w]
+           |                ELSE list_transform(generate_series(1, length(w) - 2), i -> substr(w, i, 3)) END) AS term,
+           |         unnest(CASE WHEN length(w) < 3 THEN [CAST(1 AS BIGINT)]
+           |                ELSE generate_series(1, length(w) - 2) END) AS gi
+           |  FROM words
+           |)
+           |SELECT doc_id,
+           |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wp, gi) AS INTEGER) AS pos,
+           |       term
+           |FROM grams ORDER BY doc_id, pos""".stripMargin,
       "q_dictionary" ->
         s"""WITH $corpusCte
            |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,

@@ -14,12 +14,22 @@ package graft.tokenize
   *                      unsupported-time-signature filter F4)
   * @param langs         language allowlist; empty = all (analog of the
   *                      program/track filter F2, midi_tokenizer.py:544-553)
+  * @param strategy      which concrete tokenization to run — "word"
+  *                      (UnicodeWordTokenizer) or "chargram"
+  *                      (CharNgramTokenizer); the config-selected strategy
+  *                      is the engine analog of the reference's
+  *                      interchangeable tokenization classes behind one
+  *                      config surface (REMI/TSD/MIDILike/..., registry in
+  *                      miditok/__init__.py)
+  * @param ngram         character n-gram width for the chargram strategy
   */
 final case class TokenizerConfig(
     lowercase: Boolean = true,
     minTermLen: Int = 1,
     stripPunct: Boolean = true,
-    langs: Set[String] = Set.empty
+    langs: Set[String] = Set.empty,
+    strategy: String = "word",
+    ngram: Int = 3
 ) extends Serializable
 
 /** Pluggable tokenization strategy — the engine analog of MidiTok's
@@ -88,8 +98,58 @@ final class UnicodeWordTokenizer(val config: TokenizerConfig)
   }
 }
 
+/** Character n-gram (subword) tokenizer: each word (per the word strategy
+  * under the same config) emits its sliding character n-grams — words
+  * shorter than n are emitted whole. The second concrete strategy of the
+  * §2.11 family: the SAME index build, WAND, phrase, decode, and trainer
+  * machinery runs unchanged on a subword vocabulary (the reference's
+  * interchangeable-strategy property, nine tokenizations behind one
+  * tokenizer surface).
+  *
+  * Positions number the emitted n-gram stream 1..k (not the source words),
+  * keeping the positional-index invariants (strictly increasing, 1-based,
+  * docLen = stream length) intact. N-grams slice UTF-16 units; the oracle's
+  * `substr` counts characters — identical on BMP text (the fixtures are),
+  * documented caveat for astral code points. */
+final class CharNgramTokenizer(val config: TokenizerConfig)
+    extends TokenizerStrategy {
+  private val word = new UnicodeWordTokenizer(config)
+  private val n = math.max(1, config.ngram)
+
+  override def terms(text: String): Array[String] = {
+    val ws = word.terms(text)
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      if (w.length < n) out += w
+      else {
+        var j = 0
+        while (j + n <= w.length) { out += w.substring(j, j + n); j += 1 }
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  override def tokenize(text: String): Array[(String, Int)] = {
+    val ts = terms(text)
+    val out = new Array[(String, Int)](ts.length)
+    var i = 0
+    while (i < ts.length) { out(i) = (ts(i), i + 1); i += 1 }
+    out
+  }
+}
+
 object Tokenizers {
   val default: TokenizerStrategy = new UnicodeWordTokenizer(TokenizerConfig())
 
-  def apply(cfg: TokenizerConfig): TokenizerStrategy = new UnicodeWordTokenizer(cfg)
+  /** Config-dispatched strategy selection (the reference's registry of
+    * interchangeable tokenizations behind one config surface). */
+  def apply(cfg: TokenizerConfig): TokenizerStrategy = cfg.strategy match {
+    case "word"     => new UnicodeWordTokenizer(cfg)
+    case "chargram" => new CharNgramTokenizer(cfg)
+    case other      => throw new IllegalArgumentException(
+      s"unknown tokenizer strategy '$other' (expected word|chargram)")
+  }
 }
