@@ -18,6 +18,18 @@ object PipelineQueries {
     s.read.parquet(s"$d/documents.parquet")
       .filter(col("text").isNotNull && length(col("text")) > 0)
 
+  /** Corpus term stream for the CMS queries (== the oracle's tok CTE). */
+  private def cmsTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("text")).as[String]
+      .flatMap(graft.tokenize.Tokenizers.default.terms(_))
+      .toDF("term")
+  }
+
+  /** Fixture query terms (incl. OOV) whose CMS estimates are oracle-checked. */
+  private val CmsTerms: Seq[String] =
+    QuerySet.queries.flatMap(_.terms).distinct.sorted
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_quality" -> ((s, d) =>
@@ -115,6 +127,24 @@ object PipelineQueries {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
 
+    // Count-Min sketch (the deterministic-seed construction makes BOTH the
+    // sketch grid and the point estimates hash-assertable against SQL —
+    // one explode + one partial+final agg into Depth×Width cells)
+    "q_cms_sketch" -> ((s, d) =>
+      Sketches.countMin(cmsTokens(s, d), col("term")).orderBy("row", "bucket")),
+
+    // point estimates for the fixture query terms (incl. OOV): the CMS
+    // overcount guarantee (estimate >= true cf) is oracle-visible
+    "q_cms_estimate" -> ((s, d) => {
+      val toks = cmsTokens(s, d).localCheckpoint(true) // sketch + truth reuse
+      val est = Sketches.estimate(s, Sketches.countMin(toks, col("term")), CmsTerms)
+      val cf = toks.groupBy("term").agg(count(lit(1)).as("cf"))
+      est.join(cf, Seq("term"), "left_outer")
+        .na.fill(0L, Seq("cf"))
+        .select(col("term"), col("cf"), col("cms_estimate"))
+        .orderBy("term")
+    }),
+
     // dedup GROUPS from near-dup pairs: exact connected components by
     // distributed min-label propagation; component = keep-min canonical
     // representative. Oracle: recursive-CTE transitive closure over the
@@ -194,7 +224,50 @@ object PipelineQueries {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)""".stripMargin
 
+  /** SQL twin of the rolling hash (DuckDB per-character fold). */
+  private def rhSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($s, ''), x -> ascii(x))), (h, c) -> (h * 31 + c) % 1000000007)"
+
+  private val cmsRowsCte =
+    s"rows AS (SELECT unnest(generate_series(0, ${Sketches.Depth - 1})) AS row)"
+
   val oracles: Map[String, String] = Map(
+    "q_cms_sketch" ->
+      s"""WITH $tokCte,
+         |$cmsRowsCte,
+         |cells AS (
+         |  SELECT r.row AS row,
+         |         ${rhSql("'r' || CAST(r.row AS VARCHAR) || ':' || t.term")} % ${Sketches.Width} AS bucket
+         |  FROM tok t CROSS JOIN rows r
+         |)
+         |SELECT CAST(row AS INTEGER) AS row, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+         |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin,
+    "q_cms_estimate" -> {
+      val vals = CmsTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH $tokCte,
+         |$cmsRowsCte,
+         |sk AS (
+         |  SELECT r.row AS row,
+         |         ${rhSql("'r' || CAST(r.row AS VARCHAR) || ':' || t.term")} % ${Sketches.Width} AS bucket,
+         |         count(*) AS cnt
+         |  FROM tok t CROSS JOIN rows r GROUP BY 1, 2
+         |),
+         |qt(term) AS (VALUES $vals),
+         |qb AS (
+         |  SELECT q.term, r.row AS row,
+         |         ${rhSql("'r' || CAST(r.row AS VARCHAR) || ':' || q.term")} % ${Sketches.Width} AS bucket
+         |  FROM qt q CROSS JOIN rows r
+         |),
+         |est AS (
+         |  SELECT qb.term, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_estimate
+         |  FROM qb LEFT JOIN sk ON sk.row = qb.row AND sk.bucket = qb.bucket
+         |  GROUP BY qb.term
+         |),
+         |cfv AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
+         |SELECT e.term, CAST(coalesce(c.cf, 0) AS BIGINT) AS cf, e.cms_estimate
+         |FROM est e LEFT JOIN cfv c ON c.term = e.term
+         |ORDER BY e.term""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH $tokCte,
          |agg AS (

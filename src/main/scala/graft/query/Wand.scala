@@ -231,28 +231,24 @@ object Wand {
     heap.ranked
   }
 
-  /** docstats restricted to the given docId buckets. Small bucket sets
-    * (the normal case: ≤ the query batch's block count) become an
+  /** Bucket-count cap for the predicate-pushdown docstats path; beyond it
+    * the caller keeps the distributed semi-join. */
+  final val MaxPredicateBuckets = 256
+
+  /** docstats restricted to the given docId buckets as an
     * OR-of-docId-ranges predicate pushed INTO the parquet scan — docstats
-    * are range-clustered by docId on write, so min/max footer stats skip
-    * whole files/row groups, not just rows. Large sets fall back to a
-    * semi-join (same semantics, row-level pruning). */
+    * are clustered by docId bucket on write, so min/max footer stats skip
+    * whole files/row groups, not just rows. For sets beyond
+    * [[MaxPredicateBuckets]] use a distributed semi-join instead (topK
+    * does — the bucket set is never fully collected to the driver). */
   def docstatsForBuckets(index: IndexHandle, buckets: Array[Long]): Dataset[DocStat] = {
-    val spark = index.spark
-    import spark.implicits._
+    require(buckets.nonEmpty && buckets.length <= MaxPredicateBuckets,
+      s"predicate path expects 1..$MaxPredicateBuckets buckets, got ${buckets.length}")
     val bucketRange = index.manifest.bucketRange
-    if (buckets.length <= 256) {
-      val pred = buckets.map { b =>
-        col("docId") >= b * bucketRange && col("docId") < (b + 1) * bucketRange
-      }.reduce(_ || _)
-      index.docstats.filter(pred)
-    } else {
-      index.docstats.toDF()
-        .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
-        .join(buckets.toSeq.toDF("bucket"), Seq("bucket"), "left_semi")
-        .drop("bucket")
-        .as[DocStat]
-    }
+    val pred = buckets.map { b =>
+      col("docId") >= b * bucketRange && col("docId") < (b + 1) * bucketRange
+    }.reduce(_ || _)
+    index.docstats.filter(pred)
   }
 
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)
@@ -294,10 +290,22 @@ object Wand {
     val candBuckets = filtered.toDF()
       .select((col("blockId") / lit(blocksPerBucket)).cast("long").as("bucket"))
       .distinct()
-    val bucketList: Array[Long] = candBuckets.as[Long].collect()
-    if (bucketList.isEmpty)
+    // BOUNDED probe: fetch at most MaxPredicateBuckets+1 bucket ids — the
+    // driver never materializes a web-scale bucket set; batches touching
+    // more buckets keep the fully-distributed semi-join
+    val probe: Array[Long] =
+      candBuckets.limit(MaxPredicateBuckets + 1).as[Long].collect()
+    if (probe.isEmpty)
       return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
-    val prunedStats = docstatsForBuckets(index, bucketList)
+    val prunedStats =
+      if (probe.length <= MaxPredicateBuckets) docstatsForBuckets(index, probe)
+      else {
+        index.docstats.toDF()
+          .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+          .join(candBuckets, Seq("bucket"), "left_semi")
+          .drop("bucket")
+          .as[DocStat]
+      }
     val blocksByBucket = filtered.groupByKey(b => b.blockId / blocksPerBucket)
     val statsByBucket = prunedStats.groupByKey(s => s.docId / bucketRange)
 
