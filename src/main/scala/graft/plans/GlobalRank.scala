@@ -64,6 +64,34 @@ object GlobalRank {
     Ranked(ranked, acc, release)
   }
 
+  /** Exact percentile VALUES over a unique total order — order statistics
+    * through the same rank machinery, never a global sort-collect: one
+    * range exchange, per-partition ranks, then a broadcast join against
+    * the target ranks. Target rank for percentile `pct` is
+    * `⌈n·pct/100⌉ = (n·pct + 99) div 100` in PURE INTEGER arithmetic —
+    * a float rank boundary (`ceil(0.99·n)`) rounds differently across
+    * engines when p·n grazes an integer, so none is used. Result is
+    * eagerly materialized (it is |pcts| rows) and the rank cache released. */
+  def exactPercentiles(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      pcts: Seq[Int]
+  ): DataFrame = {
+    require(pcts.forall(p => p >= 1 && p <= 100), "percentiles must be in 1..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = withRowNumber(df, order, "__qrn")
+    val targets = pcts
+      .map(pct => (pct, math.max(1L, (r.total * pct + 99) / 100)))
+      .toDF("pct", "__qrn")
+    val res = r.df.join(broadcast(targets), "__qrn")
+      .select(col("pct"), value)
+      .localCheckpoint(true)
+    r.release()
+    res
+  }
+
   /** Exact `ntile(k)` over a unique total order, two-phase (no global
     * window): global row number, then the ntile formula — with n rows the
     * first (n mod k) tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋.

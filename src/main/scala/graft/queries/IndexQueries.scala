@@ -117,6 +117,23 @@ object IndexQueries {
         .orderBy("term_id")
     }),
 
+    // Order statistics at scale: EXACT doc-length percentiles via the
+    // GlobalRank machinery (range exchange + broadcast rank join) —
+    // integer-arithmetic target ranks so the SQL oracle agrees bit-for-bit
+    "q_doclen_quantiles" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val tok = Tokenizers.default
+      val dl = cleanedDocs(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, tok.terms(t).length) }
+        .toDF("doc_id", "doc_len")
+        .filter(col("doc_len") > 0) // == the oracle's tok-derived doclen
+      graft.plans.GlobalRank.exactPercentiles(
+          dl, Seq(col("doc_len").asc, col("doc_id").asc), col("doc_len"),
+          Seq(25, 50, 75, 90, 99, 100))
+        .orderBy("pct")
+    }),
+
     // A7: per-document stats (norms)
     "q_docstats" -> ((spark, sfDir) => {
       IndexCache.handle(spark, sfDir).docstats.toDF()
@@ -572,6 +589,18 @@ object IndexQueries {
            |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,
            |       term, df, cf
            |FROM dft ORDER BY term_id""".stripMargin,
+      "q_doclen_quantiles" ->
+        s"""WITH $corpusCte,
+           |nn AS (SELECT count(*) AS n FROM doclen),
+           |ranked AS (
+           |  SELECT doc_len, row_number() OVER (ORDER BY doc_len, doc_id) AS rn
+           |  FROM doclen
+           |),
+           |ps(pct) AS (VALUES (25), (50), (75), (90), (99), (100))
+           |SELECT CAST(ps.pct AS INTEGER) AS pct, CAST(r.doc_len AS INTEGER) AS doc_len
+           |FROM ps CROSS JOIN nn
+           |JOIN ranked r ON r.rn = greatest(1, (nn.n * ps.pct + 99) // 100)
+           |ORDER BY pct""".stripMargin,
       "q_docstats" ->
         s"""WITH $corpusCte
            |SELECT doc_id, CAST(doc_len AS INTEGER) AS doc_len
