@@ -113,30 +113,13 @@ object VocabQueries {
     }),
 
     // U4-extra: conjunctive (AND) retrieval = posting-list intersection,
-    // answered FROM the compressed index (decode → per-query countDistinct)
+    // answered FROM the compressed index by per-bucket k-way GALLOPING
+    // intersection (Wand.booleanAnd): only intersection hits leave the
+    // cogroup, so the exchange is result-bounded — never a
+    // groupBy(query, doc) over a stopword term's full postings
     "q_bool_and" -> ((s, d) => {
-      import s.implicits._
       val h = IndexCache.handle(s, d)
-      val multi = QuerySet.queries.filter(_.terms.size > 1)
-      val qdf = multi.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
-        .toDF("query_id", "term")
-      val qsize = multi.map(q => (q.queryId, q.terms.distinct.size))
-        .toDF("query_id", "n_terms")
-      val dict = h.dictionary.toDF().select(col("term"), col("termId"))
-      val wanted = qdf.join(dict, "term").select("query_id", "termId")
-      val ids = wanted.select("termId").distinct().as[Int].collect().toSeq
-      val postingDocs = h.postings
-        .filter(col("termId").isin(ids.map(Int.box): _*))
-        .as[graft.index.PostingBlock]
-        .flatMap(b => graft.codec.VByte.decodeDocIds(b.docIdGaps).map(doc => (b.termId, doc)))
-        .toDF("termId", "doc_id")
-      postingDocs
-        .join(broadcast(wanted), "termId")
-        .groupBy("query_id", "doc_id")
-        .agg(countDistinct(col("termId")).as("nt"))
-        .join(broadcast(qsize), "query_id")
-        .filter(col("nt") === col("n_terms"))
-        .select("query_id", "doc_id")
+      graft.query.Wand.booleanAnd(h, QuerySet.queries.filter(_.terms.size > 1))
         .orderBy("query_id", "doc_id")
     })
   )

@@ -8,6 +8,50 @@ import org.apache.spark.sql.functions._
 final case class QuerySpec(queryId: Int, terms: Seq[String])
 final case class ScoredDoc(queryId: Int, docId: Long, score: Double)
 
+/** k-way sorted-array intersection with galloping (exponential) search:
+  * driven by the smallest list, each probe doubles its step then binary
+  * searches — O(Σ min-list · log(skip)) instead of scanning every list. */
+object Intersect {
+  def gallop(lists0: Array[Array[Long]]): Array[Long] = {
+    if (lists0.isEmpty || lists0.exists(_.isEmpty)) return Array.empty
+    val lists = lists0.sortBy(_.length) // rarest first drives the probes
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val pos = new Array[Int](lists.length)
+    val lead = lists(0)
+    var i = 0
+    while (i < lead.length) {
+      val target = lead(i)
+      var k = 1
+      var ok = true
+      while (ok && k < lists.length) {
+        val p = gallopTo(lists(k), pos(k), target)
+        pos(k) = p
+        if (p >= lists(k).length) { ok = false; i = lead.length } // list exhausted → done
+        else if (lists(k)(p) != target) ok = false
+        k += 1
+      }
+      if (ok) out += target
+      i += 1
+    }
+    out.result()
+  }
+
+  /** first index >= `from` with a(idx) >= target (galloping + binary). */
+  private def gallopTo(a: Array[Long], from: Int, target: Long): Int = {
+    if (from >= a.length || a(from) >= target) return from
+    var step = 1
+    var hi = from
+    while (hi < a.length && a(hi) < target) { hi = hi + step; step <<= 1 }
+    var lo = math.max(from, hi - (step >> 1))
+    var h = math.min(hi, a.length)
+    while (lo < h) {
+      val mid = (lo + h) >>> 1
+      if (a(mid) < target) lo = mid + 1 else h = mid
+    }
+    lo
+  }
+}
+
 /** Loaded index handle (manifest + lazily-read tables). */
 final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexManifest) {
   import spark.implicits._
@@ -249,6 +293,48 @@ object Wand {
       col("docId") >= b * bucketRange && col("docId") < (b + 1) * bucketRange
     }.reduce(_ || _)
     index.docstats.filter(pred)
+  }
+
+  /** Conjunctive (AND) retrieval: docIds containing EVERY query term,
+    * answered by per-bucket k-way galloping intersection over the decoded
+    * sorted posting lists — the U4 operator in its scale shape. A doc's
+    * postings all live in the doc's bucket, so buckets intersect
+    * independently and ONLY intersection hits are emitted: the exchange is
+    * bounded by the result size, never by the terms' posting volume
+    * (a groupBy(query, doc) over all postings of a stopword term would
+    * shuffle the corpus). Queries with any OOV term return empty (AND
+    * semantics). Returns (query_id, doc_id) rows. */
+  def booleanAnd(index: IndexHandle, queries: Seq[QuerySpec]): org.apache.spark.sql.DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val dict = index.lookupTerms(queries.flatMap(_.terms))
+    // resolvable queries only; any OOV term empties the conjunction
+    val qTerms: Map[Int, Array[Int]] = queries.flatMap { q =>
+      val ts = q.terms.distinct
+      val ids = ts.flatMap(dict.get).map(_.termId)
+      if (ids.length == ts.length && ids.nonEmpty) Some(q.queryId -> ids.sorted.toArray) else None
+    }.toMap
+    val allIds = qTerms.values.flatten.toSeq.distinct
+    if (allIds.isEmpty) return Seq.empty[(Int, Long)].toDF("query_id", "doc_id")
+    val blocksPerBucket = index.manifest.bucketRange / index.manifest.blockSize
+    val bQ = spark.sparkContext.broadcast(qTerms)
+    index.postings
+      .filter(col("termId").isin(allIds: _*)) // pushed to parquet row groups
+      .as[PostingBlock]
+      .groupByKey(b => b.blockId / blocksPerBucket)
+      .flatMapGroups { (_, blocks) =>
+        val byTerm: Map[Int, Array[Long]] = blocks.toArray.groupBy(_.termId).map {
+          case (t, bs) =>
+            // blocks of one term in one bucket are disjoint ascending runs
+            t -> bs.sortBy(_.firstDocId).iterator.flatMap(b => VByte.decodeDocIds(b.docIdGaps)).toArray
+        }
+        bQ.value.iterator.flatMap { case (qid, termIds) =>
+          val lists = termIds.flatMap(byTerm.get)
+          if (lists.length < termIds.length) Iterator.empty // a term absent from this bucket
+          else Intersect.gallop(lists).iterator.map(d => (qid, d))
+        }
+      }
+      .toDF("query_id", "doc_id")
   }
 
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.query.{Intersect, QuerySpec, Wand}
+import graft.queries.IndexCache
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Conjunctive retrieval: the galloping k-way intersection kernel must
+  * equal naive set intersection on randomized sorted lists, and the
+  * bucket-cogrouped booleanAnd must equal a brute-force recomputation over
+  * the corpus for seeded multi-term queries (incl. OOV → empty). */
+class IntersectSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("gallop == naive set intersection on 200 random k-way cases") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(4)
+      val lists = Array.fill(k) {
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(120).toLong).distinct.sorted
+      }
+      val want = lists.map(_.toSet).reduce(_ intersect _).toSeq.sorted
+      val got = Intersect.gallop(lists).toSeq
+      assert(got == want, s"k=$k lists=${lists.map(_.mkString(",")).mkString(" | ")}")
+    }
+    assert(Intersect.gallop(Array.empty).isEmpty)
+    assert(Intersect.gallop(Array(Array(1L, 2L), Array.empty[Long])).isEmpty)
+  }
+
+  test("booleanAnd == brute-force corpus intersection; OOV term empties the query") {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val vocab = h.dictMap.keys.toArray.sorted
+    val rnd = new scala.util.Random(23)
+    val queries = (1 to 20).map { i =>
+      QuerySpec(i, Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(math.min(vocab.length, 50)))))
+    } :+ QuerySpec(99, Seq("the", "zzzoov"))
+    val got = Wand.booleanAnd(h, queries)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // brute force from the raw text
+    val tok = graft.tokenize.Tokenizers.default
+    val docTerms = graft.corpus.Pages.cleaned(graft.corpus.Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> tok.terms(t).toSet }
+    val want = queries.flatMap { q =>
+      docTerms.collect {
+        case (id, ts) if q.terms.forall(ts.contains) => (q.queryId, id)
+      }
+    }.toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(!got.exists(_._1 == 99), "OOV conjunction must be empty")
+  }
+}
