@@ -47,6 +47,15 @@ object VocabQueries {
   /** WordPiece trainer iterations for q_wp_merges. */
   final val WpMerges = 6
 
+  /** AND-NOT fixture: (queryId, positive terms, negative terms) — covers
+    * multi-positive exclusion, single-positive exclusion, an OOV negative
+    * (no-op), and an OOV positive (empty result). */
+  val AndNotQueries: Seq[(Int, Seq[String], Seq[String])] = Seq(
+    (1, Seq("merge", "join"), Seq("batch")),
+    (2, Seq("the"), Seq("key")),
+    (3, Seq("batch"), Seq("zzzoov")),
+    (4, Seq("quantum"), Seq("the")))
+
   private[queries] def tokenDocs(s: SparkSession, d: String) = {
     import s.implicits._
     val tok = Tokenizers.default
@@ -120,6 +129,14 @@ object VocabQueries {
     "q_bool_and" -> ((s, d) => {
       val h = IndexCache.handle(s, d)
       graft.query.Wand.booleanAnd(h, QuerySet.queries.filter(_.terms.size > 1))
+        .orderBy("query_id", "doc_id")
+    }),
+
+    // U3/U4 over the index: AND-NOT (negation) — positives intersected,
+    // negatives excluded, all inside the same bucket cogroup
+    "q_bool_andnot" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      graft.query.Wand.booleanAndNot(h, AndNotQueries)
         .orderBy("query_id", "doc_id")
     })
   )
@@ -270,6 +287,34 @@ object VocabQueries {
          |FROM q JOIN (SELECT DISTINCT doc_id, term FROM tok) t ON t.term = q.term
          |GROUP BY q.query_id, t.doc_id
          |HAVING count(DISTINCT q.term) = (SELECT n_terms FROM qs WHERE qs.query_id = q.query_id)
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+    "q_bool_andnot" -> {
+      val pos = AndNotQueries.flatMap { case (qid, ps, _) =>
+        ps.distinct.map(t => s"($qid,'$t')")
+      }.mkString(", ")
+      val sizes = AndNotQueries.map { case (qid, ps, _) => s"($qid,${ps.distinct.size})" }.mkString(", ")
+      val neg = AndNotQueries.flatMap { case (qid, _, ns) =>
+        ns.distinct.map(t => s"($qid,'$t')")
+      }.mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+         |p(query_id, term) AS (VALUES $pos),
+         |ps(query_id, n_terms) AS (VALUES $sizes),
+         |neg(query_id, term) AS (VALUES $neg),
+         |hits AS (
+         |  SELECT p.query_id, t.doc_id
+         |  FROM p JOIN tok t ON t.term = p.term
+         |  GROUP BY p.query_id, t.doc_id
+         |  HAVING count(DISTINCT p.term) = (SELECT n_terms FROM ps WHERE ps.query_id = p.query_id)
+         |)
+         |SELECT h.query_id, h.doc_id FROM hits h
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM neg JOIN tok t2 ON t2.term = neg.term
+         |  WHERE neg.query_id = h.query_id AND t2.doc_id = h.doc_id
+         |)
          |ORDER BY query_id, doc_id""".stripMargin
     }
   )

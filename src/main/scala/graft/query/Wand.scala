@@ -337,6 +337,56 @@ object Wand {
       .toDF("query_id", "doc_id")
   }
 
+  /** AND-NOT retrieval: docs containing every positive term and none of
+    * the negative terms — the boolean-algebra complement of [[booleanAnd]],
+    * same bucket-cogroup shape (a doc and all its postings share a bucket,
+    * so exclusion is bucket-local too). OOV positives empty the query; OOV
+    * negatives are no-ops. `queries` maps queryId -> (positives, negatives). */
+  def booleanAndNot(
+      index: IndexHandle,
+      queries: Seq[(Int, Seq[String], Seq[String])]
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val dict = index.lookupTerms(queries.flatMap(q => q._2 ++ q._3))
+    val resolved: Map[Int, (Array[Int], Array[Int])] = queries.flatMap { case (qid, pos, neg) =>
+      val ps = pos.distinct
+      val pIds = ps.flatMap(dict.get).map(_.termId)
+      if (pIds.length < ps.length || pIds.isEmpty) None // OOV positive → empty
+      else Some(qid -> (pIds.sorted.toArray, neg.distinct.flatMap(dict.get).map(_.termId).toArray))
+    }.toMap
+    val allIds = resolved.values.flatMap(v => v._1 ++ v._2).toSeq.distinct
+    if (allIds.isEmpty) return Seq.empty[(Int, Long)].toDF("query_id", "doc_id")
+    val blocksPerBucket = index.manifest.bucketRange / index.manifest.blockSize
+    val bQ = spark.sparkContext.broadcast(resolved)
+    index.postings
+      .filter(col("termId").isin(allIds: _*))
+      .as[PostingBlock]
+      .groupByKey(b => b.blockId / blocksPerBucket)
+      .flatMapGroups { (_, blocks) =>
+        val byTerm: Map[Int, Array[Long]] = blocks.toArray.groupBy(_.termId).map {
+          case (t, bs) =>
+            t -> bs.sortBy(_.firstDocId).iterator.flatMap(b => VByte.decodeDocIds(b.docIdGaps)).toArray
+        }
+        bQ.value.iterator.flatMap { case (qid, (pos, neg)) =>
+          val posLists = pos.flatMap(byTerm.get)
+          if (posLists.length < pos.length) Iterator.empty
+          else {
+            val hits = Intersect.gallop(posLists)
+            val excluded = neg.flatMap(byTerm.get)
+            val out =
+              if (excluded.isEmpty || hits.isEmpty) hits
+              else {
+                val ex = excluded.iterator.flatten.toSet
+                hits.filter(!ex.contains(_))
+              }
+            out.iterator.map(d => (qid, d))
+          }
+        }
+      }
+      .toDF("query_id", "doc_id")
+  }
+
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)
     * per query, ranked (score desc, docId asc), up to k rows each. */
   def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] = {

@@ -51,4 +51,34 @@ class IntersectSpec extends AnyFunSuite {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     assert(!got.exists(_._1 == 99), "OOV conjunction must be empty")
   }
+
+  test("booleanAndNot == brute force; OOV negative no-op, OOV positive empties") {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val vocab = h.dictMap.keys.toArray.sorted
+    val rnd = new scala.util.Random(41)
+    val queries = (1 to 20).map { i =>
+      val pos = Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(math.min(vocab.length, 50))))
+      val neg = Seq.fill(rnd.nextInt(3))(vocab(rnd.nextInt(math.min(vocab.length, 80))))
+      (i, pos, neg)
+    } ++ Seq(
+      (98, Seq("the"), Seq("zzzoov")),  // OOV negative — must not exclude anything
+      (99, Seq("zzzoov"), Seq("the"))) // OOV positive — empty
+    val got = Wand.booleanAndNot(h, queries)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val tok = graft.tokenize.Tokenizers.default
+    val docTerms = graft.corpus.Pages.cleaned(graft.corpus.Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> tok.terms(t).toSet }
+    val want = queries.flatMap { case (qid, pos, neg) =>
+      docTerms.collect {
+        case (id, ts) if pos.forall(ts.contains) && !neg.exists(ts.contains) => (qid, id)
+      }
+    }.toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(!got.exists(_._1 == 99), "OOV positive must empty the query")
+    val noNeg = Wand.booleanAndNot(h, Seq((98, Seq("the"), Seq.empty[String])))
+      .collect().map(_.getLong(1)).toSet
+    assert(got.collect { case (98, d) => d } == noNeg, "OOV negative must be a no-op")
+  }
 }
