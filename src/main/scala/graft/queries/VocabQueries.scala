@@ -138,6 +138,15 @@ object VocabQueries {
       val h = IndexCache.handle(s, d)
       graft.query.Wand.booleanAndNot(h, AndNotQueries)
         .orderBy("query_id", "doc_id")
+    }),
+
+    // U1 over the index: OR (disjunctive) retrieval — per-bucket sorted
+    // dedupe-union of the terms' posting lists; OOV terms ignored,
+    // all-OOV queries empty (QuerySet queries 4 and 5 cover both)
+    "q_bool_or" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      graft.query.Wand.booleanOr(h, QuerySet.queries.filter(_.terms.size > 1))
+        .orderBy("query_id", "doc_id")
     })
   )
 
@@ -315,6 +324,18 @@ object VocabQueries {
          |  SELECT 1 FROM neg JOIN tok t2 ON t2.term = neg.term
          |  WHERE neg.query_id = h.query_id AND t2.doc_id = h.doc_id
          |)
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
+    "q_bool_or" -> {
+      val multi = QuerySet.queries.filter(_.terms.size > 1)
+      val vals = multi.flatMap(q => q.terms.distinct.map(t => s"(${q.queryId},'$t')")).mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+         |q(query_id, term) AS (VALUES $vals)
+         |SELECT DISTINCT q.query_id, t.doc_id
+         |FROM q JOIN tok t ON t.term = q.term
          |ORDER BY query_id, doc_id""".stripMargin
     }
   )

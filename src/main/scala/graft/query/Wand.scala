@@ -36,6 +36,37 @@ object Intersect {
     out.result()
   }
 
+  /** k-way union of sorted distinct lists, ascending, deduped — a linear
+    * merge driven by the minimum head (k is query-sized, so the scan is
+    * O(Σ|list| · k) with tiny constants; no hash set materialization). */
+  def unionSorted(lists: Array[Array[Long]]): Array[Long] = {
+    val live = lists.filter(_.nonEmpty)
+    if (live.isEmpty) return Array.empty
+    if (live.length == 1) return live(0)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    val pos = new Array[Int](live.length)
+    var last = Long.MinValue
+    while ({
+      var min = Long.MaxValue
+      var k = 0
+      while (k < live.length) {
+        if (pos(k) < live(k).length && live(k)(pos(k)) < min) min = live(k)(pos(k))
+        k += 1
+      }
+      if (min == Long.MaxValue) false
+      else {
+        if (min != last) { out += min; last = min }
+        k = 0
+        while (k < live.length) {
+          if (pos(k) < live(k).length && live(k)(pos(k)) == min) pos(k) += 1
+          k += 1
+        }
+        true
+      }
+    }) ()
+    out.result()
+  }
+
   /** first index >= `from` with a(idx) >= target (galloping + binary). */
   private def gallopTo(a: Array[Long], from: Int, target: Long): Int = {
     if (from >= a.length || a(from) >= target) return from
@@ -332,6 +363,40 @@ object Wand {
           val lists = termIds.flatMap(byTerm.get)
           if (lists.length < termIds.length) Iterator.empty // a term absent from this bucket
           else Intersect.gallop(lists).iterator.map(d => (qid, d))
+        }
+      }
+      .toDF("query_id", "doc_id")
+  }
+
+  /** OR (disjunctive) retrieval: docs containing ANY query term — the U1
+    * analog over the index. Same bucket-cogroup shape as [[booleanAnd]];
+    * per bucket each query takes the sorted dedupe-union of its terms'
+    * decoded lists, so the output is exactly result-sized (for OR the
+    * result IS the posting union — there is no tighter bound). OOV terms
+    * are ignored; an all-OOV query is empty. */
+  def booleanOr(index: IndexHandle, queries: Seq[QuerySpec]): org.apache.spark.sql.DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val dict = index.lookupTerms(queries.flatMap(_.terms))
+    val qTerms: Map[Int, Array[Int]] = queries.flatMap { q =>
+      val ids = q.terms.distinct.flatMap(dict.get).map(_.termId)
+      if (ids.nonEmpty) Some(q.queryId -> ids.sorted.toArray) else None
+    }.toMap
+    val allIds = qTerms.values.flatten.toSeq.distinct
+    if (allIds.isEmpty) return Seq.empty[(Int, Long)].toDF("query_id", "doc_id")
+    val blocksPerBucket = index.manifest.bucketRange / index.manifest.blockSize
+    val bQ = spark.sparkContext.broadcast(qTerms)
+    index.postings
+      .filter(col("termId").isin(allIds: _*))
+      .as[PostingBlock]
+      .groupByKey(b => b.blockId / blocksPerBucket)
+      .flatMapGroups { (_, blocks) =>
+        val byTerm: Map[Int, Array[Long]] = blocks.toArray.groupBy(_.termId).map {
+          case (t, bs) =>
+            t -> bs.sortBy(_.firstDocId).iterator.flatMap(b => VByte.decodeDocIds(b.docIdGaps)).toArray
+        }
+        bQ.value.iterator.flatMap { case (qid, termIds) =>
+          Intersect.unionSorted(termIds.flatMap(byTerm.get)).iterator.map(d => (qid, d))
         }
       }
       .toDF("query_id", "doc_id")

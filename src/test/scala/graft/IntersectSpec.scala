@@ -81,4 +81,43 @@ class IntersectSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(got.collect { case (98, d) => d } == noNeg, "OOV negative must be a no-op")
   }
+
+  test("unionSorted == naive set union on 200 random k-way cases") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(4)
+      val lists = Array.fill(k) {
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(120).toLong).distinct.sorted
+      }
+      val want = lists.map(_.toSet).reduce(_ union _).toSeq.sorted
+      val got = Intersect.unionSorted(lists).toSeq
+      assert(got == want, s"k=$k lists=${lists.map(_.mkString(",")).mkString(" | ")}")
+    }
+    assert(Intersect.unionSorted(Array.empty).isEmpty)
+    assert(Intersect.unionSorted(Array(Array.empty[Long], Array(3L))).toSeq == Seq(3L))
+  }
+
+  test("booleanOr == brute-force corpus union; OOV terms ignored, all-OOV empty") {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val vocab = h.dictMap.keys.toArray.sorted
+    val rnd = new scala.util.Random(29)
+    val queries = (1 to 20).map { i =>
+      QuerySpec(i, Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(math.min(vocab.length, 50)))))
+    } ++ Seq(QuerySpec(98, Seq("the", "zzzoov")), QuerySpec(99, Seq("zzzoov")))
+    val got = Wand.booleanOr(h, queries)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val tok = graft.tokenize.Tokenizers.default
+    val docTerms = graft.corpus.Pages.cleaned(graft.corpus.Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> tok.terms(t).toSet }
+    val want = queries.flatMap { q =>
+      docTerms.collect {
+        case (id, ts) if q.terms.exists(ts.contains) => (q.queryId, id)
+      }
+    }.toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(!got.exists(_._1 == 99), "all-OOV disjunction must be empty")
+    assert(got.exists(_._1 == 98), "OOV term in a disjunction must be ignored, not empty the query")
+  }
 }
