@@ -209,6 +209,14 @@ object IndexQueries {
     // payload (doc_id equi-join + range filter; postings-bounded shuffle)
     "q_near" -> ((spark, sfDir) => nearMatch(spark, sfDir)),
 
+    // Index-native snippet generation: a ±window token context around each
+    // query term's FIRST occurrence per doc, reconstructed purely from the
+    // positional index (no access to the original text) — the search-result
+    // page operator. Candidate docs are a fixed range here standing in for
+    // a top-k result set; cost is O(candidates), independent of corpus size
+    // (termId pushdown for the hits, bucket-pruned decode for the context).
+    "q_snippets" -> ((spark, sfDir) => snippets(spark, sfDir)),
+
     // E7: the index invariant validator — summary row (block count from the
     // on-disk index, violation count MUST be 0; oracle recomputes the
     // expected block count from raw text)
@@ -337,6 +345,40 @@ object IndexQueries {
   val NearPairs: Seq[(Int, String, String)] =
     Seq((1, "merge", "join"), (2, "the", "key"), (3, "batch", "stream"))
   final val NearWindow = 3
+
+  /** Snippet fixture: query terms (incl. one OOV → zero rows) + half-window. */
+  val SnippetTerms: Seq[String] = Seq("merge", "vector", "slow", "zzzoov")
+  final val SnippetWindow = 3
+
+  /** Index-native snippets: for each fixture term and each doc in
+    * [DecodeLo, DecodeHi) containing it, the first hit position and the
+    * space-joined tokens at positions [hit−w, hit+w], all decoded from the
+    * index. Two prunings compose: the hit scan is termId-pushdown-bounded,
+    * the context decode is bucket-pruned to the candidate range — so at
+    * 10^12 docs the cost is the candidate set's tokens, nothing more. */
+  def snippets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val dict = h.lookupTerms(SnippetTerms)
+    val entries = SnippetTerms.flatMap(t => dict.get(t).map(e => (e.termId, t)))
+    val qdf = entries.toDF("term_id", "q_term")
+    val hits = positionalOccurrences(spark, h, entries.map(_._1))
+      .filter(col("doc_id") >= lit(DecodeLo) && col("doc_id") < lit(DecodeHi))
+      .groupBy("term_id", "doc_id")
+      .agg(min(col("pos")).as("hit_pos"))
+      .join(broadcast(qdf), "term_id")
+    val toks = decodeRange(spark, h, DecodeLo, DecodeHi)
+      .withColumnRenamed("doc_id", "t_doc")
+      .withColumnRenamed("pos", "t_pos")
+    hits.join(toks, col("t_doc") === col("doc_id") &&
+        col("t_pos") >= col("hit_pos") - SnippetWindow &&
+        col("t_pos") <= col("hit_pos") + SnippetWindow)
+      .groupBy(col("q_term"), col("doc_id"), col("hit_pos"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("t_pos"), col("term")))),
+          x => x.getField("term")), " ").as("snippet"))
+      .orderBy("q_term", "doc_id")
+  }
 
   /** Per-block posSpan metadata of one term — block rows only, NO payload
     * decode. Indexes built without the computer degrade to the un-prunable
@@ -651,6 +693,23 @@ object IndexQueries {
            |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term
            |FROM tok WHERE doc_id >= $DecodeLo AND doc_id < $DecodeHi
            |ORDER BY doc_id, pos""".stripMargin,
+      "q_snippets" -> {
+        val vals = SnippetTerms.map(t => s"('$t')").mkString(", ")
+        s"""WITH $corpusCte,
+           |hits AS (
+           |  SELECT q.q_term, t.doc_id, CAST(min(t.pos) AS INTEGER) AS hit_pos
+           |  FROM (VALUES $vals) q(q_term)
+           |  JOIN tok t ON t.term = q.q_term
+           |  WHERE t.doc_id >= $DecodeLo AND t.doc_id < $DecodeHi
+           |  GROUP BY q.q_term, t.doc_id
+           |)
+           |SELECT h.q_term, h.doc_id, h.hit_pos,
+           |       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+           |FROM hits h JOIN tok t ON t.doc_id = h.doc_id
+           |  AND t.pos BETWEEN h.hit_pos - $SnippetWindow AND h.hit_pos + $SnippetWindow
+           |GROUP BY h.q_term, h.doc_id, h.hit_pos
+           |ORDER BY h.q_term, h.doc_id""".stripMargin
+      },
       "q_near" -> {
         val per = NearPairs.map { case (pid, t1, t2) =>
           s"""SELECT CAST($pid AS INTEGER) AS pair_id, a.doc_id, count(*) AS n_matches

@@ -32,6 +32,39 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Word-association mining: pointwise mutual information over unordered
+    // presence pairs (a<b) within a doc — pmi = ln(p(a,b)/(p(a)p(b))).
+    // Scale shape: per-doc distinct terms from a map-side flatMap, the pair
+    // enumeration is a doc_id equi-join whose output IS the co-occurrence
+    // matrix (inherent to the operator), counts aggregate with map-side
+    // partials, and the two df joins are vocab-sized (AQE broadcasts them).
+    "q_pmi_pairs" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d)
+      val n = base.count()
+      val toks = base.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.tokenize.Tokenizers.default.terms(t).distinct.map(term => (id, term))
+        }
+        .toDF("doc_id", "term")
+      val dfs = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      val pairs = toks
+        .join(toks.select(col("doc_id").as("doc_b"), col("term").as("term_b")),
+          col("doc_id") === col("doc_b") && col("term") < col("term_b"))
+        .groupBy(col("term").as("term_a"), col("term_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(dfs.select(col("term").as("term_a"), col("df").as("df_a")), "term_a")
+        .join(dfs.select(col("term").as("term_b"), col("df").as("df_b")), "term_b")
+        .select(col("term_a"), col("term_b"), col("n_ab"),
+          // ln differs from DuckDB's libm in the last ulp on ~3% of inputs,
+          // so pmi is rounded to 6 dp (transcendental outputs never land on
+          // exact decimal halves, unlike the dyadic-rational gotcha)
+          round(log((col("n_ab").cast("double") * lit(n).cast("double")) /
+            (col("df_a").cast("double") * col("df_b").cast("double"))), 6).as("pmi"))
+        .orderBy("term_a", "term_b")
+    }),
+
     "q_text_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(docs(s, d).select(col("doc_id"), col("text")), col("text"))
         .drop("text").orderBy("doc_id")),
@@ -232,6 +265,25 @@ object PipelineQueries {
     s"rows AS (SELECT unnest(generate_series(0, ${Sketches.Depth - 1})) AS row)"
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |),
+        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+        |dft AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM corpus),
+        |pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY a.term, b.term
+        |)
+        |SELECT p.term_a, p.term_b, p.n_ab,
+        |       round(ln((CAST(p.n_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)) /
+        |          (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 6) AS pmi
+        |FROM pairs p CROSS JOIN nn
+        |JOIN dft da ON da.term = p.term_a
+        |JOIN dft db ON db.term = p.term_b
+        |ORDER BY term_a, term_b""".stripMargin,
     "q_cms_sketch" ->
       s"""WITH $tokCte,
          |$cmsRowsCte,

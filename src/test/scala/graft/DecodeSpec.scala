@@ -48,4 +48,31 @@ class DecodeSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("blockId"),
       s"blockId range not pushed down:\n${plan.take(2000)}")
   }
+
+  test("snippets == brute-force windows from raw text (incl. doc-edge truncation, OOV term)") {
+    import spark.implicits._
+    val got = IndexQueries.snippets(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val tok = Tokenizers.default
+    val docs = Pages.cleaned(Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect()
+      .filter { case (id, _) => id >= IndexQueries.DecodeLo && id < IndexQueries.DecodeHi }
+      .map { case (id, text) => id -> tok.terms(text).toArray }
+    val w = IndexQueries.SnippetWindow
+    val want = (for {
+      q <- IndexQueries.SnippetTerms
+      (doc, terms) <- docs
+      hit = terms.indexOf(q) if hit >= 0 // 0-based; engine positions are 1-based
+    } yield {
+      val lo = math.max(0, hit - w)
+      val hi = math.min(terms.length - 1, hit + w)
+      (q, doc, hit + 1, terms.slice(lo, hi + 1).mkString(" "))
+    }).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(!got.exists(_._1 == "zzzoov"), "OOV snippet term must produce no rows")
+    assert(got.nonEmpty, "fixture must produce snippets")
+  }
 }
