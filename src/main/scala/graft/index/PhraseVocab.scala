@@ -137,6 +137,110 @@ object PhraseVocab {
     (merges.toSeq, docs)
   }
 
+  /** Apply one E-step fuse pass: every adjacent pair in `qualifying` is
+    * fused leftmost-non-overlapping into `l_r`. */
+  def applyFuseSet(tokens: Array[String], qualifying: Set[(String, String)]): Array[String] = {
+    if (tokens.length < 2) return tokens
+    val out = new scala.collection.mutable.ArrayBuffer[String](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      if (i + 1 < tokens.length && qualifying((tokens(i), tokens(i + 1)))) {
+        out += tokens(i) + "_" + tokens(i + 1)
+        i += 2
+      } else {
+        out += tokens(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Unigram-style EM training — the third trainer of the reference's
+    * multi-model surface (midi_tokenizer.py:2784-2832). Unlike the
+    * bottom-up single-pair argmax of BPE/WordPiece, each iteration is a
+    * full E/M cycle: the E-step SEGMENTS the whole corpus under the current
+    * unigram model — every adjacent pair whose joint count beats its
+    * independence prediction (cnt(l,r)·N > cnt(l)·cnt(r), i.e. positive
+    * PMI; top-`cap` such pairs by (cnt desc, l, r)) is fused leftmost-
+    * non-overlapping in ONE pass — and the M-step re-estimates unit
+    * frequencies from the new segmentation (the next iteration's counts).
+    * The fuse decision is pure int64 arithmetic (exact below ~3·10^9
+    * corpus tokens; beyond that compare in log space), so the whole chain
+    * replays exactly in SQL. Each iteration is ONE Spark job collecting at
+    * most `cap` qualifying pairs — never a vocabulary-sized collect. */
+  def trainUnigram(
+      docs0: Dataset[(Long, Array[String])],
+      iters: Int,
+      cap: Int
+  ): (Seq[Int], Dataset[(Long, Array[String])]) = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    var docs = docs0.persist()
+    var parent: Dataset[(Long, Array[String])] = null
+    val perStep = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var step = 0
+    var done = false
+    while (step < iters && !done) {
+      val uni = docs.flatMap { case (_, ts) => ts.iterator }
+        .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("total"))
+      val q = pairCounts(docs)
+        .filter(col("cnt") >= 2)
+        .join(uni.select(col("t").as("left"), col("c").as("cl")), "left")
+        .join(uni.select(col("t").as("right"), col("c").as("cr")), "right")
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("total") > col("cl") * col("cr"))
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(cap)
+        .select("left", "right").collect() // materializes `docs` into its cache
+      if (parent != null) { parent.unpersist(); parent = null }
+      if (q.isEmpty) done = true
+      else {
+        val set = q.map(r => (r.getString(0), r.getString(1))).toSet
+        perStep += set.size
+        parent = docs
+        docs = docs.map { case (id, ts) => (id, applyFuseSet(ts, set)) }.persist()
+        step += 1
+      }
+    }
+    if (parent != null) { docs.count(); parent.unpersist() }
+    (perStep.toSeq, docs)
+  }
+
+  /** Single-threaded Unigram-EM reference for tests (the oracle twin). */
+  def trainUnigramLocal(corpus: Seq[Array[String]], iters: Int, cap: Int): (Seq[Int], Seq[Array[String]]) = {
+    var docs = corpus
+    val perStep = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var step = 0
+    var done = false
+    while (step < iters && !done) {
+      val uni = scala.collection.mutable.HashMap.empty[String, Long]
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      docs.foreach { ts =>
+        ts.foreach(t => uni.updateWith(t)(v => Some(v.getOrElse(0L) + 1)))
+        var i = 0
+        while (i + 1 < ts.length) {
+          pairs.updateWith((ts(i), ts(i + 1)))(v => Some(v.getOrElse(0L) + 1))
+          i += 1
+        }
+      }
+      val total = uni.valuesIterator.sum
+      val q = pairs.iterator
+        .filter { case ((l, r), c) => c >= 2 && c * total > uni(l) * uni(r) }
+        .toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }
+        .take(cap)
+        .map(_._1).toSet
+      if (q.isEmpty) done = true
+      else {
+        perStep += q.size
+        docs = docs.map(ts => applyFuseSet(ts, q))
+        step += 1
+      }
+    }
+    (perStep.toSeq, docs)
+  }
+
   /** Single-threaded WordPiece reference for tests (the oracle twin). */
   def trainLocalWordPiece(corpus: Seq[Array[String]], numMerges: Int): Seq[WpMergeStep] = {
     var docs = corpus

@@ -47,6 +47,10 @@ object VocabQueries {
   /** WordPiece trainer iterations for q_wp_merges. */
   final val WpMerges = 6
 
+  /** Unigram-EM trainer: iterations and per-iteration candidate cap. */
+  final val UniIters = 3
+  final val UniCap = 100
+
   /** AND-NOT fixture: (queryId, positive terms, negative terms) — covers
     * multi-positive exclusion, single-positive exclusion, an OOV negative
     * (no-op), and an OOV positive (empty result). */
@@ -105,6 +109,29 @@ object VocabQueries {
       val (merges, finalDocs) = PhraseVocab.trainWordPiece(tokenDocs(s, d), WpMerges)
       finalDocs.unpersist()
       merges.toDF("step", "left", "right", "count", "score", "merged").orderBy("step")
+    }),
+
+    // E3 third trainer (completing the reference's BPE/Unigram/WordPiece
+    // trio, midi_tokenizer.py:2784-2832): Unigram-style EM — each iteration
+    // segments the WHOLE corpus under the current unigram model (E-step:
+    // fuse every positive-PMI adjacent pair, cnt(l,r)·N > cnt(l)·cnt(r),
+    // leftmost-non-overlapping, top-100 candidates by (cnt desc, l, r))
+    // then re-estimates frequencies from the segmentation (M-step). The
+    // fuse decision is pure int64 arithmetic, so the oracle replays the
+    // full 3-iteration chain exactly; the output is the final segmented
+    // corpus's unit table. Unlike BPE/WordPiece's one-pair-per-step argmax
+    // this is a mass-update EM cycle — a different aggregation pattern.
+    "q_unigram_vocab" -> ((s, d) => {
+      import s.implicits._
+      val (_, finalDocs) = PhraseVocab.trainUnigram(tokenDocs(s, d), UniIters, UniCap)
+      // unit table is vocab-sized (≤ base vocab + iters·cap learned units),
+      // collected like the merge tables so the cached corpus can be released
+      val vocab = finalDocs.flatMap { case (_, ts) => ts.iterator }
+        .toDF("term").groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))
+        .as[(String, Long)].collect().toSeq
+      finalDocs.unpersist()
+      vocab.toDF("term", "cnt")
     }),
 
     // A6: token-type frequency index — invert the dictionary into
@@ -215,6 +242,64 @@ object VocabQueries {
     sb.toString
   }
 
+  /** Chained CTEs replaying `n` Unigram-EM iterations. Step k reads
+    * s{k-1}(doc_id, pos, term): q{k} is the qualifying-pair set (positive
+    * PMI by exact integer comparison, top-`cap`), and the rewrite fuses
+    * EVERY qualifying adjacent pair leftmost-non-overlapping — the same
+    * alternating-take machinery as the BPE replay, but the match mark and
+    * the merged unit are per-ROW (LEFT JOIN against q{k}) instead of one
+    * global argmax pair. */
+  private def unigramReplaySql(n: Int, cap: Int): String = {
+    val sb = new StringBuilder("s0 AS MATERIALIZED (SELECT doc_id, pos, term FROM tok)")
+    for (k <- 1 to n) {
+      val p = k - 1
+      sb.append(s""",
+         |u$k AS MATERIALIZED (SELECT term, count(*) AS c FROM s$p GROUP BY term),
+         |n$k AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS total FROM u$k),
+         |pk$k AS MATERIALIZED (
+         |  SELECT term AS l, nxt AS r, count(*) AS cnt
+         |  FROM (SELECT term, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM s$p)
+         |  WHERE nxt IS NOT NULL GROUP BY term, nxt
+         |),
+         |q$k AS MATERIALIZED (
+         |  SELECT pp.l, pp.r FROM pk$k pp
+         |  JOIN u$k ul ON ul.term = pp.l
+         |  JOIN u$k ur ON ur.term = pp.r
+         |  CROSS JOIN n$k
+         |  WHERE pp.cnt >= 2 AND pp.cnt * n$k.total > ul.c * ur.c
+         |  ORDER BY pp.cnt DESC, pp.l, pp.r LIMIT $cap
+         |),
+         |m$k AS MATERIALIZED (
+         |  SELECT b.doc_id, b.pos, b.term, b.nxt,
+         |         (qk.l IS NOT NULL) AS mt, b.rn
+         |  FROM (SELECT doc_id, pos, term,
+         |               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |        FROM s$p) b
+         |  LEFT JOIN q$k qk ON qk.l = b.term AND qk.r = b.nxt
+         |),
+         |g$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, term, nxt, mt, rn,
+         |         CASE WHEN mt THEN rn - row_number() OVER (PARTITION BY doc_id, mt ORDER BY rn) END AS grp
+         |  FROM m$k
+         |),
+         |t$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, term, nxt, rn,
+         |         mt AND (row_number() OVER (PARTITION BY doc_id, grp ORDER BY rn) % 2 = 1) AS taken
+         |  FROM g$k
+         |),
+         |s$k AS MATERIALIZED (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN taken THEN term || '_' || nxt ELSE term END AS term
+         |  FROM (SELECT doc_id, pos, term, nxt, taken,
+         |               coalesce(lag(taken) OVER (PARTITION BY doc_id ORDER BY rn), FALSE) AS prev_taken
+         |        FROM t$k)
+         |  WHERE NOT prev_taken
+         |)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private val bpeCorpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
@@ -255,6 +340,11 @@ object VocabQueries {
          |       term, df, cf
          |FROM dftm ORDER BY term_id""".stripMargin
     },
+    "q_unigram_vocab" ->
+      s"""WITH $bpeCorpusCte,
+         |${unigramReplaySql(UniIters, UniCap)}
+         |SELECT term, count(*) AS cnt FROM s$UniIters GROUP BY term
+         |ORDER BY cnt DESC, term""".stripMargin,
     "q_a6_type_index" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0

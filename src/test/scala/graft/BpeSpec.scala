@@ -72,6 +72,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("applyFuseSet: leftmost-greedy over a SET of pairs, incl. mixed chains") {
+    val q = Set(("a", "b"), ("b", "c"), ("c", "d"))
+    // (a,b) wins the overlap with (b,c); then (c,d) fuses
+    assert(PhraseVocab.applyFuseSet("a b c d".split(" "), q).toSeq == Seq("a_b", "c_d"))
+    // chain where the first pair does NOT qualify: b c fuses, a stays
+    assert(PhraseVocab.applyFuseSet("x b c".split(" "), q).toSeq == Seq("x", "b_c"))
+    assert(PhraseVocab.applyFuseSet("a".split(" "), q).toSeq == Seq("a"))
+  }
+
+  test("Unigram EM: E-step fuses exactly the positive-PMI pairs") {
+    // corpus: 'a b' always adjacent (high joint), 'x'/'y' independent-ish
+    val corpus = Seq("a b x", "a b y", "a b x y", "x y a b").map(_.split(" "))
+    val (steps, seg) = PhraseVocab.trainUnigramLocal(corpus, 1, 100)
+    assert(steps.nonEmpty && steps.head >= 1)
+    // every a..b adjacency must be fused after one E-step
+    assert(!seg.exists(ts => (0 until ts.length - 1).exists(i => ts(i) == "a" && ts(i + 1) == "b")))
+    assert(seg.exists(_.contains("a_b")))
+  }
+
+  test("distributed Unigram trainer == single-threaded reference on the real corpus") {
+    import spark.implicits._
+    val docs = corpusDocs("/root/testdata/sf0.001")
+    val (dSteps, dFinal) = PhraseVocab.trainUnigram(docs, 3, 100)
+    val (lSteps, lFinal) = PhraseVocab.trainUnigramLocal(
+      docs.collect().toSeq.sortBy(_._1).map(_._2), 3, 100)
+    assert(dSteps == lSteps, s"per-step candidate counts differ: $dSteps vs $lSteps")
+    val dCounts = dFinal.flatMap { case (_, ts) => ts.iterator }
+      .toDF("t").groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lCounts = lFinal.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(dCounts == lCounts, "final segmented unit tables differ")
+    dFinal.unpersist()
+  }
+
   test("WordPiece: likelihood argmax diverges from the count argmax where it should") {
     // "a b" dominates by raw count (BPE's pick) but a and b are frequent
     // elsewhere, so its likelihood is diluted; x and y occur ONLY together —

@@ -83,4 +83,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"too many exchanges ($exchanges):\n${plan.take(2000)}")
     assert(plan.contains("Sort"), "missing within-partition sort")
   }
+
+  test("q_snippets: hit scan is termId-pushed, context decode is bucket-pruned") {
+    val plan = planOf(graft.queries.IndexQueries.snippets(spark, sfDir))
+    assert(plan.contains("PushedFilters"), plan.take(1500))
+    assert("In\\(termId".r.findFirstIn(plan).isDefined,
+      s"termId isin not pushed to the postings scan:\n${plan.take(2000)}")
+    assert("GreaterThanOrEqual\\(blockId".r.findFirstIn(plan).isDefined,
+      s"blockId range not pushed to the context-decode scan:\n${plan.take(2000)}")
+  }
+
+  test("q_pmi_pairs: df joins broadcast, pair counts aggregate map-side") {
+    val df = graft.queries.PipelineQueries.queries("q_pmi_pairs")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized df join did not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      s"pair aggregation lacks map-side partials:\n${plan.take(2000)}")
+  }
 }
