@@ -271,6 +271,13 @@ object IndexQueries {
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
 
+    // Second ranking model over the SAME index read-path: Dirichlet-
+    // smoothed query likelihood (mu=2000) — proves the scoring layer is
+    // pluggable. score(q,d) = sum_t ln((tf + mu*p_t)/(dl + mu)), p_t =
+    // cf_t/totalTokens, factored as present-term deltas + a per-query
+    // constant so only matching postings are scanned (termId pushdown).
+    "q_ql_topk" -> ((spark, sfDir) => qlTopK(spark, sfDir)),
+
     // Same result via the pure declarative DataFrame plan (Catalyst does
     // partial aggs + broadcast of the tiny stats) — proves WAND == plan
     "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false))
@@ -509,6 +516,69 @@ object IndexQueries {
 
   /** Top-10 per query; ranked by (round(score,6) desc, doc_id) for
     * cross-engine float robustness; scores reported rounded to 4. */
+  /** Dirichlet-smoothing pseudo-count (Zhai & Lafferty's standard mu). */
+  final val QlMu = 2000.0
+
+  /** Dirichlet query-likelihood top-10 from the index. OOV query terms are
+    * dropped (all-OOV queries return nothing); candidate docs are those
+    * containing >= 1 resolved term. The smoothed score over ALL resolved
+    * terms factors into per-posting deltas ln(tf+mu*p_t) - ln(mu*p_t), a
+    * per-query constant sum_t ln(mu*p_t) (folded in ascending-term order,
+    * mirrored by the oracle's ordered list_reduce), and the length
+    * normalizer -nq*ln(dl+mu) — so the scan touches only matching
+    * postings (termId pushdown), like BM25. Rank by (round6 desc, docId);
+    * report round4 (absorbs last-ulp ln and sum-order noise, the same
+    * discipline as the BM25 rows). */
+  private def qlTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = IndexCache.handle(spark, sfDir)
+    val total = h.manifest.totalLen
+    val dict = h.lookupTerms(QuerySet.queries.flatMap(_.terms))
+    val resolved = QuerySet.queries.flatMap { q =>
+      val es = q.terms.distinct.flatMap(dict.get).sortBy(_.term)
+      if (es.isEmpty) None else Some((q.queryId, es))
+    }
+    val empty = Seq.empty[(Int, Int, Long, Double)].toDF("query_id", "rank", "doc_id", "score")
+    if (resolved.isEmpty) return empty
+    val qconst = resolved.map { case (qid, es) =>
+      (qid, es.length,
+        es.map(e => math.log(QlMu * (e.cf.toDouble / total.toDouble))).sum)
+    }.toDF("query_id", "nq", "const_q")
+    val qterms = resolved.flatMap { case (qid, es) =>
+      es.map(e => (qid, e.termId, QlMu * (e.cf.toDouble / total.toDouble)))
+    }.toDF("query_id", "term_id", "mu_p")
+    val ids = resolved.flatMap(_._2.map(_.termId)).distinct
+    val occ = h.postings
+      .filter(col("termId").isin(ids.map(Int.box): _*)) // pushed to row groups
+      .as[graft.index.PostingBlock]
+      .flatMap { b =>
+        val docIds = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        docIds.indices.iterator.map(j => (b.termId, docIds(j), tfs(j)))
+      }
+      .toDF("term_id", "doc_id", "tf")
+    val scored = occ
+      .join(broadcast(qterms), "term_id")
+      .withColumn("delta",
+        log(col("tf").cast("double") + col("mu_p")) - log(col("mu_p")))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("delta").as("s"))
+      .join(broadcast(qconst), "query_id")
+      .join(h.docstats.toDF().select(col("docId").as("doc_id"), col("docLen")), "doc_id")
+      .withColumn("score",
+        col("s") + col("const_q") -
+          col("nq").cast("double") * log(col("docLen").cast("double") + lit(QlMu)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("score"), 6).desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   private def bm25TopK(spark: SparkSession, sfDir: String, useWand: Boolean): DataFrame = {
     import spark.implicits._
     if (useWand) {
@@ -598,7 +668,44 @@ object IndexQueries {
          |       doc_id, round(score, 4) AS score
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    val qlTop =
+      s"""WITH $corpusCte,
+         |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
+         |qres AS (SELECT DISTINCT q.query_id, q.term, dft.cf FROM q JOIN dft ON dft.term = q.term),
+         |qstats AS (
+         |  SELECT query_id, count(*) AS nq,
+         |         list_reduce(
+         |           list_prepend(0.0, list(ln($QlMu * (CAST(cf AS DOUBLE) / CAST(g.total AS DOUBLE)))
+         |                                  ORDER BY term)),
+         |           (a, b) -> a + b) AS const_q
+         |  FROM qres CROSS JOIN gstats g GROUP BY query_id
+         |),
+         |deltas AS (
+         |  SELECT r.query_id, tf.doc_id,
+         |         sum(ln(CAST(tf.tf AS DOUBLE) + $QlMu * (CAST(r.cf AS DOUBLE) / CAST(g.total AS DOUBLE)))
+         |             - ln($QlMu * (CAST(r.cf AS DOUBLE) / CAST(g.total AS DOUBLE)))) AS s
+         |  FROM qres r JOIN tf ON tf.term = r.term CROSS JOIN gstats g
+         |  GROUP BY r.query_id, tf.doc_id
+         |),
+         |scores AS (
+         |  SELECT d.query_id, d.doc_id,
+         |         d.s + qs.const_q
+         |           - CAST(qs.nq AS DOUBLE) * ln(CAST(dl.doc_len AS DOUBLE) + $QlMu) AS score
+         |  FROM deltas d JOIN qstats qs ON qs.query_id = d.query_id
+         |  JOIN doclen dl ON dl.doc_id = d.doc_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM scores
+         |)
+         |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       doc_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     Map(
+      "q_ql_topk" -> qlTop,
       "q_tokenize" ->
         s"""WITH $corpusCte
            |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term
