@@ -51,6 +51,10 @@ object VocabQueries {
   final val UniIters = 3
   final val UniCap = 100
 
+  /** Spell-correction fixture: an exact term, an insertion, a deletion, a
+    * substitution, and a no-match. */
+  val SpellQueries: Seq[String] = Seq("merge", "mergee", "joi", "betch", "zzz")
+
   /** AND-NOT fixture: (queryId, positive terms, negative terms) — covers
     * multi-positive exclusion, single-positive exclusion, an OOV negative
     * (no-op), and an OOV positive (empty result). */
@@ -165,6 +169,42 @@ object VocabQueries {
       val h = IndexCache.handle(s, d)
       graft.query.Wand.booleanAndNot(h, AndNotQueries)
         .orderBy("query_id", "doc_id")
+    }),
+
+    // Spell correction over the dictionary, edit distance <= 1, WITHOUT a
+    // UDF and WITHOUT a vocab x queries cross product: SymSpell-style
+    // deletion-neighborhood candidate join — every term explodes into
+    // {term} ∪ del1(term) keys via a codegen'd transform/sequence lambda
+    // (linear in vocab, ~|term|+1 rows each), the query side broadcasts,
+    // and the equality join yields a provably COMPLETE ed<=1 candidate
+    // superset (deletion/insertion/substitution all share a deletion key),
+    // verified exactly by the built-in levenshtein expression. At a 100M
+    // -term vocabulary this is a broadcast hash join over ~10^9 short keys
+    // vs the 5x10^8-per-query scan a naive levenshtein filter would cost.
+    "q_spell" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      import s.implicits._
+      def del1(w: String): Seq[String] =
+        (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1))
+      val qkeys = SpellQueries
+        .flatMap(q => (q +: del1(q)).distinct.map(k => (q, k)))
+        .toDF("q_term", "key")
+      // del1(term) as a pure Catalyst lambda — delete 0-based position i =
+      // substr(1..i) || substr(i+2..end); codegen'd, no UDF
+      val delKeys = transform(
+        sequence(lit(0), length(col("term")) - lit(1)),
+        i => concat(col("term").substr(lit(1), i),
+          col("term").substr(i + lit(2), length(col("term")))))
+      val dictKeys = h.dictionary.toDF()
+        .filter(length(col("term")) > 0)
+        .select(col("term"), col("df"),
+          explode(array_distinct(concat(array(col("term")), delKeys))).as("key"))
+      dictKeys
+        .join(broadcast(qkeys), "key")
+        .select(col("q_term"), col("term"), col("df"))
+        .distinct()
+        .filter(levenshtein(col("q_term"), col("term")) <= 1) // exact verify
+        .orderBy(col("q_term"), col("df").desc, col("term"))
     }),
 
     // U1 over the index: OR (disjunctive) retrieval — per-bucket sorted
@@ -339,6 +379,19 @@ object VocabQueries {
          |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,
          |       term, df, cf
          |FROM dftm ORDER BY term_id""".stripMargin
+    },
+    "q_spell" -> {
+      val vals = SpellQueries.map(t => s"('$t')").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df FROM tf WHERE length(term) > 0 GROUP BY term)
+         |SELECT q.q_term, d.term, d.df
+         |FROM (VALUES $vals) q(q_term)
+         |JOIN dft d ON levenshtein(q.q_term, d.term) <= 1
+         |ORDER BY q.q_term, d.df DESC, d.term""".stripMargin
     },
     "q_unigram_vocab" ->
       s"""WITH $bpeCorpusCte,
