@@ -78,6 +78,94 @@ object IndexBuilder {
   def dictDirFor(indexDir: String, version: Int): String =
     f"$indexDir/dictionary/v$version%05d"
 
+  def tombDirFor(indexDir: String, version: Int): String =
+    f"$indexDir/tombstones/v$version%05d"
+
+  /** Tombstone delete — the third lifecycle verb (build / append / delete).
+    * Postings, docstats and block metadata keep deleted rows physically
+    * until compaction (Lucene-style), but scoring stays EXACT: the
+    * dictionary's df/cf are eagerly decremented by the deleted docs'
+    * contributions (decoded from the affected BUCKETS' posting blocks
+    * only — a pushed blockId predicate, never a full postings scan), the
+    * manifest's nDocs/totalLen become live stats (idf and avgdl reflect
+    * the live corpus), and every query path skips tombstoned docIds.
+    * Stale per-block (maxTf, minDocLen) bounds remain conservative upper
+    * bounds — pruning efficiency decays, correctness never.
+    *
+    * Idempotent like append: the genuinely-new ids are the requested set
+    * minus already-tombstoned minus nonexistent; an empty delta is a
+    * no-op, and a crash-and-replay between the versioned writes and the
+    * manifest commit re-derives the SAME v(N+1) tables from untouched
+    * v(N) inputs. */
+  def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): IndexManifest = {
+    import spark.implicits._
+    val old = Manifest.read(s"$indexDir/manifest.json")
+    val oldTombs: Dataset[Long] =
+      if (old.tombVersion < 0) spark.emptyDataset[Long]
+      else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).as[Long]
+    val requested = docIds.distinct.toDF("docId")
+    val docstats = spark.read.parquet(s"$indexDir/docstats")
+    // genuinely-new = requested ∩ existing docs − already-tombstoned
+    val fresh = requested
+      .join(docstats.select("docId"), Seq("docId"), "left_semi")
+      .join(oldTombs.toDF("docId"), Seq("docId"), "left_anti")
+      .as[Long].collect().sorted // bounded by the caller's request size
+    if (fresh.isEmpty) return old
+    val freshSet = fresh.toSet
+    val bFresh = spark.sparkContext.broadcast(freshSet)
+
+    // live-stat delta from the deleted docs' norms (pruned docstats read)
+    val delAgg = docstats.filter(col("docId").isin(fresh.toIndexedSeq.map(Long.box): _*))
+      .agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+    val (nDel, lenDel) = (delAgg.getLong(0), delAgg.getLong(1))
+
+    // per-term df/cf deltas decoded from the affected buckets' blocks only
+    val bpb = old.bucketRange / old.blockSize
+    val buckets = fresh.map(_ / old.bucketRange).distinct
+    val blockPred = buckets.map { b =>
+      col("blockId") >= b * bpb && col("blockId") < (b + 1) * bpb
+    }.reduce(_ || _)
+    val chunkDirs = (0 until old.nChunks).map(c => f"$indexDir/postings/chunk_$c%05d")
+    val termDeltas = spark.read.parquet(chunkDirs: _*)
+      .filter(blockPred) // pushed to parquet row groups
+      .as[PostingBlock]
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        val dead = bFresh.value
+        ids.indices.iterator
+          .filter(j => dead.contains(ids(j)))
+          .map(j => (b.termId, 1L, tfs(j).toLong))
+      }
+      .toDF("termId", "d_df", "d_cf")
+      .groupBy("termId")
+      .agg(sum(col("d_df")).as("d_df"), sum(col("d_cf")).as("d_cf"))
+
+    // dictionary v(N+1): decremented stats, stable termIds, distributed write
+    val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
+    val perFile = math.max(1L, (old.vocabSize + 7) / 8)
+    oldDict.join(termDeltas, Seq("termId"), "left_outer")
+      .select(col("termId"), col("term"),
+        (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
+        (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
+      .repartition(8, (col("termId") / lit(perFile)).cast("long"))
+      .sortWithinPartitions(col("termId"))
+      .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
+
+    // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
+    oldTombs.toDF("docId").unionByName(fresh.toSeq.toDF("docId"))
+      .repartition(1, (col("docId") / lit(old.bucketRange)).cast("long"))
+      .sortWithinPartitions(col("docId"))
+      .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
+
+    Lineage.append(spark, indexDir,
+      LineageRow(old.nChunks, "delete", nDel, System.currentTimeMillis(), "committed"))
+    val manifest = old.copy(nDocs = old.nDocs - nDel, totalLen = old.totalLen - lenDel,
+      dictVersion = old.dictVersion + 1, tombVersion = old.tombVersion + 1)
+    Manifest.write(s"$indexDir/manifest.json", manifest)
+    manifest
+  }
+
   /** Frequency-ordered dense termIds WITHOUT a single-partition global
     * window (which would bottleneck at a 100M-term vocabulary):
     * range-repartition on (df desc, term), per-partition row_number, plus
@@ -443,7 +531,8 @@ object IndexBuilder {
     val manifest = IndexManifest(old.nDocs + nNew, old.totalLen + lenNew,
       vocabSize, skipped, old.blockSize, old.bucketRange,
       old.nChunks + 1, math.max(old.maxDocId, maxNew),
-      old.dictVersion + 1, batchId.getOrElse(old.lastBatchId))
+      old.dictVersion + 1, batchId.getOrElse(old.lastBatchId),
+      old.tombVersion) // appends never disturb tombstones
     Manifest.write(s"$indexDir/manifest.json", manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
@@ -470,19 +559,19 @@ object Manifest {
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
         s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
-        s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId}}"""
+        s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
+        s""""tombVersion":${m.tombVersion}}"""
     Files.writeString(Paths.get(path), json)
   }
 
   def read(path: String): IndexManifest = {
     val s = Files.readString(Paths.get(path))
-    def f(k: String): Long = {
-      val re = ("\"" + k + "\":(-?\\d+)").r
-      re.findFirstMatchIn(s).map(_.group(1).toLong)
-        .getOrElse(sys.error(s"manifest missing $k"))
-    }
+    def opt(k: String): Option[Long] =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+    def f(k: String): Long = opt(k).getOrElse(sys.error(s"manifest missing $k"))
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
       f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
-      f("dictVersion").toInt, f("lastBatchId"))
+      f("dictVersion").toInt, f("lastBatchId"),
+      opt("tombVersion").getOrElse(-1L).toInt) // absent in pre-delete manifests
   }
 }

@@ -178,7 +178,17 @@ final case class IndexManifest(
     /** last applied streaming micro-batch id (exactly-once cursor): an
       * append carrying a batchId <= this is a checkpoint replay of work
       * already committed and is skipped entirely. -1 = no streamed batch. */
-    lastBatchId: Long = -1L
+    lastBatchId: Long = -1L,
+    /** version counter of the tombstone table (`tombstones/v%05d`), the
+      * delete-side sibling of dictVersion: deletes write version N+1 from
+      * version N (union of the old set and the genuinely-new docIds) and
+      * only then commit the manifest — overwrite-idempotent, like appends.
+      * -1 = no deletes ever; query paths skip tombstone handling entirely.
+      * nDocs/totalLen are LIVE stats (decremented on delete), so avgdl and
+      * idf always reflect the live corpus; postings/docstats keep deleted
+      * rows physically until compaction, and per-block (maxTf, minDocLen)
+      * bounds stay conservative upper bounds. */
+    tombVersion: Int = -1
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */

@@ -26,6 +26,28 @@ object IndexCache {
   }
 }
 
+/** Dedicated index copy with docIds [DelLo, DelHi) tombstone-deleted —
+  * shared by the q_delete_* queries (one build + one delete per JVM). */
+object DeletedIndexCache {
+  final val DelLo = 100L
+  final val DelHi = 300L
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
+
+  def get(spark: SparkSession, sfDir: String): IndexHandle =
+    cache.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val dir = s"/tmp/graft_del_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(dir))
+      IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+      val h0 = IndexReader.load(spark, dir)
+      val ids = h0.docstats
+        .filter(col("docId") >= DelLo && col("docId") < DelHi)
+        .map(_.docId).collect().toSeq
+      IndexBuilder.delete(spark, dir, ids)
+      IndexReader.load(spark, dir)
+    })
+}
+
 /** The fixed benchmark/correctness query set (FIXTURES.md §6): head, torso,
   * tail and OOV terms over the synthetic corpus vocabulary. */
 object QuerySet {
@@ -55,12 +77,13 @@ object QuerySet {
   */
 object IndexQueries {
 
-  /** Shared SQL prelude: tokens / doc lengths / df / tf / global stats. */
-  private val corpusCte: String =
-    """corpus AS (
+  /** Shared SQL prelude: tokens / doc lengths / df / tf / global stats.
+    * `extraWhere` narrows the corpus (e.g. the delete-oracle's minus-range). */
+  private def corpusCteWhere(extraWhere: String): String =
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
-      |  WHERE text IS NOT NULL AND length(text) > 0
-      |),
+      |  WHERE text IS NOT NULL AND length(text) > 0$extraWhere
+      |),""".stripMargin + """
       |tok AS (
       |  SELECT doc_id,
       |         unnest(string_split(lower(text), ' ')) AS term,
@@ -75,6 +98,12 @@ object IndexQueries {
       |         CAST(sum(doc_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
       |  FROM doclen
       |)""".stripMargin
+
+  private val corpusCte: String = corpusCteWhere("")
+
+  /** The delete-oracle corpus: everything except the tombstoned range. */
+  private val corpusCteDeleted: String = corpusCteWhere(
+    s" AND NOT (doc_id >= ${DeletedIndexCache.DelLo} AND doc_id < ${DeletedIndexCache.DelHi})")
 
   /** BM25 impact expression (MUST mirror graft.query.Bm25 op-for-op). */
   private def bm25Sql(tf: String, df: String, docLen: String): String =
@@ -268,6 +297,28 @@ object IndexQueries {
         .orderBy("term")
     }),
 
+    // Tombstone delete, dictionary side: build a dedicated index copy,
+    // DELETE docIds [DelLo, DelHi), and report the live dictionary —
+    // df/cf must equal the statistics of the corpus minus the deleted
+    // docs exactly (df-0 rows, terms living only in deleted docs, drop
+    // out). termIds stay stable (no renumber on delete), so keyed by term.
+    "q_delete_dict" -> ((spark, sfDir) => {
+      val h = DeletedIndexCache.get(spark, sfDir)
+      h.dictionary.toDF()
+        .filter(col("df") > 0)
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    }),
+
+    // Tombstone delete, scoring side: BM25 top-10 over the deleted index
+    // must be rank- AND score-identical to the oracle computed over the
+    // corpus minus the deleted docs — live N/avgdl from the manifest,
+    // decremented df in idf, tombstoned docs skipped inside the WAND
+    // bucket cogroup (docLen = -1 sentinels), stale block bounds merely
+    // conservative.
+    "q_bm25_after_delete" -> ((spark, sfDir) =>
+      wandReport(spark, DeletedIndexCache.get(spark, sfDir))),
+
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
 
@@ -315,6 +366,7 @@ object IndexQueries {
           .flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
       }
       .toDF("term_id", "doc_id", "pos")
+      .transform(h.excludeDeleted(_, "doc_id"))
     occ.join(h.dictionary.toDF().select(col("termId").as("term_id"), col("term")), "term_id")
       .select(col("doc_id"), col("pos"), col("term"))
   }
@@ -346,6 +398,7 @@ object IndexQueries {
         ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
       }
       .toDF("term_id", "doc_id", "pos")
+      .transform(h.excludeDeleted(_, "doc_id"))
   }
 
   /** Ordered proximity pairs: (first, second) with 1 <= pos2 - pos1 <= Window. */
@@ -478,6 +531,7 @@ object IndexQueries {
         ids.indices.iterator.flatMap(j => poss(j).iterator.map(p => (b.termId, ids(j), p)))
       }
       .toDF("term_id", "doc_id", "pos")
+      .transform(h.excludeDeleted(_, "doc_id"))
       .localCheckpoint(true)
     val results = resolved.map { case (pid, ta, tb) =>
       val a = occ.filter(col("term_id") === ta).select(col("doc_id"), col("pos").as("pos_a"))
@@ -557,6 +611,7 @@ object IndexQueries {
         docIds.indices.iterator.map(j => (b.termId, docIds(j), tfs(j)))
       }
       .toDF("term_id", "doc_id", "tf")
+      .transform(h.excludeDeleted(_, "doc_id"))
     val scored = occ
       .join(broadcast(qterms), "term_id")
       .withColumn("delta",
@@ -579,32 +634,38 @@ object IndexQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** WAND top-10 report for a given index handle (k=40 headroom + the
+    * rounded-tie-span guard; see q_bm25_topk's comment). */
+  private def wandReport(spark: SparkSession, h: graft.query.IndexHandle): DataFrame = {
+    import spark.implicits._
+    val kWand = 40
+    def r6(s: Double): Double = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val res = Wand.topK(h, QuerySet.queries, k = kWand)
+    val rows = res.toSeq.flatMap { case (qid, arr) =>
+      val ranked = arr.toSeq
+        .map { case (s, d) => (qid, d, s) }
+        .sortBy { case (_, d, s) => (-r6(s), d) }
+      if (arr.length == kWand && ranked.length > 10)
+        require(r6(ranked(9)._3) != r6(arr.last._1),
+          s"query $qid: rounded-score tie spans the WAND k=$kWand boundary — raise headroom")
+      ranked
+        .take(10)
+        .zipWithIndex
+        .map { case ((q, d, s), i) =>
+          (q, i + 1, d, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    rows.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
+  }
+
   private def bm25TopK(spark: SparkSession, sfDir: String, useWand: Boolean): DataFrame = {
     import spark.implicits._
     if (useWand) {
-      val h = IndexCache.handle(spark, sfDir)
       // k=40 headroom over the reported 10: the report re-ranks by the
       // ROUNDED score (oracle comparison key); a rounded tie crossing the
       // WAND-k boundary could otherwise admit a doc WAND never returned.
-      // The guard below asserts no rounded tie spans that boundary.
-      val kWand = 40
-      def r6(s: Double): Double = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val res = Wand.topK(h, QuerySet.queries, k = kWand)
-      val rows = res.toSeq.flatMap { case (qid, arr) =>
-        val ranked = arr.toSeq
-          .map { case (s, d) => (qid, d, s) }
-          .sortBy { case (_, d, s) => (-r6(s), d) }
-        if (arr.length == kWand && ranked.length > 10)
-          require(r6(ranked(9)._3) != r6(arr.last._1),
-            s"query $qid: rounded-score tie spans the WAND k=$kWand boundary — raise headroom")
-        ranked
-          .take(10)
-          .zipWithIndex
-          .map { case ((q, d, s), i) =>
-            (q, i + 1, d, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }
-      }
-      rows.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
+      // The guard asserts no rounded tie spans that boundary.
+      wandReport(spark, IndexCache.handle(spark, sfDir))
     } else {
       val tok = Tokenizers.default
       val cleaned = cleanedDocs(spark, sfDir)
@@ -645,8 +706,8 @@ object IndexQueries {
   // ----------------------------------------------------------------- oracle
 
   val oracles: Map[String, String] = {
-    val bm25Top =
-      s"""WITH $corpusCte,
+    def bm25TopSql(cte: String): String =
+      s"""WITH $cte,
          |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
          |scores AS (
          |  SELECT q.query_id, tf.doc_id,
@@ -852,8 +913,12 @@ object IndexQueries {
            |SELECT CAST(sum(CAST(ceil(CAST(cnt AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks,
            |       CAST(0 AS BIGINT) AS n_violations
            |FROM per_bucket""".stripMargin,
-      "q_bm25_topk" -> bm25Top,
-      "q_bm25_brute" -> bm25Top
+      "q_bm25_topk" -> bm25TopSql(corpusCte),
+      "q_bm25_brute" -> bm25TopSql(corpusCte),
+      "q_bm25_after_delete" -> bm25TopSql(corpusCteDeleted),
+      "q_delete_dict" ->
+        s"""WITH $corpusCteDeleted
+           |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin
     )
   }
 }

@@ -95,6 +95,21 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
   }
   def docstats: Dataset[DocStat] =
     spark.read.parquet(s"$dir/docstats").as[DocStat]
+  /** Tombstoned docIds (empty dataset when no delete ever ran). */
+  def tombstones: Dataset[Long] =
+    if (manifest.tombVersion < 0) spark.emptyDataset[Long]
+    else spark.read
+      .parquet(graft.index.IndexBuilder.tombDirFor(dir, manifest.tombVersion)).as[Long]
+  /** Anti-join `docCol` against the tombstone set — a no-op (the input
+    * plan, untouched) on never-deleted indexes, a result-sized anti-join
+    * otherwise. Every non-WAND query path routes its doc-bearing rows
+    * through this; WAND skips tombstones inside the bucket cogroup
+    * (a post-heap anti-join could under-fill k). */
+  def excludeDeleted(df: org.apache.spark.sql.DataFrame, docCol: String): org.apache.spark.sql.DataFrame =
+    if (manifest.tombVersion < 0) df
+    else df.join(tombstones.toDF("__tomb_doc_id"),
+      org.apache.spark.sql.functions.col(docCol) === org.apache.spark.sql.functions.col("__tomb_doc_id"),
+      "left_anti")
   /** Term-pruned dictionary lookup — the query path NEVER collects the
     * whole dictionary: the `term IN (...)` predicate pushes to the parquet
     * dictionary scan (asserted in PlanSpec), so a 512-query batch reads a
@@ -282,16 +297,20 @@ object Wand {
               throw new IllegalStateException(
                 s"no DocStat for docId $pivotDoc — docstats pruning/build bug")
             val dl = len.intValue()
-            var score = 0.0
-            // cursors are pre-sorted by termId at construction
-            var t = 0
-            while (t < n) {
-              val c = cursors(t)
-              if (c.curDoc == pivotDoc)
-                score += Bm25.scoreWithIdf(c.idf, c.curTf, dl, avgdl)
-              t += 1
+            // dl == -1 marks a tombstoned doc: skip scoring (cursors still
+            // advance below), so the heap fills with live docs only
+            if (dl != -1) {
+              var score = 0.0
+              // cursors are pre-sorted by termId at construction
+              var t = 0
+              while (t < n) {
+                val c = cursors(t)
+                if (c.curDoc == pivotDoc)
+                  score += Bm25.scoreWithIdf(c.idf, c.curTf, dl, avgdl)
+                t += 1
+              }
+              heap.offer(score, pivotDoc)
             }
-            heap.offer(score, pivotDoc)
           }
           // advance every cursor sitting at pivotDoc
           var a = 0
@@ -366,6 +385,7 @@ object Wand {
         }
       }
       .toDF("query_id", "doc_id")
+      .transform(index.excludeDeleted(_, "doc_id"))
   }
 
   /** OR (disjunctive) retrieval: docs containing ANY query term — the U1
@@ -400,6 +420,7 @@ object Wand {
         }
       }
       .toDF("query_id", "doc_id")
+      .transform(index.excludeDeleted(_, "doc_id"))
   }
 
   /** AND-NOT retrieval: docs containing every positive term and none of
@@ -450,6 +471,7 @@ object Wand {
         }
       }
       .toDF("query_id", "doc_id")
+      .transform(index.excludeDeleted(_, "doc_id"))
   }
 
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)
@@ -498,7 +520,7 @@ object Wand {
       candBuckets.limit(MaxPredicateBuckets + 1).as[Long].collect()
     if (probe.isEmpty)
       return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
-    val prunedStats =
+    val prunedStats0 =
       if (probe.length <= MaxPredicateBuckets) docstatsForBuckets(index, probe)
       else {
         index.docstats.toDF()
@@ -506,6 +528,21 @@ object Wand {
           .join(candBuckets, Seq("bucket"), "left_semi")
           .drop("bucket")
           .as[DocStat]
+      }
+    // tombstoned docs ride into each bucket's cogroup as docLen = -1
+    // sentinels (bucket-pruned like the norms); wandBucket skips them
+    // BEFORE scoring, so the heap fills with live docs only
+    val prunedStats =
+      if (m.tombVersion < 0) prunedStats0
+      else {
+        val tombSentinels = index.tombstones.toDF("docId")
+          .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+          .join(candBuckets, Seq("bucket"), "left_semi")
+          .select(col("docId"), lit("").as("url"), lit(-1).as("docLen"))
+          .as[DocStat]
+        // project away the docstats layout's `part=` partition column
+        prunedStats0.toDF().select("docId", "url", "docLen").as[DocStat]
+          .unionByName(tombSentinels)
       }
     val blocksByBucket = filtered.groupByKey(b => b.blockId / blocksPerBucket)
     val statsByBucket = prunedStats.groupByKey(s => s.docId / bucketRange)
@@ -516,7 +553,12 @@ object Wand {
         if (blockArr.isEmpty) Iterator.empty
         else {
           val docLens = new java.util.HashMap[Long, Integer]()
-          stats.foreach(s => docLens.put(s.docId, Integer.valueOf(s.docLen)))
+          // iterator order after the shuffle is arbitrary: a -1 tombstone
+          // sentinel must win over the doc's real norm either way round
+          stats.foreach { s =>
+            if (s.docLen == -1) docLens.put(s.docId, Integer.valueOf(-1))
+            else docLens.putIfAbsent(s.docId, Integer.valueOf(s.docLen))
+          }
           val byTerm: Map[Int, Array[DecodedBlock]] =
             blockArr.groupBy(_.termId).map { case (t, bs) =>
               t -> bs.sortBy(_.firstDocId).map(DecodedBlock(_))

@@ -1,0 +1,97 @@
+package graft
+
+import graft.corpus.Pages
+import graft.index.{IndexBuilder, IndexConfig, Manifest}
+import graft.query.{IndexReader, QuerySpec, Wand}
+import graft.queries.IndexCache
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Tombstone delete — the third lifecycle verb. The contract: after
+  * delete(ids), every query surface behaves as if the index had been
+  * REBUILT without those docs (exact df/cf/N/avgdl, rank-identical BM25),
+  * while postings stay physically untouched until compaction. */
+class DeleteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val (delHandle, rebuiltHandle, deletedIds) = {
+    val delDir = "/tmp/graft_delete_spec/deleted"
+    val rebDir = "/tmp/graft_delete_spec/rebuilt"
+    Seq(delDir, rebDir).foreach(d => IndexCache.deleteRecursively(new java.io.File(d)))
+    IndexBuilder.build(spark, sfDir, delDir, IndexConfig())
+    val h0 = IndexReader.load(spark, delDir)
+    import spark.implicits._
+    val ids = h0.docstats.filter(col("docId") % 3 === 0).map(_.docId).collect().toSeq
+    IndexBuilder.delete(spark, delDir, ids)
+    // rebuild from the corpus minus those docs
+    val pages = Pages.withInjections(spark, sfDir)
+      .filter(!col("doc_id").cast("long").isin(ids.map(Long.box): _*))
+    IndexBuilder.buildFrom(spark, pages, rebDir, IndexConfig())
+    (IndexReader.load(spark, delDir), IndexReader.load(spark, rebDir), ids)
+  }
+
+  test("delete == rebuild: live dictionary stats identical (df>0 rows, keyed by term)") {
+    val a = delHandle.dictionary.collect().filter(_.df > 0).map(e => (e.term, e.df, e.cf)).toSet
+    val b = rebuiltHandle.dictionary.collect().filter(_.df > 0).map(e => (e.term, e.df, e.cf)).toSet
+    assert(a == b, s"dict diff: onlyDeleted=${(a -- b).take(5)} onlyRebuilt=${(b -- a).take(5)}")
+    val (ma, mb) = (delHandle.manifest, rebuiltHandle.manifest)
+    assert(ma.nDocs == mb.nDocs && ma.totalLen == mb.totalLen,
+      s"live stats differ: (${ma.nDocs},${ma.totalLen}) vs (${mb.nDocs},${mb.totalLen})")
+  }
+
+  test("delete == rebuild: WAND top-k rank- and score-identical") {
+    val queries = graft.queries.QuerySet.queries ++
+      Seq(QuerySpec(50, Seq("the")), QuerySpec(51, Seq("merge", "batch")))
+    val a = Wand.topK(delHandle, queries, 10)
+    val b = Wand.topK(rebuiltHandle, queries, 10)
+    for (q <- queries) {
+      val (ra, rb) = (a(q.queryId).toSeq, b(q.queryId).toSeq)
+      assert(ra.map(_._2) == rb.map(_._2), s"query ${q.queryId}: docs ${ra.map(_._2)} vs ${rb.map(_._2)}")
+      ra.zip(rb).foreach { case ((sa, d), (sb, _)) =>
+        assert(math.abs(sa - sb) < 1e-9, s"query ${q.queryId} doc $d: $sa vs $sb")
+      }
+    }
+    assert(!a.values.flatten.exists(x => deletedIds.contains(x._2)),
+      "a tombstoned doc surfaced in WAND results")
+  }
+
+  test("boolean and decode paths skip tombstoned docs") {
+    val hits = Wand.booleanOr(delHandle, Seq(QuerySpec(1, Seq("the", "a"))))
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.nonEmpty && !hits.exists(deletedIds.contains), "tombstoned doc in booleanOr")
+    val decoded = graft.queries.IndexQueries
+      .decodeRange(spark, delHandle, 0L, delHandle.manifest.maxDocId + 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(decoded.nonEmpty && !decoded.exists(deletedIds.contains), "tombstoned doc decoded")
+  }
+
+  test("re-deleting the same ids is a committed no-op; unknown ids ignored") {
+    val before = Manifest.read("/tmp/graft_delete_spec/deleted/manifest.json")
+    val after = IndexBuilder.delete(spark, "/tmp/graft_delete_spec/deleted",
+      deletedIds ++ Seq(999999999L))
+    assert(after == before, "idempotent re-delete must not bump versions or stats")
+  }
+
+  test("delete then append composes (live stats stay exact)") {
+    val dir = "/tmp/graft_delete_spec/del_append"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val h0 = IndexReader.load(spark, dir)
+    import spark.implicits._
+    val ids = h0.docstats.filter(col("docId") < 50).map(_.docId).collect().toSeq
+    val m1 = IndexBuilder.delete(spark, dir, ids)
+    val maxId = m1.maxDocId
+    val extra = Seq((maxId + 1, s"http://x/${maxId + 1}", "fresh doc text here"))
+      .toDF("doc_id", "url", "text")
+      .select(col("doc_id"), col("url"),
+        org.apache.spark.sql.functions.timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
+    val m2 = IndexBuilder.append(spark, extra, dir, IndexConfig())
+    assert(m2.nDocs == m1.nDocs + 1 && m2.totalLen == m1.totalLen + 4)
+    assert(m2.tombVersion == m1.tombVersion, "append must not disturb tombstones")
+    val h2 = IndexReader.load(spark, dir)
+    val res = Wand.topK(h2, Seq(QuerySpec(1, Seq("fresh"))), 10)(1)
+    assert(res.map(_._2).contains(maxId + 1), "appended doc must be retrievable post-delete")
+  }
+}
