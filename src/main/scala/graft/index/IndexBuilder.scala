@@ -81,6 +81,14 @@ object IndexBuilder {
   def tombDirFor(indexDir: String, version: Int): String =
     f"$indexDir/tombstones/v$version%05d"
 
+  /** Postings root for a compaction generation (0 = original layout). */
+  def postingsRootFor(indexDir: String, gen: Int): String =
+    if (gen == 0) s"$indexDir/postings" else f"$indexDir/postings_g$gen%03d"
+
+  /** Docstats dir for a compaction generation (0 = original layout). */
+  def docstatsDirFor(indexDir: String, gen: Int): String =
+    if (gen == 0) s"$indexDir/docstats" else f"$indexDir/docstats_g$gen%03d"
+
   /** Tombstone delete — the third lifecycle verb (build / append / delete).
     * Postings, docstats and block metadata keep deleted rows physically
     * until compaction (Lucene-style), but scoring stays EXACT: the
@@ -104,7 +112,7 @@ object IndexBuilder {
       if (old.tombVersion < 0) spark.emptyDataset[Long]
       else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).as[Long]
     val requested = docIds.distinct.toDF("docId")
-    val docstats = spark.read.parquet(s"$indexDir/docstats")
+    val docstats = spark.read.parquet(docstatsDirFor(indexDir, old.compactGen))
     // genuinely-new = requested ∩ existing docs − already-tombstoned
     val fresh = requested
       .join(docstats.select("docId"), Seq("docId"), "left_semi")
@@ -125,7 +133,8 @@ object IndexBuilder {
     val blockPred = buckets.map { b =>
       col("blockId") >= b * bpb && col("blockId") < (b + 1) * bpb
     }.reduce(_ || _)
-    val chunkDirs = (0 until old.nChunks).map(c => f"$indexDir/postings/chunk_$c%05d")
+    val chunkDirs = (0 until old.nChunks)
+      .map(c => f"${postingsRootFor(indexDir, old.compactGen)}/chunk_$c%05d")
     val termDeltas = spark.read.parquet(chunkDirs: _*)
       .filter(blockPred) // pushed to parquet row groups
       .as[PostingBlock]
@@ -286,6 +295,18 @@ object IndexBuilder {
         }
       }
     }
+    assembleBlocks(bucketed, cfg)
+  }
+
+  /** The salted block-assembly tail shared by the build and compaction:
+    * one exchange on (termId, bucket), a local (termId, bucket, docId)
+    * sort, and the streaming VByte block encoder. */
+  def assembleBlocks(bucketed: Dataset[BucketedPosting], cfg: IndexConfig): Dataset[PostingBlock] = {
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val blockSize = cfg.blockSize
+    val blocksPerBucket = cfg.blocksPerBucket
+    val computers = cfg.metaComputers
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     bucketed
       .repartition(shufflePartitions, col("termId"), col("bucket"))
@@ -294,6 +315,66 @@ object IndexBuilder {
       .mapPartitions { it =>
         new BlockIterator(it, blockSize, blocksPerBucket, computers)
       }
+  }
+
+  /** Compaction — physically drop tombstoned rows: decode every surviving
+    * posting from the current generation's blocks, re-join its norm from
+    * the live docstats, and reassemble blocks through the SAME salted
+    * exchange + streaming encoder as the original build; live docstats are
+    * rewritten bucket-clustered. Everything lands in generation g+1
+    * directories with the manifest (nChunks = 1, tombVersion cleared)
+    * committed LAST — a crash mid-compaction leaves generation g live and
+    * a re-run re-derives the same g+1. The dictionary is untouched: df/cf
+    * are already live since delete(), and df-0 rows stay so termIds remain
+    * stable. After compaction the index is physically equal to a fresh
+    * rebuild without the deleted docs (CompactSpec). */
+  def compact(spark: SparkSession, indexDir: String): IndexManifest = {
+    import spark.implicits._
+    val old = Manifest.read(s"$indexDir/manifest.json")
+    if (old.tombVersion < 0) return old // nothing tombstoned — no-op
+    val gen = old.compactGen
+    val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange)
+    val tombs = spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
+    val oldStats = spark.read.parquet(docstatsDirFor(indexDir, gen))
+      .select("docId", "url", "docLen")
+    val liveStats = oldStats.join(broadcast(tombs), Seq("docId"), "left_anti").as[DocStat]
+
+    val chunkDirs = (0 until old.nChunks)
+      .map(c => f"${postingsRootFor(indexDir, gen)}/chunk_$c%05d")
+    val surviving = spark.read.parquet(chunkDirs: _*)
+      .as[PostingBlock]
+      .flatMap { b =>
+        val ids = VByte.decodeDocIds(b.docIdGaps)
+        val tfs = VByte.decodeInts(b.tfs)
+        val poss = VByte.decodePositions(b.positions, tfs)
+        ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j), poss(j)))
+      }
+      .toDF("termId", "docId", "tf", "positions")
+      .join(broadcast(tombs.withColumnRenamed("docId", "dead")),
+        col("docId") === col("dead"), "left_anti")
+      .join(liveStats.toDF().select(col("docId"), col("docLen")), "docId")
+      .select(col("termId"), (col("docId") / lit(old.bucketRange)).cast("long").as("bucket"),
+        col("docId"), col("tf"), col("docLen"), col("positions"))
+      .as[BucketedPosting]
+
+    val newGen = gen + 1
+    assembleBlocks(surviving, cfg)
+      .repartition(cfg.postingsBuckets, col("termId"))
+      .sortWithinPartitions(col("termId"), col("blockId"))
+      .write.mode("overwrite")
+      .parquet(s"${postingsRootFor(indexDir, newGen)}/chunk_00000")
+    liveStats
+      .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+      .sortWithinPartitions(col("docId"))
+      // keep the part= layout so post-compaction appends still land in
+      // their own overwrite-idempotent partition next to part=base
+      .write.mode("overwrite").parquet(s"${docstatsDirFor(indexDir, newGen)}/part=base")
+
+    Lineage.append(spark, indexDir,
+      LineageRow(-1, "compact", old.nDocs, System.currentTimeMillis(), "committed"))
+    val manifest = old.copy(nChunks = 1, tombVersion = -1, compactGen = newGen)
+    Manifest.write(s"$indexDir/manifest.json", manifest)
+    manifest
   }
 
   // ---------------------------------------------------------------- build
@@ -476,7 +557,8 @@ object IndexBuilder {
     val partName = s"b${batchId.getOrElse(old.nChunks.toLong)}"
     stats.repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
-      .write.mode("overwrite").parquet(s"$indexDir/docstats/part=$partName")
+      .write.mode("overwrite")
+      .parquet(s"${docstatsDirFor(indexDir, old.compactGen)}/part=$partName")
 
     // dictionary v(N+1) from v(N): update df/cf of existing terms, append
     // NEW terms after vocabSize — all distributed, written multi-file
@@ -519,7 +601,7 @@ object IndexBuilder {
       headDelta.select("termId", "term", "df", "cf").as[TermEntry]
         .collect().map(e => e.term -> e).toMap
     joined.unpersist()
-    val chunkDir = f"$indexDir/postings/chunk_${old.nChunks}%05d"
+    val chunkDir = f"${postingsRootFor(indexDir, old.compactGen)}/chunk_${old.nChunks}%05d"
     postingBlocks(td, dict, cfg)
       .repartition(cfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
@@ -528,11 +610,12 @@ object IndexBuilder {
       LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
 
     val skipped = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
-    val manifest = IndexManifest(old.nDocs + nNew, old.totalLen + lenNew,
-      vocabSize, skipped, old.blockSize, old.bucketRange,
-      old.nChunks + 1, math.max(old.maxDocId, maxNew),
-      old.dictVersion + 1, batchId.getOrElse(old.lastBatchId),
-      old.tombVersion) // appends never disturb tombstones
+    // old.copy: tombVersion/compactGen (and any future field) carry over —
+    // appends never disturb tombstones or the compaction generation
+    val manifest = old.copy(nDocs = old.nDocs + nNew, totalLen = old.totalLen + lenNew,
+      vocabSize = vocabSize, skippedCorrupt = skipped,
+      nChunks = old.nChunks + 1, maxDocId = math.max(old.maxDocId, maxNew),
+      dictVersion = old.dictVersion + 1, lastBatchId = batchId.getOrElse(old.lastBatchId))
     Manifest.write(s"$indexDir/manifest.json", manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
@@ -560,7 +643,7 @@ object Manifest {
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
         s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
         s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
-        s""""tombVersion":${m.tombVersion}}"""
+        s""""tombVersion":${m.tombVersion},"compactGen":${m.compactGen}}"""
     Files.writeString(Paths.get(path), json)
   }
 
@@ -572,6 +655,7 @@ object Manifest {
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
       f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
       f("dictVersion").toInt, f("lastBatchId"),
-      opt("tombVersion").getOrElse(-1L).toInt) // absent in pre-delete manifests
+      opt("tombVersion").getOrElse(-1L).toInt, // absent in pre-delete manifests
+      opt("compactGen").getOrElse(0L).toInt)
   }
 }

@@ -188,7 +188,15 @@ final case class IndexManifest(
       * idf always reflect the live corpus; postings/docstats keep deleted
       * rows physically until compaction, and per-block (maxTf, minDocLen)
       * bounds stay conservative upper bounds. */
-    tombVersion: Int = -1
+    tombVersion: Int = -1,
+    /** compaction generation: 0 = the original build layout
+      * (`postings/chunk_*`, `docstats/`); generation g > 0 reads
+      * `postings_g%03d/` and `docstats_g%03d/` — compaction rewrites both
+      * without tombstoned rows into the NEXT generation's directories and
+      * commits the manifest last (crash mid-compaction leaves the old
+      * generation live; a re-run re-derives the same g+1). Compaction
+      * merges all chunks into one and clears tombVersion. */
+    compactGen: Int = 0
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */

@@ -27,16 +27,22 @@ object IndexCache {
 }
 
 /** Dedicated index copy with docIds [DelLo, DelHi) tombstone-deleted —
-  * shared by the q_delete_* queries (one build + one delete per JVM). */
+  * shared by the q_delete_* queries (one build + one delete per JVM); the
+  * compacted stage (tombstones physically dropped, generation 1) backs
+  * q_compact_stats. */
 object DeletedIndexCache {
   final val DelLo = 100L
   final val DelHi = 300L
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
+  private val compacted = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
+
+  private def dirFor(sfDir: String) =
+    s"/tmp/graft_del_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   def get(spark: SparkSession, sfDir: String): IndexHandle =
     cache.computeIfAbsent(sfDir, { _ =>
       import spark.implicits._
-      val dir = s"/tmp/graft_del_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val dir = dirFor(sfDir)
       IndexCache.deleteRecursively(new java.io.File(dir))
       IndexBuilder.build(spark, sfDir, dir, IndexConfig())
       val h0 = IndexReader.load(spark, dir)
@@ -45,6 +51,17 @@ object DeletedIndexCache {
         .map(_.docId).collect().toSeq
       IndexBuilder.delete(spark, dir, ids)
       IndexReader.load(spark, dir)
+    })
+
+  /** The same index AFTER compaction. Ordering: the tombstoned handle is
+    * built first (get), then compaction bumps the generation in place —
+    * the pre-compaction handle's manifest still points at generation 0, so
+    * both stages stay queryable within one JVM. */
+  def getCompacted(spark: SparkSession, sfDir: String): IndexHandle =
+    compacted.computeIfAbsent(sfDir, { _ =>
+      get(spark, sfDir)
+      IndexBuilder.compact(spark, dirFor(sfDir))
+      IndexReader.load(spark, dirFor(sfDir))
     })
 }
 
@@ -318,6 +335,35 @@ object IndexQueries {
     // conservative.
     "q_bm25_after_delete" -> ((spark, sfDir) =>
       wandReport(spark, DeletedIndexCache.get(spark, sfDir))),
+
+    // Compaction: after physically dropping the tombstoned rows
+    // (generation-1 rewrite through the same salted block assembly as the
+    // build), the decoded per-term postings content must equal the
+    // statistics of the corpus minus the deleted docs EXACTLY — df, cf,
+    // docId sums, decoded position sums, block counts. Keyed by term
+    // (termIds stay stable but the oracle re-derives its own ids).
+    "q_compact_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val h = DeletedIndexCache.getCompacted(spark, sfDir)
+      val stats = h.postings
+        .map { b =>
+          val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+          val tfs = graft.codec.VByte.decodeInts(b.tfs)
+          val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+          (b.termId, ids.length.toLong, tfs.map(_.toLong).sum, ids.sum,
+            poss.iterator.map(_.iterator.map(_.toLong).sum).sum, 1L)
+        }
+        .toDF("term_id", "n", "tf_sum", "docid_sum", "p_sum", "blk")
+        .groupBy("term_id")
+        .agg(sum("n").cast("long").as("df"), sum("tf_sum").cast("long").as("cf"),
+          sum("docid_sum").cast("long").as("docid_sum"),
+          sum("p_sum").cast("long").as("pos_sum"),
+          sum("blk").cast("long").as("n_blocks"))
+      stats
+        .join(h.dictionary.toDF().select(col("termId").as("term_id"), col("term")), "term_id")
+        .select(col("term"), col("df"), col("cf"), col("docid_sum"), col("pos_sum"), col("n_blocks"))
+        .orderBy("term")
+    }),
 
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
@@ -918,7 +964,26 @@ object IndexQueries {
       "q_bm25_after_delete" -> bm25TopSql(corpusCteDeleted),
       "q_delete_dict" ->
         s"""WITH $corpusCteDeleted
-           |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin
+           |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
+      "q_compact_stats" ->
+        s"""WITH $corpusCteDeleted,
+           |per_bucket AS (
+           |  SELECT tf.term, CAST(floor(tf.doc_id / 65536) AS BIGINT) AS bucket,
+           |         count(*) AS cnt
+           |  FROM tf GROUP BY tf.term, bucket
+           |),
+           |nb AS (
+           |  SELECT term,
+           |         CAST(sum(CAST(ceil(CAST(cnt AS DOUBLE) / 128.0) AS BIGINT)) AS BIGINT) AS n_blocks
+           |  FROM per_bucket GROUP BY term
+           |),
+           |ps AS (SELECT term, CAST(sum(pos) AS BIGINT) AS pos_sum FROM tok GROUP BY term)
+           |SELECT d.term, d.df, d.cf,
+           |       CAST(sum(tf.doc_id) AS BIGINT) AS docid_sum,
+           |       max(ps.pos_sum) AS pos_sum, max(nb.n_blocks) AS n_blocks
+           |FROM dft d JOIN tf ON tf.term = d.term
+           |     JOIN nb ON nb.term = d.term JOIN ps ON ps.term = d.term
+           |GROUP BY d.term, d.df, d.cf ORDER BY d.term""".stripMargin
     )
   }
 }

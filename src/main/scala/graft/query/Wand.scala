@@ -90,11 +90,14 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
     spark.read.parquet(graft.index.IndexBuilder.dictDirFor(dir, manifest.dictVersion))
       .select("termId", "term", "df", "cf").as[TermEntry]
   def postings: Dataset[PostingBlock] = {
-    val dirs = (0 until manifest.nChunks).map(c => f"$dir/postings/chunk_$c%05d")
+    val root = graft.index.IndexBuilder.postingsRootFor(dir, manifest.compactGen)
+    val dirs = (0 until manifest.nChunks).map(c => f"$root/chunk_$c%05d")
     spark.read.parquet(dirs: _*).as[PostingBlock]
   }
   def docstats: Dataset[DocStat] =
-    spark.read.parquet(s"$dir/docstats").as[DocStat]
+    spark.read
+      .parquet(graft.index.IndexBuilder.docstatsDirFor(dir, manifest.compactGen))
+      .as[DocStat]
   /** Tombstoned docIds (empty dataset when no delete ever ran). */
   def tombstones: Dataset[Long] =
     if (manifest.tombVersion < 0) spark.emptyDataset[Long]

@@ -1,0 +1,98 @@
+package graft
+
+import graft.corpus.Pages
+import graft.index.{IndexBuilder, IndexConfig, IndexValidator, Manifest}
+import graft.query.{IndexReader, QuerySpec, Wand}
+import graft.queries.IndexCache
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Compaction: after physically dropping tombstoned rows into the next
+  * generation, the index must be CONTENT-equal to a fresh rebuild without
+  * the deleted docs — per-term postings payloads, docstats, WAND results —
+  * with tombstones cleared and the validator green. */
+class CompactSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def decodedContent(h: graft.query.IndexHandle): Map[String, Seq[(Long, Int, Seq[Int])]] = {
+    import spark.implicits._
+    val terms = h.dictionary.collect().map(e => e.termId -> e.term).toMap
+    h.postings.collect()
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+        ids.indices.map(j => (terms(b.termId), ids(j), tfs(j), poss(j).toSeq))
+      }
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+  }
+
+  private lazy val (compHandle, rebuiltHandle, deletedIds) = {
+    val dir = "/tmp/graft_compact_spec/compacted"
+    val reb = "/tmp/graft_compact_spec/rebuilt"
+    Seq(dir, reb).foreach(d => IndexCache.deleteRecursively(new java.io.File(d)))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val h0 = IndexReader.load(spark, dir)
+    import spark.implicits._
+    val ids = h0.docstats.filter(col("docId") % 4 === 1).map(_.docId).collect().toSeq
+    IndexBuilder.delete(spark, dir, ids)
+    IndexBuilder.compact(spark, dir)
+    val pages = Pages.withInjections(spark, sfDir)
+      .filter(!col("doc_id").cast("long").isin(ids.map(Long.box): _*))
+    IndexBuilder.buildFrom(spark, pages, reb, IndexConfig())
+    (IndexReader.load(spark, dir), IndexReader.load(spark, reb), ids)
+  }
+
+  test("compact == rebuild: decoded per-term postings content identical") {
+    val a = decodedContent(compHandle)
+    val b = decodedContent(rebuiltHandle)
+    assert(a.keySet == b.keySet,
+      s"term sets differ: onlyCompact=${(a.keySet -- b.keySet).take(5)} onlyRebuilt=${(b.keySet -- a.keySet).take(5)}")
+    a.foreach { case (t, rows) => assert(rows == b(t), s"term '$t' postings differ") }
+    assert(compHandle.manifest.tombVersion == -1 && compHandle.manifest.compactGen == 1)
+    assert(compHandle.manifest.nChunks == 1, "compaction must merge chunks")
+  }
+
+  test("compact == rebuild: docstats and WAND results identical") {
+    val a = compHandle.docstats.collect().map(s => (s.docId, s.docLen)).toSet
+    val b = rebuiltHandle.docstats.collect().map(s => (s.docId, s.docLen)).toSet
+    assert(a == b)
+    assert(!a.exists(x => deletedIds.contains(x._1)), "tombstoned doc survived compaction")
+    val queries = graft.queries.QuerySet.queries
+    val ra = Wand.topK(compHandle, queries, 10)
+    val rb = Wand.topK(rebuiltHandle, queries, 10)
+    for (q <- queries) {
+      assert(ra(q.queryId).toSeq.map(_._2) == rb(q.queryId).toSeq.map(_._2), s"query ${q.queryId}")
+      ra(q.queryId).zip(rb(q.queryId)).foreach { case ((sa, d), (sb, _)) =>
+        assert(math.abs(sa - sb) < 1e-12, s"query ${q.queryId} doc $d: $sa vs $sb")
+      }
+    }
+  }
+
+  test("validator green on the compacted generation; compaction of a clean index is a no-op") {
+    assert(IndexValidator.validate(compHandle).count() == 0,
+      "invariant violations on the compacted index")
+    val before = Manifest.read("/tmp/graft_compact_spec/rebuilt/manifest.json")
+    val after = IndexBuilder.compact(spark, "/tmp/graft_compact_spec/rebuilt")
+    assert(after == before, "compaction without tombstones must be a no-op")
+  }
+
+  test("append after compaction lands in the new generation and is retrievable") {
+    import spark.implicits._
+    val dir = "/tmp/graft_compact_spec/compacted"
+    val m1 = compHandle.manifest
+    val newId = m1.maxDocId + 1
+    val extra = Seq((newId, s"http://x/$newId", "freshcompact doc text"))
+      .toDF("doc_id", "url", "text")
+      .select(col("doc_id"), col("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
+    val m2 = IndexBuilder.append(spark, extra, dir, IndexConfig())
+    assert(m2.compactGen == m1.compactGen && m2.nChunks == 2)
+    val h2 = IndexReader.load(spark, dir)
+    val res = Wand.topK(h2, Seq(QuerySpec(1, Seq("freshcompact"))), 10)(1)
+    assert(res.map(_._2).contains(newId))
+  }
+}
