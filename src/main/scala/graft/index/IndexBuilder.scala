@@ -127,16 +127,26 @@ object IndexBuilder {
       .agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
     val (nDel, lenDel) = (delAgg.getLong(0), delAgg.getLong(1))
 
-    // per-term df/cf deltas decoded from the affected buckets' blocks only
+    // per-term df/cf deltas decoded from the affected buckets' blocks only:
+    // an OR-of-blockId-ranges predicate (pushed to parquet row groups) for
+    // bounded bucket sets, a distributed semi-join beyond that — same
+    // two-path discipline as WAND's docstats pruning
     val bpb = old.bucketRange / old.blockSize
     val buckets = fresh.map(_ / old.bucketRange).distinct
-    val blockPred = buckets.map { b =>
-      col("blockId") >= b * bpb && col("blockId") < (b + 1) * bpb
-    }.reduce(_ || _)
     val chunkDirs = (0 until old.nChunks)
       .map(c => f"${postingsRootFor(indexDir, old.compactGen)}/chunk_$c%05d")
-    val termDeltas = spark.read.parquet(chunkDirs: _*)
-      .filter(blockPred) // pushed to parquet row groups
+    val allBlocks = spark.read.parquet(chunkDirs: _*)
+    val affectedBlocks =
+      if (buckets.length <= graft.query.Wand.MaxPredicateBuckets)
+        allBlocks.filter(buckets.map { b =>
+          col("blockId") >= b * bpb && col("blockId") < (b + 1) * bpb
+        }.reduce(_ || _))
+      else
+        allBlocks
+          .withColumn("__bucket", (col("blockId") / lit(bpb)).cast("long"))
+          .join(buckets.toSeq.toDF("__bucket"), Seq("__bucket"), "left_semi")
+          .drop("__bucket")
+    val termDeltas = affectedBlocks
       .as[PostingBlock]
       .flatMap { b =>
         val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)

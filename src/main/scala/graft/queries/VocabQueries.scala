@@ -55,6 +55,10 @@ object VocabQueries {
     * substitution, and a no-match. */
   val SpellQueries: Seq[String] = Seq("merge", "mergee", "joi", "betch", "zzz")
 
+  /** Autocomplete fixture: prefixes of varying selectivity + a no-match. */
+  val AutocompletePrefixes: Seq[String] = Seq("s", "ba", "me", "zz")
+  final val AutocompleteK = 5
+
   /** AND-NOT fixture: (queryId, positive terms, negative terms) — covers
     * multi-positive exclusion, single-positive exclusion, an OOV negative
     * (no-op), and an OOV positive (empty result). */
@@ -205,6 +209,36 @@ object VocabQueries {
         .distinct()
         .filter(levenshtein(col("q_term"), col("term")) <= 1) // exact verify
         .orderBy(col("q_term"), col("df").desc, col("term"))
+    }),
+
+    // Search-box autocomplete: per prefix, the top-k dictionary terms by
+    // document frequency. One dictionary range scan per keystroke — the
+    // StartsWith predicate pushes to the parquet dictionary scan, so a
+    // prefix touches only its term range even at a 100M-term vocabulary.
+    "q_autocomplete" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      val dict = h.dictionary.toDF()
+      AutocompletePrefixes.map { p =>
+        dict.filter(col("term").startsWith(p))
+          .orderBy(col("df").desc, col("term"))
+          .limit(AutocompleteK)
+          .select(lit(p).as("prefix"), col("term"), col("df"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("prefix"), col("df").desc, col("term"))
+    }),
+
+    // Faceted search: per conjunctive query, matching-doc counts by lang —
+    // the SERP facet panel. Hits come from the result-bounded boolean
+    // cogroup; the lang lookup is a pruned (doc_id, lang) scan joined on
+    // the hit set, so facet cost is O(results).
+    "q_facet_lang" -> ((s, d) => {
+      val h = IndexCache.handle(s, d)
+      val hits = graft.query.Wand.booleanAnd(h, QuerySet.queries.filter(_.terms.size > 1))
+      val langs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      hits.join(langs, "doc_id")
+        .groupBy("query_id", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("query_id", "lang")
     }),
 
     // U1 over the index: OR (disjunctive) retrieval — per-bucket sorted
@@ -379,6 +413,40 @@ object VocabQueries {
          |SELECT CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS INTEGER) AS term_id,
          |       term, df, cf
          |FROM dftm ORDER BY term_id""".stripMargin
+    },
+    "q_autocomplete" -> {
+      val per = AutocompletePrefixes.map { p =>
+        s"""(SELECT '$p' AS prefix, term, df FROM dft
+           |WHERE term LIKE '$p%' ORDER BY df DESC, term LIMIT $AutocompleteK)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT * FROM ($per) ORDER BY prefix, df DESC, term""".stripMargin
+    },
+    "q_facet_lang" -> {
+      val multi = QuerySet.queries.filter(_.terms.size > 1)
+      val vals = multi.flatMap(q => q.terms.distinct.map(t => s"(${q.queryId},'$t')")).mkString(", ")
+      val sizes = multi.map(q => s"(${q.queryId},${q.terms.distinct.size})").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+         |q(query_id, term) AS (VALUES $vals),
+         |qs(query_id, n_terms) AS (VALUES $sizes),
+         |hits AS (
+         |  SELECT q.query_id, t.doc_id
+         |  FROM q JOIN tok t ON t.term = q.term
+         |  GROUP BY q.query_id, t.doc_id
+         |  HAVING count(DISTINCT q.term) = (SELECT n_terms FROM qs WHERE qs.query_id = q.query_id)
+         |)
+         |SELECT h.query_id, d.lang, count(*) AS n_docs
+         |FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+         |GROUP BY h.query_id, d.lang
+         |ORDER BY query_id, lang""".stripMargin
     },
     "q_spell" -> {
       val vals = SpellQueries.map(t => s"('$t')").mkString(", ")

@@ -93,6 +93,12 @@ class PlanSpec extends AnyFunSuite {
       s"blockId range not pushed to the context-decode scan:\n${plan.take(2000)}")
   }
 
+  test("q_autocomplete: prefix predicate pushes to the dictionary scan") {
+    val plan = planOf(graft.queries.VocabQueries.queries("q_autocomplete")(spark, sfDir))
+    assert(plan.contains("StringStartsWith"),
+      s"prefix not pushed to the dictionary parquet scan:\n${plan.take(2000)}")
+  }
+
   test("q_pmi_pairs: df joins broadcast, pair counts aggregate map-side") {
     val df = graft.queries.PipelineQueries.queries("q_pmi_pairs")(spark, sfDir)
     val plan = planOf(df)
