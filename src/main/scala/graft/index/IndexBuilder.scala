@@ -122,8 +122,11 @@ object IndexBuilder {
     val freshSet = fresh.toSet
     val bFresh = spark.sparkContext.broadcast(freshSet)
 
-    // live-stat delta from the deleted docs' norms (pruned docstats read)
-    val delAgg = docstats.filter(col("docId").isin(fresh.toIndexedSeq.map(Long.box): _*))
+    // live-stat delta from the deleted docs' norms — a semi-join against
+    // the fresh-id relation (an isin() literal list would blow up Catalyst
+    // plan construction on bulk deletes)
+    val delAgg = docstats
+      .join(fresh.toSeq.toDF("docId"), Seq("docId"), "left_semi")
       .agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
     val (nDel, lenDel) = (delAgg.getLong(0), delAgg.getLong(1))
 
@@ -160,14 +163,18 @@ object IndexBuilder {
       .groupBy("termId")
       .agg(sum(col("d_df")).as("d_df"), sum(col("d_cf")).as("d_cf"))
 
-    // dictionary v(N+1): decremented stats, stable termIds, distributed write
+    // dictionary v(N+1): decremented stats, stable termIds, distributed
+    // write preserving the CURRENT layout (bucket count = the live
+    // dictionary's file count, so termId-range clustering survives deletes
+    // regardless of the original build's postingsBuckets)
     val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
-    val perFile = math.max(1L, (old.vocabSize + 7) / 8)
+    val nBuckets = math.max(1, oldDict.inputFiles.length)
+    val perFile = math.max(1L, (old.vocabSize + nBuckets - 1) / nBuckets)
     oldDict.join(termDeltas, Seq("termId"), "left_outer")
       .select(col("termId"), col("term"),
         (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
         (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
-      .repartition(8, (col("termId") / lit(perFile)).cast("long"))
+      .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
       .sortWithinPartitions(col("termId"))
       .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
 
@@ -360,8 +367,8 @@ object IndexBuilder {
         ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j), poss(j)))
       }
       .toDF("termId", "docId", "tf", "positions")
-      .join(broadcast(tombs.withColumnRenamed("docId", "dead")),
-        col("docId") === col("dead"), "left_anti")
+      // the inner join with LIVE docstats below drops tombstoned rows by
+      // itself (liveStats is already anti-joined) — no separate anti-join
       .join(liveStats.toDF().select(col("docId"), col("docLen")), "docId")
       .select(col("termId"), (col("docId") / lit(old.bucketRange)).cast("long").as("bucket"),
         col("docId"), col("tf"), col("docLen"), col("positions"))

@@ -55,7 +55,8 @@ object IndexValidator {
       }
 
     val blocksByBucket = withDf.groupByKey { case (b, _) => b.blockId / blocksPerBucket }
-    val statsByBucket = index.docstats.groupByKey(_.docId / bucketRange)
+    // physical stats: per-block invariants cover tombstoned rows too
+    val statsByBucket = index.docstatsRaw.groupByKey(_.docId / bucketRange)
 
     blocksByBucket.cogroup(statsByBucket) { (bucket, blocks, stats) =>
       val lens = new java.util.HashMap[Long, Integer]()

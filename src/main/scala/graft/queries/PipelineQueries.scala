@@ -42,11 +42,15 @@ object PipelineQueries {
       import s.implicits._
       val base = docs(s, d)
       val n = base.count()
+      // three consumers (both self-join sides + the df agg): materialize
+      // the tokenization once (GC-reclaimed localCheckpoint, the repo's
+      // multi-consumer pattern) instead of re-tokenizing per consumer
       val toks = base.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .flatMap { case (id, t) =>
           graft.tokenize.Tokenizers.default.terms(t).distinct.map(term => (id, term))
         }
         .toDF("doc_id", "term")
+        .localCheckpoint(true)
       val dfs = toks.groupBy("term").agg(count(lit(1)).as("df"))
       val pairs = toks
         .join(toks.select(col("doc_id").as("doc_b"), col("term").as("term_b")),

@@ -67,6 +67,21 @@ object Intersect {
     out.result()
   }
 
+  /** Sorted difference a − b (both ascending): linear two-pointer merge —
+    * allocation-free per element, no boxed hash set. */
+  def diffSorted(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty || b.isEmpty) return a
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0
+    var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
+  }
+
   /** first index >= `from` with a(idx) >= target (galloping + binary). */
   private def gallopTo(a: Array[Long], from: Int, target: Long): Int = {
     if (from >= a.length || a(from) >= target) return from
@@ -94,10 +109,22 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
     val dirs = (0 until manifest.nChunks).map(c => f"$root/chunk_$c%05d")
     spark.read.parquet(dirs: _*).as[PostingBlock]
   }
-  def docstats: Dataset[DocStat] =
+  /** PHYSICAL docstats — includes tombstoned docs' rows until compaction.
+    * Internal machinery only: WAND (which overlays docLen = -1 sentinels)
+    * and the validator (whose per-block invariants are physical). */
+  def docstatsRaw: Dataset[DocStat] =
     spark.read
       .parquet(graft.index.IndexBuilder.docstatsDirFor(dir, manifest.compactGen))
       .as[DocStat]
+  /** LIVE docstats — the public accessor: tombstoned docs excluded, so
+    * every docstats-derived surface (norms, quantiles, stats queries)
+    * reflects the live corpus by construction. No-op when never deleted. */
+  def docstats: Dataset[DocStat] = {
+    val raw = docstatsRaw
+    if (manifest.tombVersion < 0) raw
+    else excludeDeleted(raw.toDF(), "docId")
+      .select("docId", "url", "docLen").as[DocStat]
+  }
   /** Tombstoned docIds (empty dataset when no delete ever ran). */
   def tombstones: Dataset[Long] =
     if (manifest.tombVersion < 0) spark.emptyDataset[Long]
@@ -345,7 +372,7 @@ object Wand {
     val pred = buckets.map { b =>
       col("docId") >= b * bucketRange && col("docId") < (b + 1) * bucketRange
     }.reduce(_ || _)
-    index.docstats.filter(pred)
+    index.docstatsRaw.filter(pred)
   }
 
   /** Conjunctive (AND) retrieval: docIds containing EVERY query term,
@@ -463,12 +490,11 @@ object Wand {
           else {
             val hits = Intersect.gallop(posLists)
             val excluded = neg.flatMap(byTerm.get)
+            // both sides sorted ascending: linear merge-difference, no
+            // boxed hash set even when a negative term is a stopword
             val out =
               if (excluded.isEmpty || hits.isEmpty) hits
-              else {
-                val ex = excluded.iterator.flatten.toSet
-                hits.filter(!ex.contains(_))
-              }
+              else Intersect.diffSorted(hits, Intersect.unionSorted(excluded))
             out.iterator.map(d => (qid, d))
           }
         }
@@ -526,7 +552,7 @@ object Wand {
     val prunedStats0 =
       if (probe.length <= MaxPredicateBuckets) docstatsForBuckets(index, probe)
       else {
-        index.docstats.toDF()
+        index.docstatsRaw.toDF()
           .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
           .join(candBuckets, Seq("bucket"), "left_semi")
           .drop("bucket")
@@ -538,9 +564,15 @@ object Wand {
     val prunedStats =
       if (m.tombVersion < 0) prunedStats0
       else {
-        val tombSentinels = index.tombstones.toDF("docId")
+        val tombBuckets = index.tombstones.toDF("docId")
           .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
-          .join(candBuckets, Seq("bucket"), "left_semi")
+        // bounded path: reuse the already-collected probe array instead of
+        // re-deriving candidate buckets with another postings scan
+        val tombPruned =
+          if (probe.length <= MaxPredicateBuckets)
+            tombBuckets.filter(col("bucket").isin(probe.toIndexedSeq.map(Long.box): _*))
+          else tombBuckets.join(candBuckets, Seq("bucket"), "left_semi")
+        val tombSentinels = tombPruned
           .select(col("docId"), lit("").as("url"), lit(-1).as("docLen"))
           .as[DocStat]
         // project away the docstats layout's `part=` partition column

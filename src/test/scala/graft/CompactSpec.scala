@@ -79,9 +79,23 @@ class CompactSpec extends AnyFunSuite {
     assert(after == before, "compaction without tombstones must be a no-op")
   }
 
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
   test("append after compaction lands in the new generation and is retrievable") {
     import spark.implicits._
-    val dir = "/tmp/graft_compact_spec/compacted"
+    // own COPY of the compacted index: appending into the shared fixture
+    // would make the docstats-equality test order-dependent
+    val dir = "/tmp/graft_compact_spec/append_copy"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    val _ = compHandle // force the shared fixture to exist first
+    copyDir(java.nio.file.Paths.get("/tmp/graft_compact_spec/compacted"),
+      java.nio.file.Paths.get(dir))
     val m1 = compHandle.manifest
     val newId = m1.maxDocId + 1
     val extra = Seq((newId, s"http://x/$newId", "freshcompact doc text"))

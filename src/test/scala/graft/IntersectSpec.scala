@@ -97,6 +97,19 @@ class IntersectSpec extends AnyFunSuite {
     assert(Intersect.unionSorted(Array(Array.empty[Long], Array(3L))).toSeq == Seq(3L))
   }
 
+  test("diffSorted == naive set difference on 200 random cases") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      val a = Array.fill(rnd.nextInt(60))(rnd.nextInt(120).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(60))(rnd.nextInt(120).toLong).distinct.sorted
+      val want = (a.toSet -- b.toSet).toSeq.sorted
+      assert(Intersect.diffSorted(a, b).toSeq == want,
+        s"a=${a.mkString(",")} b=${b.mkString(",")}")
+    }
+    assert(Intersect.diffSorted(Array(1L, 2L), Array.empty[Long]).toSeq == Seq(1L, 2L))
+    assert(Intersect.diffSorted(Array.empty[Long], Array(1L)).isEmpty)
+  }
+
   test("booleanOr == brute-force corpus union; OOV terms ignored, all-OOV empty") {
     import spark.implicits._
     val h = IndexCache.handle(spark, sfDir)
