@@ -40,6 +40,41 @@ class DeleteSpec extends AnyFunSuite {
       s"live stats differ: (${ma.nDocs},${ma.totalLen}) vs (${mb.nDocs},${mb.totalLen})")
   }
 
+  test("delete == rebuild: LIVE docstats accessor excludes tombstoned norms") {
+    val a = delHandle.docstats.collect().map(s => (s.docId, s.docLen)).toSet
+    val b = rebuiltHandle.docstats.collect().map(s => (s.docId, s.docLen)).toSet
+    assert(a == b, "live docstats must equal the rebuilt index's docstats")
+    assert(delHandle.docstatsRaw.count() > delHandle.docstats.count(),
+      "physical docstats must still carry the tombstoned rows")
+  }
+
+  test("append then delete FROM the appended chunk: dictionary stays exact") {
+    import spark.implicits._
+    val dir = "/tmp/graft_delete_spec/append_del"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val m0 = IndexBuilder.append(spark, Pages.withInjections(spark, sfDir)
+      .filter(col("doc_id").cast("long") < 0), dir, IndexConfig()) // empty append is a no-op shape
+    val maxId = m0.maxDocId
+    val extra = Seq(
+      (maxId + 1, s"http://x/${maxId + 1}", "appended alpha beta"),
+      (maxId + 2, s"http://x/${maxId + 2}", "appended beta gamma"))
+      .toDF("doc_id", "url", "text")
+      .select(col("doc_id"), col("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
+    IndexBuilder.append(spark, extra, dir, IndexConfig())
+    // delete one doc that lives in the APPENDED chunk
+    IndexBuilder.delete(spark, dir, Seq(maxId + 1))
+    val h = IndexReader.load(spark, dir)
+    val dict = h.dictionary.collect().map(e => e.term -> (e.df, e.cf)).toMap
+    assert(dict("appended") == ((1L, 1L)), s"df/cf for 'appended': ${dict("appended")}")
+    assert(dict("beta") == ((1L, 1L)) && dict.get("alpha").forall(_._1 == 0),
+      "terms of the deleted appended doc must be decremented")
+    val hits = Wand.topK(h, Seq(QuerySpec(1, Seq("appended"))), 10)(1)
+    assert(hits.map(_._2).toSeq == Seq(maxId + 2), "only the live appended doc must match")
+  }
+
   test("delete == rebuild: WAND top-k rank- and score-identical") {
     val queries = graft.queries.QuerySet.queries ++
       Seq(QuerySpec(50, Seq("the")), QuerySpec(51, Seq("merge", "batch")))
