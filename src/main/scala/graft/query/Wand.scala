@@ -225,6 +225,9 @@ object Wand {
     private var bi = 0
     private var pi = 0
 
+    /** Postings in this bucket for this term (instrumentation only). */
+    def totalDocs: Int = { var n = 0; var i = 0; while (i < blocks.length) { n += blocks(i).ids.length; i += 1 }; n }
+
     def exhausted: Boolean = bi >= blocks.length
     def curDoc: Long = if (exhausted) Long.MaxValue else blocks(bi).ids(pi)
     def curTf: Int = blocks(bi).tfs(pi)
@@ -273,7 +276,8 @@ object Wand {
       cursors0: Array[TermCursor],
       docLens: java.util.HashMap[Long, Integer],
       avgdl: Double,
-      k: Int
+      k: Int,
+      metrics: Option[WandMetrics] = None
   ): Array[(Double, Long)] = {
     val heap = new TopKHeap(k)
     val cursors = cursors0.filter(!_.exhausted)
@@ -330,6 +334,7 @@ object Wand {
             // dl == -1 marks a tombstoned doc: skip scoring (cursors still
             // advance below), so the heap fills with live docs only
             if (dl != -1) {
+              metrics.foreach(_.evals.add(1L))
               var score = 0.0
               // cursors are pre-sorted by termId at construction
               var t = 0
@@ -505,7 +510,25 @@ object Wand {
 
   /** Distributed top-k for a batch of queries. Returns exact (score, docId)
     * per query, ranked (score desc, docId asc), up to k rows each. */
-  def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] = {
+  /** Optional pruning instrumentation: `candidates` counts every posting
+    * a naive DAAT would touch (Σ cursor lengths per query per bucket);
+    * `evals` counts docs that actually reached exact evaluation after the
+    * pivot + block-max gates. evals/candidates is the measured skip rate. */
+  final case class WandMetrics(
+      evals: org.apache.spark.util.LongAccumulator,
+      candidates: org.apache.spark.util.LongAccumulator)
+
+  object WandMetrics {
+    def apply(spark: SparkSession): WandMetrics = WandMetrics(
+      spark.sparkContext.longAccumulator("wandExactEvals"),
+      spark.sparkContext.longAccumulator("wandCandidatePostings"))
+  }
+
+  def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int): Map[Int, Array[(Double, Long)]] =
+    topK(index, queries, k, None)
+
+  def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      metrics: Option[WandMetrics]): Map[Int, Array[(Double, Long)]] = {
     val spark = index.spark
     import spark.implicits._
     // term-pruned lookup of ONLY the batch's query terms (scale-safe: no
@@ -603,8 +626,12 @@ object Wand {
               byTerm.get(tid).map(bs => new TermCursor(tid, bs, idfVal, avgdl))
             }
             if (cursors.isEmpty) Iterator.empty
-            else wandBucket(cursors, docLens, avgdl, kk).iterator
-              .map { case (s, d) => ScoredDoc(qid, d, s) }
+            else {
+              metrics.foreach(m =>
+                m.candidates.add(cursors.iterator.map(_.totalDocs.toLong).sum))
+              wandBucket(cursors, docLens, avgdl, kk, metrics).iterator
+                .map { case (s, d) => ScoredDoc(qid, d, s) }
+            }
           }
         }
     }
