@@ -252,14 +252,18 @@ object Wand {
   }
 
   /** Bounded min-heap keyed worst-first: (score asc, docId desc). */
-  private final class TopKHeap(k: Int) {
+  private final class TopKHeap(k: Int, initTheta: Double = Double.NegativeInfinity) {
     private val ord: Ordering[(Double, Long)] = Ordering.by[(Double, Long), Double](_._1).reverse.orElseBy(_._2)
     // PriorityQueue dequeues the MAX by ordering; we want to pop the WORST,
     // so order by (score desc, docId asc).reverse == (score asc, docId desc)
     private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
     def size: Int = pq.size
     def full: Boolean = pq.size >= k
-    def threshold: Double = if (full) pq.head._1 else Double.NegativeInfinity
+    /** The pruning threshold never drops below the SEEDED global lower
+      * bound, so a bucket whose local candidates are all weak skips them
+      * without waiting for its own heap to fill. */
+    def threshold: Double =
+      if (full) math.max(pq.head._1, initTheta) else initTheta
     def offer(score: Double, docId: Long): Unit = {
       if (!full) pq.enqueue((score, docId))
       else {
@@ -277,9 +281,10 @@ object Wand {
       docLens: java.util.HashMap[Long, Integer],
       avgdl: Double,
       k: Int,
-      metrics: Option[WandMetrics] = None
+      metrics: Option[WandMetrics] = None,
+      initTheta: Double = Double.NegativeInfinity
   ): Array[(Double, Long)] = {
-    val heap = new TopKHeap(k)
+    val heap = new TopKHeap(k, initTheta)
     val cursors = cursors0.filter(!_.exhausted)
     if (cursors.isEmpty) return Array.empty
     val n = cursors.length
@@ -363,6 +368,10 @@ object Wand {
   /** Bucket-count cap for the predicate-pushdown docstats path; beyond it
     * the caller keeps the distributed semi-join. */
   final val MaxPredicateBuckets = 256
+
+  /** df cap for global threshold seeding: only a selective rarest term is
+    * worth the seed pass, and the cap bounds the collected sample. */
+  final val SeedDfCap = 10000L
 
   /** docstats restricted to the given docId buckets as an
     * OR-of-docId-ranges predicate pushed INTO the parquet scan — docstats
@@ -551,6 +560,67 @@ object Wand {
     val bQ = spark.sparkContext.broadcast(qTerms)
     val kk = k
 
+    // ---- global threshold seeding -------------------------------------
+    // Bucket-local WAND heaps can't see other buckets' scores, so a bucket
+    // without a query's selective term would exhaust its head postings
+    // (measured: 92% exact-evals at 512-doc buckets, PruneSpec). Fix: for
+    // each query whose RAREST term is selective (df <= SeedDfCap and <=
+    // nDocs/10), exactly score that term's postings alone — every doc's
+    // FULL score >= its single-term impact, so the kth-largest impact is a
+    // provable lower bound on the true kth-best full score. nextDown() of
+    // it seeds every bucket heap's threshold: weak candidates are pruned
+    // before any local heap fills, and exactness is preserved (each
+    // skipped doc scores strictly below the true kth score). One small
+    // job: the seed postings are df-capped, their norms come from ONE
+    // broadcast-join pass over the live docstats.
+    val seedChoice: Map[Int, Int] = queries.flatMap { q =>
+      val entries = q.terms.distinct.flatMap(dict.get)
+      if (entries.isEmpty) None
+      else {
+        val rarest = entries.minBy(_.df)
+        // seed only when the rarest term is genuinely selective (<= 2% of
+        // docs): on head-only queries the seed job costs more than the few
+        // evals it saves (measured on the 31-head-term bench corpus)
+        if (rarest.df > 0 && rarest.df <= math.min(SeedDfCap, nDocs / 50))
+          Some(q.queryId -> rarest.termId)
+        else None
+      }
+    }.toMap
+    val thetaSeed: Map[Int, Double] =
+      if (seedChoice.isEmpty) Map.empty
+      else {
+        val sIds = seedChoice.values.toSeq.distinct
+        val idfOf: Map[Int, Double] =
+          dict.values.filter(e => sIds.contains(e.termId))
+            .map(e => e.termId -> Bm25.idf(nDocs, e.df)).toMap
+        val seedRows = index.postings
+          .filter(col("termId").isin(sIds.map(Int.box): _*))
+          .as[PostingBlock]
+          .flatMap { b =>
+            val ids = VByte.decodeDocIds(b.docIdGaps)
+            val tfs = VByte.decodeInts(b.tfs)
+            ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j)))
+          }
+          .toDF("seedTermId", "docId", "tf")
+        val collected = index.docstats.toDF()
+          .join(broadcast(seedRows), "docId")
+          .select(col("seedTermId"), col("tf"), col("docLen"))
+          .as[(Int, Int, Int)].collect() // df-capped: <= Σ df(seed terms)
+        val byTerm = collected.groupBy(_._1)
+        seedChoice.flatMap { case (qid, tid) =>
+          byTerm.get(tid).flatMap { rows =>
+            if (rows.length < kk) None // fewer docs than k: no valid bound
+            else {
+              val impacts = rows.map { case (_, tf, dl) =>
+                Bm25.scoreWithIdf(idfOf(tid), tf, dl, avgdl)
+              }.sorted(Ordering[Double].reverse)
+              Some(qid -> math.nextDown(impacts(kk - 1)))
+            }
+          }
+        }
+      }
+    val bTheta = spark.sparkContext.broadcast(thetaSeed)
+
     val filtered = index.postings
       .filter(col("termId").isin(allIds: _*))   // pushed to parquet row groups
       .as[PostingBlock]
@@ -629,7 +699,8 @@ object Wand {
             else {
               metrics.foreach(m =>
                 m.candidates.add(cursors.iterator.map(_.totalDocs.toLong).sum))
-              wandBucket(cursors, docLens, avgdl, kk, metrics).iterator
+              val theta0 = bTheta.value.getOrElse(qid, Double.NegativeInfinity)
+              wandBucket(cursors, docLens, avgdl, kk, metrics, theta0).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }
             }
           }

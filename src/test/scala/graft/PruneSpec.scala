@@ -76,7 +76,7 @@ class PruneSpec extends AnyFunSuite {
     assert(frac < 0.1,
       f"block-max WAND should pivot-skip the head postings once the heap fills from the tail; evaluated $frac%.3f")
 
-    // exactness on the same corpus: from-the-definition BM25
+    // exactness on the same corpus (seeding active): from-the-definition BM25
     val tf: Map[(Long, String), Int] = docs.zipWithIndex.flatMap { case (ts, i) =>
       ts.groupBy(identity).map { case (t, o) => ((i.toLong, t), o.length) }
     }.toMap
@@ -101,6 +101,49 @@ class PruneSpec extends AnyFunSuite {
       assert(got.map(_._2) == want.map(_._2), s"query ${q.queryId} docs differ")
       got.zip(want).foreach { case ((gs, d), (ws, _)) =>
         assert(math.abs(gs - ws) < 1e-9, s"query ${q.queryId} doc $d: $gs vs $ws")
+      }
+    }
+  }
+
+  test("global threshold seeding rescues small-bucket pruning (exactness preserved)") {
+    import spark.implicits._
+    // 512-doc buckets: WITHOUT seeding these queries measured 92%
+    // exact-evals (each bucket's local heap can't see the tail's scores).
+    // The seeded theta0 — kth-best exact single-term impact of the rarest
+    // term, a provable lower bound on the kth-best full score — prunes the
+    // head-only buckets wholesale.
+    val dir = "/tmp/graft_prune_spec/bucketed"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    val pages = docs.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat(lit("zipf://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(graft.corpus.Pages.EpochSeconds)).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
+    IndexBuilder.buildFrom(spark, pages, dir, IndexConfig(bucketRange = 512))
+    val h = IndexReader.load(spark, dir)
+    val dict = h.dictMap
+    val head = dict.values.toSeq.sortBy(-_.df).take(3).map(_.term)
+    val tail = dict.values.toSeq.filter(e => e.df >= 15 && e.df <= 40)
+      .sortBy(_.term).take(3).map(_.term)
+    val queries = Seq(
+      QuerySpec(1, Seq(head(0), tail(0))),
+      QuerySpec(2, Seq(head(1), tail(1), tail(2))),
+      QuerySpec(3, Seq(head(2), tail(0), tail(1))))
+    val m = Wand.WandMetrics(spark)
+    val res = Wand.topK(h, queries, 10, Some(m))
+    val frac = m.evals.value.toDouble / m.candidates.value.toDouble
+    info(f"bucketed: candidates=${m.candidates.value} exact-evals=${m.evals.value} fraction=$frac%.4f")
+    assert(frac < 0.1,
+      f"seeded theta0 should prune head-only buckets; evaluated $frac%.3f (was 0.92 unseeded)")
+    // seeded bucketed results == single-bucket results (both exact)
+    val whole = Wand.topK(handle, queries, 10)
+    for (q <- queries) {
+      assert(res(q.queryId).toSeq.map(_._2) == whole(q.queryId).toSeq.map(_._2),
+        s"query ${q.queryId}: bucketed vs whole docs differ")
+      res(q.queryId).zip(whole(q.queryId)).foreach { case ((sa, d), (sb, _)) =>
+        assert(math.abs(sa - sb) < 1e-12, s"query ${q.queryId} doc $d: $sa vs $sb")
       }
     }
   }
