@@ -445,9 +445,11 @@ object IndexBuilder {
       Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
     }
     val docstats = spark.read.parquet(docstatsDir).as[DocStat]
-    val agg = timed("global-stats")(docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head())
+    val agg = timed("global-stats")(docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L)),
+      coalesce(max(col("docLen")), lit(0))).head())
     val nDocs = agg.getLong(0)
     val totalLen = agg.getLong(1)
+    val maxDocLen = agg.getInt(2)
     val avgdl = totalLen.toDouble / nDocs.toDouble
     val skippedCorrupt = timed("corrupt-count")(pages.filter(col("text").isNull).count())
 
@@ -505,7 +507,8 @@ object IndexBuilder {
     }
 
     val manifest = IndexManifest(nDocs, totalLen, vocabSize, skippedCorrupt,
-      cfg.blockSize, cfg.bucketRange, chunk, maxDocId)
+      cfg.blockSize, cfg.bucketRange, chunk, maxDocId,
+      maxDocLen = maxDocLen)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
@@ -564,8 +567,10 @@ object IndexBuilder {
       .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
       .persist()
     val agg = stats.agg(coalesce(min(col("docId")), lit(Long.MaxValue)),
-      coalesce(max(col("docId")), lit(-1L)), count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+      coalesce(max(col("docId")), lit(-1L)), count(lit(1)), coalesce(sum(col("docLen")), lit(0L)),
+      coalesce(max(col("docLen")), lit(0))).head()
     val (minNew, maxNew, nNew, lenNew) = (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val maxDlNew = agg.getInt(4)
     require(nNew == 0 || minNew > old.maxDocId,
       s"append docIds must exceed maxDocId=${old.maxDocId}, got min=$minNew " +
         "(no side effects were taken; if batches arrive from a streaming file source, " +
@@ -632,7 +637,8 @@ object IndexBuilder {
     val manifest = old.copy(nDocs = old.nDocs + nNew, totalLen = old.totalLen + lenNew,
       vocabSize = vocabSize, skippedCorrupt = skipped,
       nChunks = old.nChunks + 1, maxDocId = math.max(old.maxDocId, maxNew),
-      dictVersion = old.dictVersion + 1, lastBatchId = batchId.getOrElse(old.lastBatchId))
+      dictVersion = old.dictVersion + 1, lastBatchId = batchId.getOrElse(old.lastBatchId),
+      maxDocLen = math.max(old.maxDocLen, maxDlNew))
     Manifest.write(s"$indexDir/manifest.json", manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
@@ -660,7 +666,8 @@ object Manifest {
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
         s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
         s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
-        s""""tombVersion":${m.tombVersion},"compactGen":${m.compactGen}}"""
+        s""""tombVersion":${m.tombVersion},"compactGen":${m.compactGen},""" +
+        s""""maxDocLen":${m.maxDocLen}}"""
     Files.writeString(Paths.get(path), json)
   }
 
@@ -673,6 +680,7 @@ object Manifest {
       f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
       f("dictVersion").toInt, f("lastBatchId"),
       opt("tombVersion").getOrElse(-1L).toInt, // absent in pre-delete manifests
-      opt("compactGen").getOrElse(0L).toInt)
+      opt("compactGen").getOrElse(0L).toInt,
+      opt("maxDocLen").getOrElse(0L).toInt)
   }
 }

@@ -196,7 +196,13 @@ final case class IndexManifest(
       * commits the manifest last (crash mid-compaction leaves the old
       * generation live; a re-run re-derives the same g+1). Compaction
       * merges all chunks into one and clears tombVersion. */
-    compactGen: Int = 0
+    compactGen: Int = 0,
+    /** maximum docLen in the index — an UPPER bound maintained monotonically
+      * (build computes it exactly; append takes the max; delete/compact
+      * keep it, which stays a valid bound). Powers the zero-cost WAND
+      * threshold seed: impact(tf=1, maxDocLen) lower-bounds every
+      * posting's impact. 0 = unknown (older manifests) → seeding off. */
+    maxDocLen: Int = 0
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */

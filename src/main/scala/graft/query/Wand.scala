@@ -369,9 +369,6 @@ object Wand {
     * the caller keeps the distributed semi-join. */
   final val MaxPredicateBuckets = 256
 
-  /** df cap for global threshold seeding: only a selective rarest term is
-    * worth the seed pass, and the cap bounds the collected sample. */
-  final val SeedDfCap = 10000L
 
   /** docstats restricted to the given docId buckets as an
     * OR-of-docId-ranges predicate pushed INTO the parquet scan — docstats
@@ -560,65 +557,30 @@ object Wand {
     val bQ = spark.sparkContext.broadcast(qTerms)
     val kk = k
 
-    // ---- global threshold seeding -------------------------------------
+    // ---- global threshold seeding (zero-cost, stats-only) -------------
     // Bucket-local WAND heaps can't see other buckets' scores, so a bucket
     // without a query's selective term would exhaust its head postings
     // (measured: 92% exact-evals at 512-doc buckets, PruneSpec). Fix: for
-    // each query whose RAREST term is selective (df <= SeedDfCap and <=
-    // nDocs/10), exactly score that term's postings alone — every doc's
-    // FULL score >= its single-term impact, so the kth-largest impact is a
-    // provable lower bound on the true kth-best full score. nextDown() of
-    // it seeds every bucket heap's threshold: weak candidates are pruned
-    // before any local heap fills, and exactness is preserved (each
-    // skipped doc scores strictly below the true kth score). One small
-    // job: the seed postings are df-capped, their norms come from ONE
-    // broadcast-join pass over the live docstats.
-    val seedChoice: Map[Int, Int] = queries.flatMap { q =>
-      val entries = q.terms.distinct.flatMap(dict.get)
-      if (entries.isEmpty) None
-      else {
-        val rarest = entries.minBy(_.df)
-        // seed only when the rarest term is genuinely selective (<= 2% of
-        // docs): on head-only queries the seed job costs more than the few
-        // evals it saves (measured on the 31-head-term bench corpus)
-        if (rarest.df > 0 && rarest.df <= math.min(SeedDfCap, nDocs / 50))
-          Some(q.queryId -> rarest.termId)
-        else None
-      }
-    }.toMap
+    // every query term with df >= k, ALL of its df docs have a full score
+    // >= that term's minimum possible impact, impact(tf = 1, docLen =
+    // manifest.maxDocLen) — so the max of those minima is a PROVABLE lower
+    // bound on the true kth-best full score, computed from the dictionary
+    // and the manifest alone (no Spark job, no collect). nextDown() guards
+    // exact-tie boundaries; every bucket heap starts at the bound, so weak
+    // candidates are pruned before any local heap fills, and skipped docs
+    // score strictly below the true kth score (exactness preserved —
+    // WandSpec's 200-random-query oracle equality runs with seeding on).
     val thetaSeed: Map[Int, Double] =
-      if (seedChoice.isEmpty) Map.empty
-      else {
-        val sIds = seedChoice.values.toSeq.distinct
-        val idfOf: Map[Int, Double] =
-          dict.values.filter(e => sIds.contains(e.termId))
-            .map(e => e.termId -> Bm25.idf(nDocs, e.df)).toMap
-        val seedRows = index.postings
-          .filter(col("termId").isin(sIds.map(Int.box): _*))
-          .as[PostingBlock]
-          .flatMap { b =>
-            val ids = VByte.decodeDocIds(b.docIdGaps)
-            val tfs = VByte.decodeInts(b.tfs)
-            ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j)))
-          }
-          .toDF("seedTermId", "docId", "tf")
-        val collected = index.docstats.toDF()
-          .join(broadcast(seedRows), "docId")
-          .select(col("seedTermId"), col("tf"), col("docLen"))
-          .as[(Int, Int, Int)].collect() // df-capped: <= Σ df(seed terms)
-        val byTerm = collected.groupBy(_._1)
-        seedChoice.flatMap { case (qid, tid) =>
-          byTerm.get(tid).flatMap { rows =>
-            if (rows.length < kk) None // fewer docs than k: no valid bound
-            else {
-              val impacts = rows.map { case (_, tf, dl) =>
-                Bm25.scoreWithIdf(idfOf(tid), tf, dl, avgdl)
-              }.sorted(Ordering[Double].reverse)
-              Some(qid -> math.nextDown(impacts(kk - 1)))
-            }
-          }
+      if (m.maxDocLen <= 0) Map.empty // pre-upgrade manifest: no bound
+      else queries.flatMap { q =>
+        val eligible = q.terms.distinct.flatMap(dict.get).filter(_.df >= kk)
+        if (eligible.isEmpty) None
+        else {
+          val t0 = eligible.map(e =>
+            Bm25.scoreWithIdf(Bm25.idf(nDocs, e.df), 1, m.maxDocLen, avgdl)).max
+          Some(q.queryId -> math.nextDown(t0))
         }
-      }
+      }.toMap
     val bTheta = spark.sparkContext.broadcast(thetaSeed)
 
     val filtered = index.postings
