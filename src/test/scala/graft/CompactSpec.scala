@@ -71,6 +71,31 @@ class CompactSpec extends AnyFunSuite {
     }
   }
 
+  test("crash before the manifest commit: replayed compaction re-derives identical content") {
+    import spark.implicits._
+    val dir = "/tmp/graft_compact_spec/crash_replay"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val h0 = IndexReader.load(spark, dir)
+    val ids = h0.docstats.filter(col("docId") % 5 === 2).map(_.docId).collect().toSeq
+    IndexBuilder.delete(spark, dir, ids)
+    val preCompact = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"))
+    IndexBuilder.compact(spark, dir)
+    val firstContent = decodedContent(IndexReader.load(spark, dir))
+    val firstManifest = Manifest.read(s"$dir/manifest.json")
+    // simulate a crash AFTER the gen-1 writes but BEFORE the manifest
+    // commit: restore the pre-compaction manifest and replay
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"), preCompact)
+    IndexBuilder.compact(spark, dir)
+    val secondContent = decodedContent(IndexReader.load(spark, dir))
+    assert(Manifest.read(s"$dir/manifest.json") == firstManifest,
+      "replayed compaction must commit the same manifest")
+    assert(secondContent == firstContent,
+      "replayed compaction must re-derive identical gen-1 content")
+  }
+
   test("validator green on the compacted generation; compaction of a clean index is a no-op") {
     assert(IndexValidator.validate(compHandle).count() == 0,
       "invariant violations on the compacted index")

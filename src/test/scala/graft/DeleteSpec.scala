@@ -101,6 +101,32 @@ class DeleteSpec extends AnyFunSuite {
     assert(decoded.nonEmpty && !decoded.exists(deletedIds.contains), "tombstoned doc decoded")
   }
 
+  test("crash before the manifest commit: replayed delete re-derives identical versions") {
+    import spark.implicits._
+    val dir = "/tmp/graft_delete_spec/crash_replay"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val h0 = IndexReader.load(spark, dir)
+    val ids = h0.docstats.filter(col("docId") % 7 === 3).map(_.docId).collect().toSeq
+    val preDelete = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"))
+    IndexBuilder.delete(spark, dir, ids)
+    val firstManifest = Manifest.read(s"$dir/manifest.json")
+    val firstDict = IndexReader.load(spark, dir).dictionary.collect()
+      .map(e => (e.termId, e.term, e.df, e.cf)).toSet
+    // simulate a crash AFTER the versioned dictionary/tombstone writes but
+    // BEFORE the manifest commit: restore the old manifest and replay —
+    // the same v(N+1) must be re-derived from the untouched v(N) inputs
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/manifest.json"), preDelete)
+    IndexBuilder.delete(spark, dir, ids)
+    assert(Manifest.read(s"$dir/manifest.json") == firstManifest,
+      "replayed delete must commit the same manifest")
+    val secondDict = IndexReader.load(spark, dir).dictionary.collect()
+      .map(e => (e.termId, e.term, e.df, e.cf)).toSet
+    assert(secondDict == firstDict, "replayed delete must re-derive the same dictionary")
+  }
+
   test("re-deleting the same ids is a committed no-op; unknown ids ignored") {
     val before = Manifest.read("/tmp/graft_delete_spec/deleted/manifest.json")
     val after = IndexBuilder.delete(spark, "/tmp/graft_delete_spec/deleted",
