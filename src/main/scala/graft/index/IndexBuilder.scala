@@ -136,9 +136,7 @@ object IndexBuilder {
     // two-path discipline as WAND's docstats pruning
     val bpb = old.bucketRange / old.blockSize
     val buckets = fresh.map(_ / old.bucketRange).distinct
-    val chunkDirs = (0 until old.nChunks)
-      .map(c => f"${postingsRootFor(indexDir, old.compactGen)}/chunk_$c%05d")
-    val allBlocks = spark.read.parquet(chunkDirs: _*)
+    val allBlocks = readChunks(spark, indexDir, old)
     val affectedBlocks =
       if (buckets.length <= graft.query.Wand.MaxPredicateBuckets)
         allBlocks.filter(buckets.map { b =>
@@ -163,6 +161,73 @@ object IndexBuilder {
       .groupBy("termId")
       .agg(sum(col("d_df")).as("d_df"), sum(col("d_cf")).as("d_cf"))
 
+    commitDelete(spark, indexDir, old, oldTombs, fresh.toSeq.toDF("docId"),
+      termDeltas, nDel, lenDel)
+  }
+
+  /** Bulk (GDPR-scale) tombstone delete: the `ids` RELATION variant — same
+    * semantics, versioning and idempotence as the Seq overload, but NOTHING
+    * docId-shaped ever reaches the driver: the fresh set, the affected
+    * buckets, the per-term deltas and the tombstone union are all joins.
+    * `ids` is any DataFrame whose FIRST column is the docIds to delete
+    * (castable to long; duplicates/nonexistent/already-deleted tolerated) —
+    * e.g. the output of a predicate over docstats. Reference analog:
+    * corpus-level operations never materialize the corpus on one node
+    * (the process_map fan-out, midi_tokenizer.py:3186-3195). */
+  def deleteByIds(spark: SparkSession, indexDir: String, ids: DataFrame): IndexManifest = {
+    import spark.implicits._
+    val old = Manifest.read(s"$indexDir/manifest.json")
+    val oldTombs: Dataset[Long] =
+      if (old.tombVersion < 0) spark.emptyDataset[Long]
+      else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).as[Long]
+    val docstats = spark.read.parquet(docstatsDirFor(indexDir, old.compactGen))
+    // genuinely-new = requested ∩ existing docs − already-tombstoned;
+    // multi-consumer (agg + buckets + posting join + tombstone union) →
+    // materialize once, GC-reclaimed
+    val fresh = ids
+      .select(col(ids.columns.head).cast("long").as("docId")).distinct()
+      .join(docstats.select("docId"), Seq("docId"), "left_semi")
+      .join(oldTombs.toDF("docId"), Seq("docId"), "left_anti")
+      .localCheckpoint(true)
+    val delAgg = docstats
+      .join(fresh, Seq("docId"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L))).head()
+    val (nDel, lenDel) = (delAgg.getLong(0), delAgg.getLong(1))
+    if (nDel == 0L) return old
+
+    // per-term deltas: prune blocks to the fresh ids' BUCKETS (semi-join —
+    // the bucket set is never collected), then decode only those blocks and
+    // JOIN the per-posting rows against the fresh relation. The explode is
+    // bounded by the affected buckets' postings, the join output by the
+    // deleted docs' postings.
+    val bpb = old.bucketRange / old.blockSize
+    val freshBuckets = fresh
+      .select((col("docId") / lit(old.bucketRange)).cast("long").as("__bucket")).distinct()
+    val affectedBlocks = readChunks(spark, indexDir, old)
+      .withColumn("__bucket", (col("blockId") / lit(bpb)).cast("long"))
+      .join(freshBuckets, Seq("__bucket"), "left_semi")
+      .drop("__bucket")
+    val termDeltas = affectedBlocks
+      .as[PostingBlock]
+      .flatMap { b =>
+        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(b.tfs)
+        ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j).toLong))
+      }
+      .toDF("termId", "docId", "tf")
+      .join(fresh, Seq("docId"), "left_semi")
+      .groupBy("termId")
+      .agg(count(lit(1)).as("d_df"), sum(col("tf")).as("d_cf"))
+
+    commitDelete(spark, indexDir, old, oldTombs, fresh, termDeltas, nDel, lenDel)
+  }
+
+  /** Shared delete tail: dictionary v(N+1) decrement, tombstones v(N+1),
+    * lineage + manifest commit (manifest LAST — crash-replay re-derives the
+    * same versions from untouched v(N) inputs). Fully distributed. */
+  private def commitDelete(spark: SparkSession, indexDir: String, old: IndexManifest,
+      oldTombs: Dataset[Long], fresh: DataFrame, termDeltas: DataFrame,
+      nDel: Long, lenDel: Long): IndexManifest = {
     // dictionary v(N+1): decremented stats, stable termIds, distributed
     // write preserving the CURRENT layout (bucket count = the live
     // dictionary's file count, so termId-range clustering survives deletes
@@ -179,8 +244,8 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
 
     // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
-    oldTombs.toDF("docId").unionByName(fresh.toSeq.toDF("docId"))
-      .repartition(1, (col("docId") / lit(old.bucketRange)).cast("long"))
+    oldTombs.toDF("docId").unionByName(fresh.select("docId"))
+      .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
 
@@ -190,6 +255,13 @@ object IndexBuilder {
       dictVersion = old.dictVersion + 1, tombVersion = old.tombVersion + 1)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     manifest
+  }
+
+  /** All committed postings chunk dirs of the current generation. */
+  private def readChunks(spark: SparkSession, indexDir: String, m: IndexManifest): DataFrame = {
+    val dirs = (0 until m.nChunks)
+      .map(c => f"${postingsRootFor(indexDir, m.compactGen)}/chunk_$c%05d")
+    spark.read.parquet(dirs: _*)
   }
 
   /** Frequency-ordered dense termIds WITHOUT a single-partition global
@@ -315,6 +387,28 @@ object IndexBuilder {
     assembleBlocks(bucketed, cfg)
   }
 
+  /** The distributed-join flavor of the dictionary lookup (SURVEY §2.3 J3
+    * names both): TermDocs ⋈ dictionary on `term` — one extra exchange on
+    * term instead of a driver-collected broadcast Map. This is the path for
+    * vocabularies beyond [[IndexConfig.broadcastVocabMax]]: a 100M-term web
+    * dictionary joins as an ordinary shuffle relation and NEVER
+    * materializes on the driver. Semantically identical to
+    * [[postingBlocks]] (inner join == OOV drop under a capped head). */
+  def postingBlocksJoinDict(
+      td: Dataset[TermDoc],
+      dict: DataFrame,
+      cfg: IndexConfig
+  ): Dataset[PostingBlock] = {
+    val spark = td.sparkSession
+    import spark.implicits._
+    val bucketed = td.toDF()
+      .join(dict.select(col("term"), col("termId")), Seq("term"))
+      .select(col("termId"), (col("docId") / lit(cfg.bucketRange)).cast("long").as("bucket"),
+        col("docId"), col("tf"), col("docLen"), col("positions"))
+      .as[BucketedPosting]
+    assembleBlocks(bucketed, cfg)
+  }
+
   /** The salted block-assembly tail shared by the build and compaction:
     * one exchange on (termId, bucket), a local (termId, bucket, docId)
     * sort, and the streaming VByte block encoder. */
@@ -345,20 +439,53 @@ object IndexBuilder {
     * are already live since delete(), and df-0 rows stay so termIds remain
     * stable. After compaction the index is physically equal to a fresh
     * rebuild without the deleted docs (CompactSpec). */
-  def compact(spark: SparkSession, indexDir: String): IndexManifest = {
+  def compact(spark: SparkSession, indexDir: String): IndexManifest =
+    compactRange(spark, indexDir, None)
+
+  /** Incremental sibling: compact ONLY the docId buckets in
+    * `[bucketLo, bucketHi)` — the LSM-style slice compaction a 100 TB index
+    * needs (a whole-index rewrite is one monolithic job; a slice bounds the
+    * decode + shuffle volume to the slice's postings). Blocks and docstats
+    * OUTSIDE the slice pass through to the new generation as a columnar
+    * copy (no decode, no docstats join); tombstones outside the slice stay
+    * live in tombstones v(N+1), so the remaining buckets compact later.
+    * All layout parameters come from the MANIFEST (postingsBuckets +
+    * metaComputers persisted at build), so an index built with a
+    * non-default layout keeps it across generations. */
+  def compactRange(spark: SparkSession, indexDir: String,
+      bucketRange0: Option[(Long, Long)]): IndexManifest = {
     import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
     if (old.tombVersion < 0) return old // nothing tombstoned — no-op
     val gen = old.compactGen
-    val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange)
+    val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange,
+      postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
+    val (bLo, bHi) = bucketRange0.getOrElse((0L, Long.MaxValue))
+    def inRange(bucketCol: org.apache.spark.sql.Column) =
+      bucketCol >= bLo && bucketCol < bHi
+    val bpb = old.bucketRange / old.blockSize
+
+    // multi-consumer relations here are DIRECT parquet scans (tombstones,
+    // blocks) — re-scanning per consumer beats materializing a whole-index
+    // checkpoint, the same columnar re-scan trade as cacheTermDocs=false
     val tombs = spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
+    val tombsIn = tombs.filter(inRange(col("docId") / lit(old.bucketRange)))
+    val tombsOut = tombs.filter(!inRange(col("docId") / lit(old.bucketRange)))
+
     val oldStats = spark.read.parquet(docstatsDirFor(indexDir, gen))
       .select("docId", "url", "docLen")
-    val liveStats = oldStats.join(broadcast(tombs), Seq("docId"), "left_anti").as[DocStat]
+    // in-slice docstats lose their tombstoned rows; out-of-slice pass through
+    val statsIn = oldStats.filter(inRange(col("docId") / lit(old.bucketRange)))
+      .join(broadcast(tombsIn), Seq("docId"), "left_anti")
+    val statsOut = oldStats.filter(!inRange(col("docId") / lit(old.bucketRange)))
+    val newStats = statsIn.unionByName(statsOut).as[DocStat]
 
-    val chunkDirs = (0 until old.nChunks)
-      .map(c => f"${postingsRootFor(indexDir, gen)}/chunk_$c%05d")
-    val surviving = spark.read.parquet(chunkDirs: _*)
+    val allBlocks = readChunks(spark, indexDir, old)
+    val blocksIn = allBlocks.filter(inRange(col("blockId") / lit(bpb)))
+    // pass-through: out-of-slice blocks are copied column-for-column —
+    // never decoded, never joined
+    val blocksOut = allBlocks.filter(!inRange(col("blockId") / lit(bpb))).as[PostingBlock]
+    val surviving = blocksIn
       .as[PostingBlock]
       .flatMap { b =>
         val ids = VByte.decodeDocIds(b.docIdGaps)
@@ -367,29 +494,41 @@ object IndexBuilder {
         ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j), poss(j)))
       }
       .toDF("termId", "docId", "tf", "positions")
-      // the inner join with LIVE docstats below drops tombstoned rows by
-      // itself (liveStats is already anti-joined) — no separate anti-join
-      .join(liveStats.toDF().select(col("docId"), col("docLen")), "docId")
+      // the inner join with LIVE in-slice docstats drops tombstoned rows by
+      // itself (statsIn is already anti-joined) — no separate anti-join
+      .join(statsIn.select(col("docId"), col("docLen")), "docId")
       .select(col("termId"), (col("docId") / lit(old.bucketRange)).cast("long").as("bucket"),
         col("docId"), col("tf"), col("docLen"), col("positions"))
       .as[BucketedPosting]
 
     val newGen = gen + 1
-    assembleBlocks(surviving, cfg)
+    assembleBlocks(surviving, cfg).unionByName(blocksOut)
       .repartition(cfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
       .write.mode("overwrite")
       .parquet(s"${postingsRootFor(indexDir, newGen)}/chunk_00000")
-    liveStats
+    newStats
       .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
       // keep the part= layout so post-compaction appends still land in
       // their own overwrite-idempotent partition next to part=base
       .write.mode("overwrite").parquet(s"${docstatsDirFor(indexDir, newGen)}/part=base")
 
+    // tombstones that survive the slice (none on a full compaction)
+    val remaining = tombsOut.count()
+    val newTombVersion =
+      if (remaining == 0L) -1
+      else {
+        tombsOut
+          .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+          .sortWithinPartitions(col("docId"))
+          .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
+        old.tombVersion + 1
+      }
+
     Lineage.append(spark, indexDir,
       LineageRow(-1, "compact", old.nDocs, System.currentTimeMillis(), "committed"))
-    val manifest = old.copy(nChunks = 1, tombVersion = -1, compactGen = newGen)
+    val manifest = old.copy(nChunks = 1, tombVersion = newTombVersion, compactGen = newGen)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     manifest
   }
@@ -474,9 +613,16 @@ object IndexBuilder {
     // predicate is pushed BELOW the collect into the termId-clustered scan
     // (a capped build never materializes the tail on the driver)
     val dictSource = spark.read.parquet(dictDir)
-    val headRows = cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
-      .as[TermEntry].collect()
-    val dict: Map[String, TermEntry] = headRows.map(e => e.term -> e).toMap
+    val headDict = cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
+    // J3 two-flavor dispatch: the broadcast Map is collected ONLY when the
+    // (capped) head is driver-sized; an uncapped vocabulary beyond
+    // broadcastVocabMax uses the distributed term join instead — no driver
+    // materialization of a web-scale dictionary, ever
+    val useBroadcastDict =
+      cfg.vocabCap.exists(_ <= cfg.broadcastVocabMax) || vocabSize <= cfg.broadcastVocabMax
+    val dict: Map[String, TermEntry] =
+      if (useBroadcastDict) headDict.as[TermEntry].collect().map(e => e.term -> e).toMap
+      else Map.empty
 
     // -- stage: postings, chunked over docId ranges ----------------------
     val maxDocId = docstats.agg(coalesce(max(col("docId")), lit(0L))).head().getLong(0)
@@ -495,7 +641,9 @@ object IndexBuilder {
       val chunkDir = f"$indexDir/postings/chunk_$chunk%05d"
       if (!success(chunkDir)) timed(s"postings-chunk-$chunk") {
         val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
-        val blocks = postingBlocks(part, dict, cfg)
+        val blocks =
+          if (useBroadcastDict) postingBlocks(part, dict, cfg)
+          else postingBlocksJoinDict(part, headDict, cfg)
         blocks
           .repartition(cfg.postingsBuckets, col("termId"))
           .sortWithinPartitions(col("termId"), col("blockId"))
@@ -508,7 +656,8 @@ object IndexBuilder {
 
     val manifest = IndexManifest(nDocs, totalLen, vocabSize, skippedCorrupt,
       cfg.blockSize, cfg.bucketRange, chunk, maxDocId,
-      maxDocLen = maxDocLen)
+      maxDocLen = maxDocLen, postingsBuckets = cfg.postingsBuckets,
+      metaComputerNames = BlockMetaComputers.names(cfg.metaComputers))
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
@@ -558,6 +707,10 @@ object IndexBuilder {
     require(cfg.blockSize == old.blockSize && cfg.bucketRange == old.bucketRange,
       s"append config (${cfg.blockSize},${cfg.bucketRange}) != index geometry (${old.blockSize},${old.bucketRange})")
     val tok = Tokenizers(cfg.tokenizer)
+    // layout authority is the MANIFEST: bucket count and block-metadata
+    // computers were persisted at build time, so appends keep them even if
+    // the caller's cfg carries different defaults
+    val ecfg = cfg.copy(postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     val cleaned = Pages.cleaned(deltaPages, cfg.langs).persist()
 
     // delta docstats → own partition directory, overwritten on replay
@@ -576,8 +729,11 @@ object IndexBuilder {
         "(no side effects were taken; if batches arrive from a streaming file source, " +
         "same-instant files may be discovered out of docId order — raise maxFilesPerTrigger " +
         "so they coalesce into one batch)")
-    val partName = s"b${batchId.getOrElse(old.nChunks.toLong)}"
-    stats.repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
+    // DISJOINT partition namespaces: streaming batches write part=b<batchId>,
+    // manual appends part=c<nChunks> — a streaming batchId can never collide
+    // with (and overwrite) a manual append's docstats partition
+    val partName = batchId.fold(s"c${old.nChunks}")(b => s"b$b")
+    stats.repartition(ecfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite")
       .parquet(s"${docstatsDirFor(indexDir, old.compactGen)}/part=$partName")
@@ -606,9 +762,9 @@ object IndexBuilder {
     val vocabSize = old.vocabSize + freshRanked.total
     // deterministic contiguous termId groups (known vocab span) — avoids
     // repartitionByRange's sampling re-executing the full-outer join
-    val perFile = math.max(1L, (vocabSize + cfg.postingsBuckets - 1) / cfg.postingsBuckets)
+    val perFile = math.max(1L, (vocabSize + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
     updated.unionByName(freshDict)
-      .repartition(cfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
+      .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
       .sortWithinPartitions(col("termId"))
       .write.mode("overwrite").parquet(newDictDir)
     freshRanked.release()
@@ -624,8 +780,8 @@ object IndexBuilder {
         .collect().map(e => e.term -> e).toMap
     joined.unpersist()
     val chunkDir = f"${postingsRootFor(indexDir, old.compactGen)}/chunk_${old.nChunks}%05d"
-    postingBlocks(td, dict, cfg)
-      .repartition(cfg.postingsBuckets, col("termId"))
+    postingBlocks(td, dict, ecfg)
+      .repartition(ecfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
       .write.mode("overwrite").parquet(chunkDir)
     Lineage.append(spark, indexDir,
@@ -645,29 +801,59 @@ object IndexBuilder {
   }
 }
 
-/** Per-stage lineage rows (FIXTURES.md §5), appended as parquet. */
+/** Per-stage lineage rows (FIXTURES.md §5), appended to ONE JSON-lines log
+  * (`lineage.jsonl`). The previous layout — one `coalesce(1)` parquet file
+  * per stage event — ran a Spark job per commit and accumulated thousands
+  * of tiny files on a long-lived streaming index; a driver-side line append
+  * is O(1) files forever and costs no job at all. Stage/status strings are
+  * fixed identifiers (no escaping needed); a torn final line from a crash
+  * mid-append is skipped on load (lineage is informational — the
+  * transactional commit marker is each stage's parquet `_SUCCESS`). */
 object Lineage {
+  private def logPath(indexDir: String) = Paths.get(s"$indexDir/lineage.jsonl")
+
   def append(spark: SparkSession, indexDir: String, row: LineageRow): Unit = {
-    import spark.implicits._
-    Seq(row).toDS().coalesce(1).write.mode("append").parquet(s"$indexDir/lineage")
+    val line = s"""{"partitionId":${row.partitionId},"stage":"${row.stage}",""" +
+      s""""rowCount":${row.rowCount},"snapshotId":${row.snapshotId},"status":"${row.status}"}\n"""
+    Files.writeString(logPath(indexDir), line,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
   def load(spark: SparkSession, indexDir: String): Dataset[LineageRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/lineage").as[LineageRow]
+    val p = logPath(indexDir)
+    val lines =
+      if (Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p)).asScala.toSeq
+      else Seq.empty[String]
+    val re = ("\\{\"partitionId\":(-?\\d+),\"stage\":\"(\\w+)\",\"rowCount\":(-?\\d+)," +
+      "\"snapshotId\":(-?\\d+),\"status\":\"(\\w+)\"\\}").r
+    val rows = lines.flatMap {
+      case re(pid, stage, rc, snap, status) =>
+        Some(LineageRow(pid.toInt, stage, rc.toLong, snap.toLong, status))
+      case _ => None // torn tail line from a crash mid-append
+    }
+    spark.createDataset(rows)
   }
 }
 
-/** Tiny hand-rolled JSON manifest I/O (all-numeric fields; no extra deps). */
+/** Tiny hand-rolled JSON manifest I/O (numeric fields + one constrained
+  * string field; no extra deps). The string field (`metaComputerNames`)
+  * is restricted to registry names `[A-Za-z0-9,]` so the regex parser
+  * stays exact — [[graft.index.BlockMetaComputers]] enforces the alphabet
+  * by construction. */
 object Manifest {
   def write(path: String, m: IndexManifest): Unit = {
+    require(m.metaComputerNames.matches("[A-Za-z0-9,]*"),
+      s"metaComputerNames '${m.metaComputerNames}' outside the manifest-safe alphabet")
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
         s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
         s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
         s""""tombVersion":${m.tombVersion},"compactGen":${m.compactGen},""" +
-        s""""maxDocLen":${m.maxDocLen}}"""
+        s""""maxDocLen":${m.maxDocLen},"postingsBuckets":${m.postingsBuckets},""" +
+        s""""metaComputerNames":"${m.metaComputerNames}"}"""
     Files.writeString(Paths.get(path), json)
   }
 
@@ -675,12 +861,21 @@ object Manifest {
     val s = Files.readString(Paths.get(path))
     def opt(k: String): Option[Long] =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
-    def f(k: String): Long = opt(k).getOrElse(sys.error(s"manifest missing $k"))
+    // versioned-layout fields: an index written before they existed has the
+    // flat (un-versioned) dictionary layout and cannot be read by this
+    // engine version — fail with an actionable message, not a cryptic one
+    def f(k: String): Long = opt(k).getOrElse(sys.error(
+      s"manifest missing '$k' at $path — index format too old for this engine version; rebuild the index"))
+    val metaNames = ("\"metaComputerNames\":\"([A-Za-z0-9,]*)\"").r
+      .findFirstMatchIn(s).map(_.group(1))
+      .getOrElse("posSpan") // pre-registry manifests were built with the then-default PosSpan
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
       f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
       f("dictVersion").toInt, f("lastBatchId"),
       opt("tombVersion").getOrElse(-1L).toInt, // absent in pre-delete manifests
       opt("compactGen").getOrElse(0L).toInt,
-      opt("maxDocLen").getOrElse(0L).toInt)
+      opt("maxDocLen").getOrElse(0L).toInt,
+      opt("postingsBuckets").getOrElse(8L).toInt, // 8 was the only pre-field default
+      metaNames)
   }
 }

@@ -103,6 +103,53 @@ object PosSpanComputer extends BlockMetaComputer {
   }
 }
 
+/** Tf-quantile block metadata — the second real E6 computer (the analog of
+  * the reference's bar-level attribute computer family,
+  * attribute_controls/bar_attribute_controls.py:12-159): the exact 90th-
+  * percentile tf of the block's postings (nearest-rank over the ≤ blockSize
+  * members — tiny exact sort, no sketch needed at that size).
+  *
+  * Consumer: TIERED (approximate) WAND — `impact(tfP90, minDocLen)` is a
+  * bound that covers ≥ 90% of the block's postings, so a block whose
+  * tfP90-bound is below the heap threshold can be skipped at a bounded,
+  * measured recall cost (PruneSpec measures evals saved vs recall). The
+  * exact path keeps using (maxTf, minDocLen); this is strictly additive. */
+object TfQuantileComputer extends BlockMetaComputer {
+  final val TfP90Key = "tfP90"
+  def start(): BlockMetaState = new BlockMetaState {
+    private val tfs = new scala.collection.mutable.ArrayBuilder.ofInt
+    def observe(tf: Int, docLen: Int, positions: Array[Int]): Unit = tfs += tf
+    def emit(): Seq[(String, Int)] = {
+      val a = tfs.result()
+      if (a.isEmpty) Seq.empty
+      else {
+        java.util.Arrays.sort(a)
+        // nearest-rank p90: ceil(0.9 * n) in integer arithmetic
+        Seq(TfP90Key -> a((9 * a.length + 9) / 10 - 1))
+      }
+    }
+  }
+}
+
+/** Name ↔ instance registry for [[BlockMetaComputer]]s — lets the manifest
+  * PERSIST the computer set an index was built with, so delete/compact/
+  * append rehydrate the exact same registry instead of assuming the default
+  * (an index built with extra computers keeps them across generations). */
+object BlockMetaComputers {
+  val registry: Map[String, BlockMetaComputer] = Map(
+    "posSpan" -> PosSpanComputer,
+    "tfQuantile" -> TfQuantileComputer
+  )
+  private val nameOf: Map[BlockMetaComputer, String] = registry.map(_.swap)
+  def names(cs: Seq[BlockMetaComputer]): String =
+    cs.map(c => nameOf.getOrElse(c,
+      sys.error(s"unregistered BlockMetaComputer $c — add it to BlockMetaComputers.registry"))).mkString(",")
+  def fromNames(s: String): Seq[BlockMetaComputer] =
+    if (s.isEmpty) Seq.empty
+    else s.split(',').toSeq.map(n => registry.getOrElse(n,
+      sys.error(s"unknown BlockMetaComputer name '$n' in manifest")))
+}
+
 /** Lineage row (FIXTURES.md §5) — per-chunk commit record enabling
   * checkpointed resume (the hidden-hash skip of utils/split.py:98-104,
   * done transactionally). */
@@ -143,7 +190,15 @@ final case class IndexConfig(
     /** the E6 block-metadata registry run by the block builder; outputs
       * land in [[PostingBlock.meta]]. The core (maxTf, minDocLen) bound is
       * always computed (typed fields); these add to it. */
-    metaComputers: Seq[BlockMetaComputer] = Seq(PosSpanComputer),
+    metaComputers: Seq[BlockMetaComputer] = Seq(PosSpanComputer, TfQuantileComputer),
+    /** vocabulary-size ceiling for the build's broadcast-map dictionary
+      * lookup (J3's map-side flavor). An UNCAPPED vocabulary beyond this is
+      * never collected to the driver: the build switches to J3's
+      * distributed-join flavor (one extra exchange on term, no driver
+      * materialization) — a 100M-term web vocabulary must not become a
+      * multi-GB driver Map. vocabCap-ped builds always broadcast (the head
+      * is bounded by construction). */
+    broadcastVocabMax: Long = 4000000L,
     /** persist the tokenized TermDoc dataset between dictionary and
       * postings passes. Default OFF: measured 1.9× faster end-to-end to
       * re-tokenize from the (persisted, compact) cleaned pages than to
@@ -202,9 +257,20 @@ final case class IndexManifest(
       * keep it, which stays a valid bound). Powers the zero-cost WAND
       * threshold seed: impact(tf=1, maxDocLen) lower-bounds every
       * posting's impact. 0 = unknown (older manifests) → seeding off. */
-    maxDocLen: Int = 0
+    maxDocLen: Int = 0,
+    /** postings/docstats clustering bucket count the index was BUILT with —
+      * persisted so compaction (and any other rewriting verb) preserves the
+      * layout instead of silently reverting to the default config's count. */
+    postingsBuckets: Int = 8,
+    /** comma-joined [[BlockMetaComputers]] registry names the index was
+      * built with — rewriting verbs rehydrate the SAME computer set, so
+      * block meta never silently changes across generations. */
+    metaComputerNames: String = "posSpan,tfQuantile"
 ) {
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */
   def avgdl: Double = totalLen.toDouble / nDocs.toDouble
+
+  def metaComputers: Seq[BlockMetaComputer] =
+    BlockMetaComputers.fromNames(metaComputerNames)
 }

@@ -104,6 +104,17 @@ object IndexValidator {
       }
       tfs.foreach { tf => if (tf < 1) err(s"tf=$tf < 1") }
       if (tfs.nonEmpty && tfs.max != b.maxTf) err(s"maxTf=${b.maxTf} != max(tfs)=${tfs.max}")
+      // E6 tfQuantile metadata must equal the exact nearest-rank p90 of the
+      // decoded tfs (and can never exceed the exact maxTf bound)
+      b.meta.get(TfQuantileComputer.TfP90Key).foreach { q =>
+        if (tfs.isEmpty) err("tfP90 meta present but no postings")
+        else {
+          val sorted = tfs.sorted
+          val expect = sorted((9 * sorted.length + 9) / 10 - 1)
+          if (q != expect) err(s"meta tfP90=$q != exact p90 $expect")
+          if (q > b.maxTf) err(s"meta tfP90=$q exceeds maxTf=${b.maxTf}")
+        }
+      }
       // positional payload: tf values per posting, strictly increasing,
       // 1-based, bounded by the doc's length
       val poss =

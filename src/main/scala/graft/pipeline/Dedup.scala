@@ -221,11 +221,19 @@ object Dedup {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy("doc_id").orderBy(col("freq").asc, col("shingle").asc)
+    // prefix bound in INTEGER arithmetic: FP ceil(sz * t) can graze an
+    // integer from above (e.g. t=0.1, sz=10 → 1.0000000000000002 → ceil 2)
+    // and silently shorten the prefix, breaking losslessness. Under-
+    // approximate t by num/10^6 (floor), then ceil(sz·num/10^6) exactly as
+    // (sz·num + 10^6 − 1) DIV 10^6 — a smaller ceil can only LENGTHEN the
+    // prefix, so candidate generation stays provably lossless for ANY
+    // Double threshold, not just dyadic rationals.
+    val num = math.floor(threshold * 1000000d).toLong
     val prefix = sh
       .join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
       .join(sizes, "doc_id")
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .filter(col("rk") <= col("sz") - expr(s"(sz * ${num}L + 999999) DIV 1000000") + 1)
       .select("doc_id", "shingle")
     prefix.as("a")
       .join(prefix.as("b"),

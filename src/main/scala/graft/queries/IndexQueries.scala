@@ -65,6 +65,53 @@ object DeletedIndexCache {
     })
 }
 
+/** Fielded (title/body) sub-index pair backing q_bm25f_topk — the
+  * multi-vocabulary analog of the reference's Octuple/CPWord parallel token
+  * streams (octuple.py:173-203, cp_word.py:319-416). The fields derive
+  * DETERMINISTICALLY from the cleaned corpus: title = the first
+  * [[FieldedIndexCache.TitleLen]] tokens, body = the rest (a doc with ≤
+  * TitleLen tokens has no body and simply doesn't appear in the body
+  * sub-index — its score comes from the title field alone). Each field is
+  * a full engine index (own dictionary, postings, norms, stats); built once
+  * per JVM. */
+object FieldedIndexCache {
+  final val TitleLen = 8
+  final val TitleWeight = 2.0
+  final val BodyWeight = 1.0
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(IndexHandle, Double)]]()
+
+  /** Derive the title/body field split from cleaned pages and build one
+    * sub-index per field under `base` (also the spec entry point, so the
+    * short-doc/missing-field shape is testable on synthetic corpora). */
+  def buildPair(spark: SparkSession, cleanedPages: DataFrame, base: String): Seq[(IndexHandle, Double)] = {
+    import spark.implicits._
+    IndexCache.deleteRecursively(new java.io.File(base))
+    val tok = Tokenizers.default
+    val cleaned = cleanedPages
+      .select(col("doc_id").cast("long"), col("url"), col("warc_ts"),
+        col("text"), col("lang"))
+    def fieldPages(title: Boolean): DataFrame =
+      cleaned.as[(Long, String, java.sql.Timestamp, String, String)]
+        .map { case (id, url, ts, text, lang) =>
+          val terms = tok.terms(text)
+          val ft = (if (title) terms.take(TitleLen) else terms.drop(TitleLen)).mkString(" ")
+          (id, url, ts, ft, lang)
+        }
+        .toDF("doc_id", "url", "warc_ts", "text", "lang")
+    IndexBuilder.buildFrom(spark, fieldPages(title = true), s"$base/title", IndexConfig())
+    IndexBuilder.buildFrom(spark, fieldPages(title = false), s"$base/body", IndexConfig())
+    Seq(IndexReader.load(spark, s"$base/title") -> TitleWeight,
+      IndexReader.load(spark, s"$base/body") -> BodyWeight)
+  }
+
+  def get(spark: SparkSession, sfDir: String): Seq[(IndexHandle, Double)] =
+    cache.computeIfAbsent(sfDir, { _ =>
+      buildPair(spark, Pages.cleaned(Pages.withInjections(spark, sfDir)),
+        s"/tmp/graft_bm25f_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    })
+}
+
 /** The fixed benchmark/correctness query set (FIXTURES.md §6): head, torso,
   * tail and OOV terms over the synthetic corpus vocabulary. */
 object QuerySet {
@@ -377,7 +424,18 @@ object IndexQueries {
 
     // Same result via the pure declarative DataFrame plan (Catalyst does
     // partial aggs + broadcast of the tiny stats) — proves WAND == plan
-    "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false))
+    "q_bm25_brute" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = false)),
+
+    // FIELDED retrieval (multi-vocabulary documents): title/body sub-index
+    // pair, BM25F = weighted per-field BM25 sum, evaluated by the SAME
+    // bucket-cogroup WAND kernel with (field, term) cursors carrying
+    // effective idf = w_f · idf_f — the Octuple/CPWord parallel-stream
+    // analog. Oracle recomputes the per-field statistics (own df, nDocs,
+    // avgdl per field) from raw text.
+    "q_bm25f_topk" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        graft.query.Bm25f.topK(FieldedIndexCache.get(spark, sfDir), QuerySet.queries, k = 40),
+        kWand = 40))
   )
 
   /** q_decode's fixed docId range (a few buckets' worth of docs). */
@@ -682,11 +740,16 @@ object IndexQueries {
 
   /** WAND top-10 report for a given index handle (k=40 headroom + the
     * rounded-tie-span guard; see q_bm25_topk's comment). */
-  private def wandReport(spark: SparkSession, h: graft.query.IndexHandle): DataFrame = {
+  private def wandReport(spark: SparkSession, h: graft.query.IndexHandle): DataFrame =
+    rankedReport(spark, Wand.topK(h, QuerySet.queries, k = 40), kWand = 40)
+
+  /** Shared ranked-result report (WAND + BM25F): re-rank by the ROUNDED
+    * score (the oracle comparison key) with headroom k and a guard that no
+    * rounded tie spans the retrieval-k boundary. */
+  private def rankedReport(spark: SparkSession, res: Map[Int, Array[(Double, Long)]],
+      kWand: Int): DataFrame = {
     import spark.implicits._
-    val kWand = 40
     def r6(s: Double): Double = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val res = Wand.topK(h, QuerySet.queries, k = kWand)
     val rows = res.toSeq.flatMap { case (qid, arr) =>
       val ranked = arr.toSeq
         .map { case (s, d) => (qid, d, s) }
@@ -811,8 +874,62 @@ object IndexQueries {
          |       doc_id, round(score, 4) AS score
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // BM25F: per-field statistics recomputed from raw text — title = first
+    // TitleLen tokens (fld 0), body = the rest (fld 1); each field has its
+    // own df / nDocs / avgdl, and the score is the weighted per-field sum.
+    val bm25fTop =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(lower(text), ' ')) AS term,
+         |         unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS pos
+         |  FROM corpus
+         |),
+         |ftok AS (
+         |  SELECT doc_id, term,
+         |         CASE WHEN pos <= ${FieldedIndexCache.TitleLen} THEN 0 ELSE 1 END AS fld
+         |  FROM tok
+         |),
+         |ftf AS (SELECT doc_id, fld, term, count(*) AS tf FROM ftok GROUP BY doc_id, fld, term),
+         |fdoclen AS (SELECT doc_id, fld, count(*) AS dl FROM ftok GROUP BY doc_id, fld),
+         |fdf AS (SELECT fld, term, count(*) AS df FROM ftf GROUP BY fld, term),
+         |fstats AS (
+         |  SELECT fld, count(*) AS n,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM fdoclen GROUP BY fld
+         |),
+         |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
+         |contrib AS (
+         |  SELECT q.query_id, t.doc_id,
+         |         (CASE WHEN t.fld = 0 THEN ${FieldedIndexCache.TitleWeight}
+         |               ELSE ${FieldedIndexCache.BodyWeight} END) *
+         |         (ln((st.n - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0) * (t.tf * (1.2 + 1.0)) /
+         |          (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS imp
+         |  FROM q
+         |  JOIN ftf t ON t.term = q.term
+         |  JOIN fdf ON fdf.fld = t.fld AND fdf.term = t.term
+         |  JOIN fdoclen dl ON dl.doc_id = t.doc_id AND dl.fld = t.fld
+         |  JOIN fstats st ON st.fld = t.fld
+         |),
+         |scores AS (
+         |  SELECT query_id, doc_id, sum(imp) AS score FROM contrib GROUP BY query_id, doc_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM scores
+         |)
+         |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       doc_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     Map(
       "q_ql_topk" -> qlTop,
+      "q_bm25f_topk" -> bm25fTop,
       "q_tokenize" ->
         s"""WITH $corpusCte
            |SELECT doc_id, CAST(pos AS INTEGER) AS pos, term

@@ -30,6 +30,22 @@ object PipelineQueries {
   private val CmsTerms: Seq[String] =
     QuerySet.queries.flatMap(_.terms).distinct.sorted
 
+  /** q_pmi_pairs' min document frequency — terms below it never enter the
+    * pair self-join (fanout bound; mirrored in the oracle SQL). */
+  final val PmiMinDf = 3L
+
+  /** PMI pair enumeration with the min-df filter pushed BELOW the self-join:
+    * a doc's pair fanout is quadratic in its distinct ELIGIBLE terms only. */
+  def pmiPairs(toks: DataFrame, dfs: DataFrame, minDf: Long): DataFrame = {
+    val eligible = toks.join(
+      dfs.filter(col("df") >= minDf).select("term"), Seq("term"), "left_semi")
+    eligible
+      .join(eligible.select(col("doc_id").as("doc_b"), col("term").as("term_b")),
+        col("doc_id") === col("doc_b") && col("term") < col("term_b"))
+      .groupBy(col("term").as("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Word-association mining: pointwise mutual information over unordered
@@ -38,6 +54,12 @@ object PipelineQueries {
     // enumeration is a doc_id equi-join whose output IS the co-occurrence
     // matrix (inherent to the operator), counts aggregate with map-side
     // partials, and the two df joins are vocab-sized (AQE broadcasts them).
+    // FANOUT BOUND: the min-df filter is pushed BEFORE the self-join — a
+    // pathological doc with 10k hapax terms would otherwise emit 5·10^7
+    // pairs by itself; rare terms carry no usable association statistics
+    // anyway (every real PMI pipeline thresholds df). Mirrored in the
+    // oracle; PipelineSpec pins the bounded-fanout behavior on a long-doc
+    // fixture.
     "q_pmi_pairs" -> ((s, d) => {
       import s.implicits._
       val base = docs(s, d)
@@ -52,11 +74,7 @@ object PipelineQueries {
         .toDF("doc_id", "term")
         .localCheckpoint(true)
       val dfs = toks.groupBy("term").agg(count(lit(1)).as("df"))
-      val pairs = toks
-        .join(toks.select(col("doc_id").as("doc_b"), col("term").as("term_b")),
-          col("doc_id") === col("doc_b") && col("term") < col("term_b"))
-        .groupBy(col("term").as("term_a"), col("term_b"))
-        .agg(count(lit(1)).as("n_ab"))
+      val pairs = pmiPairs(toks, dfs, PmiMinDf)
       pairs
         .join(dfs.select(col("term").as("term_a"), col("df").as("df_a")), "term_a")
         .join(dfs.select(col("term").as("term_b"), col("df").as("df_b")), "term_b")
@@ -270,15 +288,18 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pmi_pairs" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
         |),
         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
         |dft AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
         |nn AS (SELECT count(*) AS n FROM corpus),
+        |tok2 AS (
+        |  SELECT t.doc_id, t.term FROM tok t JOIN dft d ON d.term = t.term AND d.df >= $PmiMinDf
+        |),
         |pairs AS (
         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
-        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  FROM tok2 a JOIN tok2 b ON a.doc_id = b.doc_id AND a.term < b.term
         |  GROUP BY a.term, b.term
         |)
         |SELECT p.term_a, p.term_b, p.n_ab,

@@ -87,7 +87,14 @@ object Intersect {
     if (from >= a.length || a(from) >= target) return from
     var step = 1
     var hi = from
-    while (hi < a.length && a(hi) < target) { hi = hi + step; step <<= 1 }
+    while (hi < a.length && a(hi) < target) {
+      // clamp: on lists approaching 2^30 elements hi + step would overflow
+      // Int once step reaches 2^31 — this is the generic U4 kernel, so the
+      // probe index must stay in range at any list length
+      val next = hi + step
+      hi = if (next < 0) a.length else next
+      if (step < (1 << 30)) step <<= 1
+    }
     var lo = math.max(from, hi - (step >> 1))
     var h = math.min(hi, a.length)
     while (lo < h) {
@@ -187,17 +194,22 @@ object Wand {
     * batch (decode amortization: a 512-query batch touches each block's
     * bytes once, not 512 times). The positional payload is NOT decoded on
     * the WAND path — phrase queries decode it separately. */
-  private final class DecodedBlock(
+  private[query] final class DecodedBlock(
       val firstDocId: Long,
       val ids: Array[Long],
       val tfs: Array[Int],
-      val maxTf: Int,
+      /** tf used for the block's pruning bound: maxTf on the exact path; a
+        * quantile (e.g. E6 tfP90) on the TIERED approximate path, where a
+        * tighter-but-unsafe bound trades bounded recall for fewer exact
+        * evaluations (the score-at-a-time pruning experiment). */
+      val boundTf: Int,
       val minDocLen: Int)
 
-  private object DecodedBlock {
-    def apply(b: PostingBlock): DecodedBlock =
+  private[query] object DecodedBlock {
+    def apply(b: PostingBlock, boundKey: Option[String]): DecodedBlock =
       new DecodedBlock(b.firstDocId, VByte.decodeDocIds(b.docIdGaps),
-        VByte.decodeInts(b.tfs), b.maxTf, b.minDocLen)
+        VByte.decodeInts(b.tfs),
+        boundKey.flatMap(b.meta.get).getOrElse(b.maxTf), b.minDocLen)
   }
 
   /** Cursor over one term's decoded blocks within one bucket. Block upper
@@ -205,17 +217,23 @@ object Wand {
     * under the CURRENT (idf, avgdl): BM25 impact is monotone ↑tf / ↓docLen,
     * so the bound dominates every member exactly, in doubles, and survives
     * stats drift from incremental appends. */
-  private final class TermCursor(
+  private[query] final class TermCursor(
       val termId: Int,
       blocks: Array[DecodedBlock],
+      /** EFFECTIVE idf — BM25 impact is linear in idf, so a fielded cursor
+        * folds its field weight in here (w_f · idf_f) and the kernel stays
+        * field-agnostic. */
       val idf: Double,
-      avgdl: Double
+      val avgdl: Double,
+      /** index into the kernel's per-field docLens array (0 for the
+        * single-field BM25 path). */
+      val field: Int = 0
   ) {
     private val bounds: Array[Double] = {
       val a = new Array[Double](blocks.length)
       var i = 0
       while (i < blocks.length) {
-        a(i) = Bm25.scoreWithIdf(idf, blocks(i).maxTf, blocks(i).minDocLen, avgdl)
+        a(i) = Bm25.scoreWithIdf(idf, blocks(i).boundTf, blocks(i).minDocLen, avgdl)
         i += 1
       }
       a
@@ -252,7 +270,7 @@ object Wand {
   }
 
   /** Bounded min-heap keyed worst-first: (score asc, docId desc). */
-  private final class TopKHeap(k: Int, initTheta: Double = Double.NegativeInfinity) {
+  private[query] final class TopKHeap(k: Int, initTheta: Double = Double.NegativeInfinity) {
     private val ord: Ordering[(Double, Long)] = Ordering.by[(Double, Long), Double](_._1).reverse.orElseBy(_._2)
     // PriorityQueue dequeues the MAX by ordering; we want to pop the WORST,
     // so order by (score desc, docId asc).reverse == (score asc, docId desc)
@@ -275,11 +293,13 @@ object Wand {
     def ranked: Array[(Double, Long)] = pq.dequeueAll.toArray.reverse
   }
 
-  /** Exact WAND over one bucket for one query. */
-  private def wandBucket(
+  /** Exact WAND over one bucket for one query. `docLens` is indexed by each
+    * cursor's `field` (a single-element array on the plain BM25 path); the
+    * exact evaluation reads every at-pivot cursor's OWN (field docLen,
+    * avgdl), which is what makes the same kernel serve BM25F. */
+  private[query] def wandBucket(
       cursors0: Array[TermCursor],
-      docLens: java.util.HashMap[Long, Integer],
-      avgdl: Double,
+      docLens: Array[java.util.HashMap[Long, Integer]],
       k: Int,
       metrics: Option[WandMetrics] = None,
       initTheta: Double = Double.NegativeInfinity
@@ -327,28 +347,33 @@ object Wand {
           var j2 = p + 1
           while (j2 < n) { val c = cursors(order(j2)); if (c.curDoc == pivotDoc) bmSum += c.blockMax; j2 += 1 }
           if (bmSum > theta) {
-            // exact evaluation: sum impacts in ascending-termId order
-            val len = docLens.get(pivotDoc)
-            // the build invariant guarantees a DocStat for every posting's
-            // doc — a miss means the bucket semi-join pruning or the
-            // docstats write is broken; fail loudly, never score with dl=0
-            if (len == null)
-              throw new IllegalStateException(
-                s"no DocStat for docId $pivotDoc — docstats pruning/build bug")
-            val dl = len.intValue()
-            // dl == -1 marks a tombstoned doc: skip scoring (cursors still
-            // advance below), so the heap fills with live docs only
-            if (dl != -1) {
-              metrics.foreach(_.evals.add(1L))
-              var score = 0.0
-              // cursors are pre-sorted by termId at construction
-              var t = 0
-              while (t < n) {
-                val c = cursors(t)
-                if (c.curDoc == pivotDoc)
-                  score += Bm25.scoreWithIdf(c.idf, c.curTf, dl, avgdl)
-                t += 1
+            // exact evaluation: sum impacts in cursor order — cursors are
+            // pre-sorted by (field, termId) at construction, Double accum.
+            // Each at-pivot cursor reads its OWN field's docLen and avgdl.
+            var score = 0.0
+            var dead = false
+            var t = 0
+            while (t < n && !dead) {
+              val c = cursors(t)
+              if (c.curDoc == pivotDoc) {
+                // the build invariant guarantees a DocStat for every
+                // posting's doc — a miss means the bucket semi-join pruning
+                // or the docstats write is broken; fail loudly, never
+                // score with dl=0
+                val len = docLens(c.field).get(pivotDoc)
+                if (len == null)
+                  throw new IllegalStateException(
+                    s"no DocStat for docId $pivotDoc (field ${c.field}) — docstats pruning/build bug")
+                val dl = len.intValue()
+                // dl == -1 marks a tombstoned doc: skip scoring (cursors
+                // still advance below), so the heap fills with live docs
+                if (dl == -1) dead = true
+                else score += Bm25.scoreWithIdf(c.idf, c.curTf, dl, c.avgdl)
               }
+              t += 1
+            }
+            if (!dead) {
+              metrics.foreach(_.evals.add(1L))
               heap.offer(score, pivotDoc)
             }
           }
@@ -534,7 +559,23 @@ object Wand {
     topK(index, queries, k, None)
 
   def topK(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
-      metrics: Option[WandMetrics]): Map[Int, Array[(Double, Long)]] = {
+      metrics: Option[WandMetrics]): Map[Int, Array[(Double, Long)]] =
+    run(index, queries, k, metrics, boundKey = None)
+
+  /** TIERED approximate top-k: identical machinery, but block pruning
+    * bounds derive from the named E6 metadata entry (e.g.
+    * [[graft.index.TfQuantileComputer.TfP90Key]]) instead of maxTf — an
+    * UNSAFE (quantile) bound, so high-tf outlier postings in blocks whose
+    * quantile bound sits under the threshold can be missed. The trade is
+    * deliberate and measured (PruneSpec: evals saved vs recall); blocks
+    * without the metadata key fall back to the exact maxTf bound, so an
+    * index built without the computer degrades to exact, never to wrong-er. */
+  def topKApprox(index: IndexHandle, queries: Seq[QuerySpec], k: Int, boundKey: String,
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    run(index, queries, k, metrics, boundKey = Some(boundKey))
+
+  private def run(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] = {
     val spark = index.spark
     import spark.implicits._
     // term-pruned lookup of ONLY the batch's query terms (scale-safe: no
@@ -651,7 +692,7 @@ object Wand {
           }
           val byTerm: Map[Int, Array[DecodedBlock]] =
             blockArr.groupBy(_.termId).map { case (t, bs) =>
-              t -> bs.sortBy(_.firstDocId).map(DecodedBlock(_))
+              t -> bs.sortBy(_.firstDocId).map(DecodedBlock(_, boundKey))
             }
           bQ.value.iterator.flatMap { case (qid, terms) =>
             val cursors = terms.flatMap { case (tid, idfVal) =>
@@ -662,7 +703,7 @@ object Wand {
               metrics.foreach(m =>
                 m.candidates.add(cursors.iterator.map(_.totalDocs.toLong).sum))
               val theta0 = bTheta.value.getOrElse(qid, Double.NegativeInfinity)
-              wandBucket(cursors, docLens, avgdl, kk, metrics, theta0).iterator
+              wandBucket(cursors, Array(docLens), kk, metrics, theta0).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }
             }
           }

@@ -1,0 +1,132 @@
+package graft
+
+import graft.corpus.Pages
+import graft.query.{Bm25, Bm25f, IndexHandle, QuerySpec}
+import graft.queries.FieldedIndexCache
+import graft.tokenize.Tokenizers
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** BM25F fielded retrieval: the distributed fielded WAND must be EXACT
+  * (same docs, bit-identical doubles) against a from-the-definition scorer
+  * computed locally over the same title/body field split — including docs
+  * that exist in only one field (short docs have no body). */
+class Bm25fSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val fields = FieldedIndexCache.get(spark, sfDir)
+
+  /** (docId, terms) for the cleaned fixture corpus, driver-side. */
+  private lazy val corpus: Array[(Long, Array[String])] = {
+    import spark.implicits._
+    val tok = Tokenizers.default
+    Pages.cleaned(Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => (id, tok.terms(t)) }
+  }
+
+  /** From-the-definition BM25F top-k, replicating the engine's exact
+    * addend order (cursor order = (field, termId) ascending; termIds from
+    * each sub-index's dictionary) and its per-field stats. */
+  private def brute(fieldsIn: Seq[(IndexHandle, Double)], corpusIn: Array[(Long, Array[String])],
+      queries: Seq[QuerySpec], k: Int): Map[Int, Seq[(Double, Long)]] = {
+    val nF = fieldsIn.length
+    val fieldTerms: Int => Array[(Long, Array[String])] = {
+      val t = corpusIn.map { case (id, ts) => (id, ts.take(FieldedIndexCache.TitleLen)) }
+      val b = corpusIn.map { case (id, ts) => (id, ts.drop(FieldedIndexCache.TitleLen)) }
+        .filter(_._2.nonEmpty)
+      f => if (f == 0) t else b
+    }
+    // per field: n, avgdl (exact integer ratio), df, tf, docLen
+    val stats = (0 until nF).map { f =>
+      val docs = fieldTerms(f)
+      val n = docs.length.toLong
+      val total = docs.iterator.map(_._2.length.toLong).sum
+      val avgdl = total.toDouble / n.toDouble
+      val df = docs.iterator.flatMap(_._2.distinct).toSeq.groupBy(identity)
+        .map { case (t, o) => t -> o.length.toLong }
+      val tf = docs.iterator.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (t, o) => ((id, t), o.length) }
+      }.toMap
+      val dl = docs.map { case (id, ts) => id -> ts.length }.toMap
+      (n, avgdl, df, tf, dl)
+    }
+    val dicts = fieldsIn.map(_._1.dictMap)
+    queries.map { q =>
+      // cursor specs exactly as the engine builds them: (field, termId) asc
+      val specs = (for {
+        f <- 0 until nF
+        t <- q.terms.distinct
+        e <- dicts(f).get(t)
+      } yield (f, e.termId, t)).sortBy(x => (x._1, x._2))
+      val scored = corpusIn.map(_._1).flatMap { d =>
+        var s = 0.0
+        var any = false
+        specs.foreach { case (f, _, t) =>
+          val (n, avgdl, df, tf, dl) = stats(f)
+          tf.get((d, t)).foreach { freq =>
+            any = true
+            s += Bm25.scoreWithIdf(
+              fieldsIn(f)._2 * Bm25.idf(n, df(t)), freq, dl(d), avgdl)
+          }
+        }
+        if (any) Some((s, d)) else None
+      }
+      q.queryId -> scored.sortBy { case (s, d) => (-s, d) }.take(k).toSeq
+    }.toMap
+  }
+
+  private def assertExact(got: Map[Int, Array[(Double, Long)]],
+      want: Map[Int, Seq[(Double, Long)]], queries: Seq[QuerySpec]): Unit =
+    for (q <- queries) {
+      val (g, w) = (got(q.queryId).toSeq, want(q.queryId))
+      assert(g.map(_._2) == w.map(_._2),
+        s"query ${q.queryId} (${q.terms}): docs ${g.map(_._2)} vs ${w.map(_._2)}")
+      g.zip(w).foreach { case ((gs, d), (ws, _)) =>
+        assert(gs == ws, s"query ${q.queryId} doc $d: $gs != $ws (must be bit-identical)")
+      }
+    }
+
+  test("fielded WAND == from-the-definition BM25F (exact doubles) on fixture + seeded queries") {
+    val vocab = fields.flatMap(_._1.dictMap.keys).distinct.sorted
+    val rnd = new scala.util.Random(42)
+    val random = (100 until 140).map { qid =>
+      QuerySpec(qid, Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val queries = graft.queries.QuerySet.queries ++ random
+    assertExact(Bm25f.topK(fields, queries, 10), brute(fields, corpus, queries, 10), queries)
+  }
+
+  test("docs MISSING a field (no body) score from the present field only — exact") {
+    import spark.implicits._
+    val tok = Tokenizers.default
+    // synthetic corpus with genuinely short docs: 0 and 3 have no body
+    val texts = Seq(
+      0L -> "quick brown fox",
+      1L -> "quick brown fox jumps over the lazy dog while the fox watches quick quick",
+      2L -> "some other title words here padding the field then body about fox and dog themes",
+      3L -> "lazy dog barks",
+      4L -> "eight title tokens exactly fill this first slot body starts here with dog fox dog")
+    val pages = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), concat(lit("short://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        col("text"), lit("en").as("lang"))
+    val pair = FieldedIndexCache.buildPair(spark, pages, "/tmp/graft_bm25f_spec_short")
+    assert(pair(0)._1.manifest.nDocs == 5 && pair(1)._1.manifest.nDocs == 3,
+      "fixture: 5 titled docs, 3 with bodies")
+    val localCorpus = texts.map { case (id, t) => (id, tok.terms(t)) }.toArray
+    val queries = Seq(
+      QuerySpec(1, Seq("fox")), QuerySpec(2, Seq("dog")),
+      QuerySpec(3, Seq("quick", "dog")), QuerySpec(4, Seq("body", "lazy")))
+    assertExact(Bm25f.topK(pair, queries, 10), brute(pair, localCorpus, queries, 10), queries)
+  }
+
+  test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {
+    assert(fields(0)._2 > fields(1)._2, "title must outweigh body")
+    assert(fields(0)._1.manifest.nDocs > 0 && fields(1)._1.manifest.nDocs > 0,
+      "both sub-indexes must be non-empty")
+    // per-field vocabularies genuinely differ (multi-vocabulary, not a copy)
+    assert(fields(0)._1.manifest.vocabSize != fields(1)._1.manifest.vocabSize)
+  }
+}

@@ -104,6 +104,63 @@ class CompactSpec extends AnyFunSuite {
     assert(after == before, "compaction without tombstones must be a no-op")
   }
 
+  test("PARTIAL (bucket-range) compaction: slice drops its tombstones physically, " +
+    "rest passes through with tombstones live; non-default layout survives") {
+    import spark.implicits._
+    val dir = "/tmp/graft_compact_spec/partial"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    // non-default layout: 3 postings buckets + small geometry — the
+    // manifest must carry it through every compaction (r3 bug: compact
+    // silently reverted to the default config's bucket count)
+    val cfg = IndexConfig(blockSize = 16, bucketRange = 64, postingsBuckets = 3)
+    IndexBuilder.build(spark, sfDir, dir, cfg)
+    val h0 = IndexReader.load(spark, dir)
+    val ids = h0.docstats.filter(col("docId") % 4 === 1).map(_.docId).collect().toSeq
+    IndexBuilder.delete(spark, dir, ids)
+    val hDel = IndexReader.load(spark, dir) // snapshot: tombstoned, gen 0
+    val wantWand = Wand.topK(hDel, graft.queries.QuerySet.queries, 10)
+
+    val maxBucket = h0.manifest.maxDocId / cfg.bucketRange
+    val mid = maxBucket / 2 + 1 // compact the lower half of the docId space
+    val m1 = IndexBuilder.compactRange(spark, dir, Some((0L, mid)))
+    assert(m1.compactGen == 1 && m1.nChunks == 1)
+    assert(m1.tombVersion >= 0, "out-of-slice tombstones must stay live")
+    assert(m1.postingsBuckets == 3, "manifest layout lost in partial compaction")
+    val h1 = IndexReader.load(spark, dir)
+    // slice physically clean, remainder physically dirty (tombstone overlay)
+    val sliceBoundary = mid * cfg.bucketRange
+    val physDocs = h1.postings.flatMap(b =>
+      graft.codec.VByte.decodeDocIds(b.docIdGaps).toSeq).collect().toSet
+    assert(!physDocs.exists(d => d < sliceBoundary && ids.contains(d)),
+      "a tombstoned doc survived physically inside the compacted slice")
+    assert(physDocs.exists(d => d >= sliceBoundary && ids.contains(d)),
+      "fixture shape: the uncompacted remainder should still hold tombstoned rows")
+    // layout on disk: exactly postingsBuckets part files in the new chunk
+    val partFiles = new java.io.File(s"$dir/postings_g001/chunk_00000")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(partFiles == 3, s"expected 3 postings part files, got $partFiles")
+    assert(IndexValidator.validate(h1).collect().isEmpty,
+      "validator violations after partial compaction")
+    // query surface unchanged (exact): partial compaction is invisible
+    val got1 = Wand.topK(h1, graft.queries.QuerySet.queries, 10)
+    graft.queries.QuerySet.queries.foreach { q =>
+      assert(got1(q.queryId).toSeq == wantWand(q.queryId).toSeq, s"query ${q.queryId} after partial")
+    }
+
+    // the final merge: compacting the remainder clears all tombstones
+    val m2 = IndexBuilder.compactRange(spark, dir, Some((mid, maxBucket + 1)))
+    assert(m2.compactGen == 2 && m2.tombVersion == -1 && m2.postingsBuckets == 3)
+    val h2 = IndexReader.load(spark, dir)
+    val physDocs2 = h2.postings.flatMap(b =>
+      graft.codec.VByte.decodeDocIds(b.docIdGaps).toSeq).collect().toSet
+    assert(!physDocs2.exists(ids.contains), "tombstoned docs must be gone after the final slice")
+    assert(IndexValidator.validate(h2).collect().isEmpty)
+    val got2 = Wand.topK(h2, graft.queries.QuerySet.queries, 10)
+    graft.queries.QuerySet.queries.foreach { q =>
+      assert(got2(q.queryId).toSeq == wantWand(q.queryId).toSeq, s"query ${q.queryId} after final")
+    }
+  }
+
   private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     java.nio.file.Files.walk(src).forEach { p =>
       val t = dst.resolve(src.relativize(p))

@@ -43,6 +43,20 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(24L) == 20L, "merged stars did not unify")
   }
 
+  test("adversarial 512-chain converges in O(log n) rounds (star contraction, not diameter)") {
+    import spark.implicits._
+    val n = 512L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Components.connectedComponentsWithRounds(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n).forall(got(_) == 1L), "chain not fully unified")
+    // plain min-label propagation would need ~n rounds here; the star
+    // contraction must stay logarithmic (2·log₂ n + slack)
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) + 2
+    assert(rounds <= bound, s"$rounds rounds for a $n-chain (bound $bound) — not logarithmic")
+    info(s"chain n=$n converged in $rounds rounds (bound $bound)")
+  }
+
   test("deterministic across runs and input order") {
     val edges = Seq((7L, 3L), (3L, 9L), (9L, 1L), (50L, 60L))
     assert(run(edges) == run(scala.util.Random.shuffle(edges)))

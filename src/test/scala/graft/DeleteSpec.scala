@@ -127,6 +127,32 @@ class DeleteSpec extends AnyFunSuite {
     assert(secondDict == firstDict, "replayed delete must re-derive the same dictionary")
   }
 
+  test("BULK delete via an id RELATION (deleteByIds) == Seq delete; no driver-side id set") {
+    val dir = "/tmp/graft_delete_spec/bulk_df"
+    IndexCache.deleteRecursively(new java.io.File(dir))
+    IndexBuilder.build(spark, sfDir, dir, IndexConfig())
+    val h0 = IndexReader.load(spark, dir)
+    // the deletion set arrives as a PREDICATE over docstats (~33% of the
+    // corpus) — the GDPR-style entry point: no collect, no broadcast Set
+    val ids = h0.docstats.toDF().filter(col("docId") % 3 === 0).select("docId")
+    val m = IndexBuilder.deleteByIds(spark, dir, ids)
+    val h = IndexReader.load(spark, dir)
+    val ma = delHandle.manifest // the shared fixture deleted the SAME ids via Seq
+    assert(m.nDocs == ma.nDocs && m.totalLen == ma.totalLen && m.tombVersion == ma.tombVersion,
+      s"bulk-deleted manifest (${m.nDocs},${m.totalLen}) != Seq-deleted (${ma.nDocs},${ma.totalLen})")
+    val a = h.dictionary.collect().map(e => (e.termId, e.term, e.df, e.cf)).toSet
+    val b = delHandle.dictionary.collect().map(e => (e.termId, e.term, e.df, e.cf)).toSet
+    assert(a == b, s"dict diff: ${(a -- b).take(5)} / ${(b -- a).take(5)}")
+    val queries = graft.queries.QuerySet.queries
+    val ra = Wand.topK(h, queries, 10)
+    val rb = Wand.topK(delHandle, queries, 10)
+    for (q <- queries)
+      assert(ra(q.queryId).toSeq == rb(q.queryId).toSeq, s"query ${q.queryId} differs")
+    // idempotent replay of the same relation: committed no-op
+    assert(IndexBuilder.deleteByIds(spark, dir, ids) == m,
+      "re-deleting the same relation must not bump versions or stats")
+  }
+
   test("re-deleting the same ids is a committed no-op; unknown ids ignored") {
     val before = Manifest.read("/tmp/graft_delete_spec/deleted/manifest.json")
     val after = IndexBuilder.delete(spark, "/tmp/graft_delete_spec/deleted",

@@ -105,6 +105,35 @@ class PruneSpec extends AnyFunSuite {
     }
   }
 
+  test("tiered (tfP90) approximate WAND: bound tightening measured, recall bounded") {
+    val dict = handle.dictMap
+    val head = dict.values.toSeq.sortBy(-_.df).take(3).map(_.term)
+    val tail = dict.values.toSeq.filter(e => e.df >= 15 && e.df <= 40)
+      .sortBy(_.term).take(3).map(_.term)
+    val queries = Seq(
+      QuerySpec(1, Seq(head(0), tail(0))),
+      QuerySpec(2, Seq(head(1), tail(1), tail(2))),
+      QuerySpec(3, Seq(head(2), tail(0), tail(1))))
+    val mExact = Wand.WandMetrics(spark)
+    val exact = Wand.topK(handle, queries, 10, Some(mExact))
+    val mApprox = Wand.WandMetrics(spark)
+    val approx = Wand.topKApprox(handle, queries, 10,
+      graft.index.TfQuantileComputer.TfP90Key, Some(mApprox))
+    info(s"exact evals=${mExact.evals.value} tiered evals=${mApprox.evals.value}")
+    // quantile bounds are tighter than maxTf bounds → never more block-max
+    // survivals in aggregate on this fixture
+    assert(mApprox.evals.value <= mExact.evals.value,
+      s"tiered bound evaluated MORE docs (${mApprox.evals.value} vs ${mExact.evals.value})")
+    // bounded recall: the p90 bound may only lose the tf-outlier tail
+    val recalls = queries.map { q =>
+      val want = exact(q.queryId).map(_._2).toSet
+      val got = approx(q.queryId).map(_._2).toSet
+      (want intersect got).size.toDouble / math.max(1, want.size)
+    }
+    info(f"per-query recall: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+    assert(recalls.forall(_ >= 0.8), s"tiered recall dropped below 0.8: $recalls")
+  }
+
   test("global threshold seeding rescues small-bucket pruning (exactness preserved)") {
     import spark.implicits._
     // 512-doc buckets: WITHOUT seeding these queries measured 92%

@@ -54,6 +54,19 @@ class ResumeSpec extends AnyFunSuite {
     assert(rows.forall(_.status == "committed"))
   }
 
+  test("lineage is ONE appendable log file, not a file-per-event parquet dir") {
+    val dir = "/tmp/graft_test_index/resume_full"
+    val _ = Lineage.load(spark, dir).count() // fixture forced
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(s"$dir/lineage.jsonl")),
+      "lineage.jsonl missing")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineage")),
+      "legacy per-event parquet lineage dir written")
+    // many more events never grow the file COUNT
+    (0 until 25).foreach(i => Lineage.append(spark, dir,
+      graft.index.LineageRow(i, "spec", i.toLong, i.toLong, "committed")))
+    assert(Lineage.load(spark, dir).filter(_.stage == "spec").count() == 25)
+  }
+
   test("re-running a completed build is a no-op (idempotent skip)") {
     val dir = "/tmp/graft_test_index/resume_full"
     val before = Lineage.load(spark, dir).count()
