@@ -34,6 +34,10 @@ object PipelineQueries {
     * pair self-join (fanout bound; mirrored in the oracle SQL). */
   final val PmiMinDf = 3L
 
+  /** q_augment's rotation-offset grid (one augmented copy per doc per
+    * offset — the data_augmentation.py offset-grid shape). */
+  final val AugOffsets: Seq[Int] = Seq(1, 3, 7)
+
   /** PMI pair enumeration with the min-df filter pushed BELOW the self-join:
     * a doc's pair fanout is quadratic in its distinct ELIGIBLE terms only. */
   def pmiPairs(toks: DataFrame, dfs: DataFrame, minDf: Long): DataFrame = {
@@ -200,6 +204,29 @@ object PipelineQueries {
         .orderBy("term")
     }),
 
+    // Corpus-level augmentation generator (the reference's offset-grid
+    // data augmentation, data_augmentation.py:27-183,246-506: one
+    // deterministic transformed copy per (doc, grid offset)). Text analog:
+    // token ROTATION by each grid offset — lossless, deterministic, and
+    // SQL-replicable, so every augmented copy is oracle-checked by its
+    // rolling-hash fingerprint. Pure codegen column ops (split / slice /
+    // explode / native rolling_hash), zero UDFs; the docs × offsets grid
+    // is a flatMap (Generate), shuffle-free until the final sort.
+    "q_augment" -> ((s, d) => {
+      val offsets = array(AugOffsets.map(lit): _*)
+      docs(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("a"))
+        .withColumn("aug_offset", explode(offsets))
+        .withColumn("n_tokens", size(col("a")))
+        .withColumn("r", pmod(col("aug_offset"), col("n_tokens")))
+        .withColumn("aug",
+          concat(slice(col("a"), col("r") + lit(1), col("n_tokens") - col("r")),
+            slice(col("a"), lit(1), col("r"))))
+        .select(col("doc_id"), col("aug_offset"), col("n_tokens"),
+          TextAnalysis.fingerprint(array_join(col("aug"), " ")).as("fp"))
+        .orderBy("doc_id", "aug_offset")
+    }),
+
     // dedup GROUPS from near-dup pairs: exact connected components by
     // distributed min-label propagation; component = keep-min canonical
     // representative. Oracle: recursive-CTE transitive closure over the
@@ -309,6 +336,23 @@ object PipelineQueries {
         |JOIN dft da ON da.term = p.term_a
         |JOIN dft db ON db.term = p.term_b
         |ORDER BY term_a, term_b""".stripMargin,
+    "q_augment" -> {
+      val vals = AugOffsets.map(o => s"($o)").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |t AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM corpus),
+         |o(aug_offset) AS (VALUES $vals),
+         |g AS (
+         |  SELECT doc_id, aug_offset, len(a) AS n_tokens,
+         |         array_to_string(
+         |           list_concat(a[(aug_offset % len(a)) + 1:], a[:(aug_offset % len(a))]), ' ') AS aug
+         |  FROM t CROSS JOIN o
+         |)
+         |SELECT doc_id, aug_offset, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       ${rhSql("aug")} AS fp
+         |FROM g ORDER BY doc_id, aug_offset""".stripMargin
+    },
     "q_cms_sketch" ->
       s"""WITH $tokCte,
          |$cmsRowsCte,
