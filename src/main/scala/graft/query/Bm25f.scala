@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * All sub-indexes must share block geometry (bucketRange/blockSize), so
   * one docId bucket cogroups every field's postings and norms together. A
   * document absent from a field (e.g. no body) simply has no cursors
-  * there — its score is the sum over the fields that contain it. */
+  * there — its score is the sum over the fields that contain it.
+  * Tombstone deletes compose: a doc deleted from ANY sub-index is dead for
+  * the logical document (its id rides into every field's cogroup map as a
+  * docLen = -1 sentinel, the same mechanism as [[Wand.topK]]); per-field
+  * live stats keep the scores exact post-delete (Bm25fSpec: delete ==
+  * rebuilt-pair equality). */
 object Bm25f {
 
   /** Distributed fielded top-k. `fields` = (sub-index handle, weight) per
@@ -43,10 +48,6 @@ object Bm25f {
     require(fields.forall { case (h, _) =>
       h.manifest.bucketRange == m0.bucketRange && h.manifest.blockSize == m0.blockSize },
       "fielded sub-indexes must share block geometry (bucketRange, blockSize)")
-    // delete support would need per-field tombstone sentinels in the
-    // cogroup — fielded sub-indexes are derived tables, rebuilt not deleted
-    require(fields.forall(_._1.manifest.tombVersion < 0),
-      "BM25F over tombstoned sub-indexes is not supported — compact first")
     val nF = fields.length
     val kk = k
     val allTerms = queries.flatMap(_.terms)
@@ -112,6 +113,26 @@ object Bm25f {
     if (probe.isEmpty)
       return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
 
+    // tombstoned docs (union across fields — a doc deleted from ANY
+    // sub-index is dead for the logical document) ride into the cogroup as
+    // docLen = -1 sentinels for EVERY field, exactly like Wand.topK's
+    // single-field path: the kernel must see the sentinel regardless of
+    // which field's cursor sits at the pivot
+    val tombSentinels: Dataset[(Int, DocStat)] = {
+      val tombed = fields.map(_._1).filter(_.manifest.tombVersion >= 0)
+      if (tombed.isEmpty) spark.emptyDataset[(Int, DocStat)]
+      else {
+        val ids = tombed.map(_.tombstones.toDF("docId")).reduce(_ unionByName _).distinct()
+          .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+        val pruned =
+          if (probe.length <= Wand.MaxPredicateBuckets)
+            ids.filter(col("bucket").isin(probe.toIndexedSeq.map(Long.box): _*))
+          else ids.join(candBuckets, Seq("bucket"), "left_semi")
+        pruned.select("docId").as[Long]
+          .flatMap(d => (0 until nF).iterator.map(f => (f, DocStat(d, "", -1))))
+      }
+    }
+
     val fStats: Dataset[(Int, DocStat)] = (0 until nF).map { f =>
       val h = fields(f)._1
       val pruned =
@@ -122,7 +143,7 @@ object Bm25f {
           .drop("bucket")
           .as[DocStat]
       pruned.toDF().select("docId", "url", "docLen").as[DocStat].map(s => (f, s))
-    }.reduce(_ union _)
+    }.reduce(_ union _).union(tombSentinels)
 
     val bQ = spark.sparkContext.broadcast(qSpecs)
     val bTheta = spark.sparkContext.broadcast(thetaSeed)
@@ -135,8 +156,12 @@ object Bm25f {
         if (blockArr.isEmpty) Iterator.empty
         else {
           val docLens = Array.fill(nF)(new java.util.HashMap[Long, Integer]())
+          // shuffle order is arbitrary: a -1 tombstone sentinel must win
+          // over the doc's real norm either way round (same as Wand.topK)
           stats.foreach { case (f, s) =>
-            docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen)): Unit
+            if (s.docLen == -1) docLens(f).put(s.docId, Integer.valueOf(-1))
+            else docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen))
+            ()
           }
           val byFieldTerm: Map[(Int, Int), Array[Wand.DecodedBlock]] =
             blockArr.groupBy(p => (p._1, p._2.termId)).map { case (key, ps) =>

@@ -122,6 +122,53 @@ class Bm25fSpec extends AnyFunSuite {
     assertExact(Bm25f.topK(pair, queries, 10), brute(pair, localCorpus, queries, 10), queries)
   }
 
+  test("tombstone deletes compose with fielded retrieval: delete == rebuilt pair, exact") {
+    import spark.implicits._
+    val tok = Tokenizers.default
+    val texts = (0L until 40L).map { id =>
+      val body = (0 until (id % 13).toInt).map(j => s"w${(id + j) % 7}").mkString(" ")
+      id -> s"title t${id % 5} about fox dog e${id % 3} filler pad $body".trim
+    }
+    def pages(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), concat(lit("del://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        col("text"), lit("en").as("lang"))
+    val pair = FieldedIndexCache.buildPair(spark, pages(texts), "/tmp/graft_bm25f_spec_del")
+    // delete every 4th doc from BOTH sub-indexes (the derived-table contract)
+    val dead = texts.map(_._1).filter(_ % 4 == 1)
+    graft.index.IndexBuilder.delete(spark, "/tmp/graft_bm25f_spec_del/title", dead)
+    graft.index.IndexBuilder.delete(spark, "/tmp/graft_bm25f_spec_del/body", dead)
+    val deletedPair = Seq(
+      graft.query.IndexReader.load(spark, "/tmp/graft_bm25f_spec_del/title") -> FieldedIndexCache.TitleWeight,
+      graft.query.IndexReader.load(spark, "/tmp/graft_bm25f_spec_del/body") -> FieldedIndexCache.BodyWeight)
+    // the ground truth: a pair rebuilt from the corpus minus the deleted docs
+    val survivors = texts.filterNot { case (id, _) => dead.contains(id) }
+    val rebuilt = FieldedIndexCache.buildPair(spark, pages(survivors), "/tmp/graft_bm25f_spec_del_reb")
+    val queries = Seq(
+      QuerySpec(1, Seq("fox")), QuerySpec(2, Seq("dog", "w1")),
+      QuerySpec(3, Seq("t2", "e1")), QuerySpec(4, Seq("filler", "w3", "t0")))
+    val got = Bm25f.topK(deletedPair, queries, 10)
+    val want = Bm25f.topK(rebuilt, queries, 10)
+    for (q <- queries) {
+      val (g, w) = (got(q.queryId).toSeq, want(q.queryId).toSeq)
+      assert(g.map(_._2) == w.map(_._2),
+        s"query ${q.queryId}: docs ${g.map(_._2)} vs ${w.map(_._2)}")
+      g.zip(w).foreach { case ((gs, d), (ws, _)) =>
+        // deleted pair keeps ORIGINAL termIds, rebuilt pair re-ranks them —
+        // cursor (addend) order can differ, so allow summation-order ulps;
+        // the assertExact below pins bit-equality against the same-order brute
+        assert(math.abs(gs - ws) < 1e-12,
+          s"query ${q.queryId} doc $d: $gs != $ws (live stats must be exact)")
+      }
+      assert(!g.exists(r => dead.contains(r._2)), "a tombstoned doc surfaced in fielded results")
+    }
+    // brute check on the deleted pair too (its stats path, not just parity):
+    // survivor-corpus stats + the DELETED pair's dictionaries, so cursor
+    // (addend) order matches `got` and bit-equality is assertable
+    val localCorpus = survivors.map { case (id, t) => (id, tok.terms(t)) }.toArray
+    assertExact(got, brute(deletedPair, localCorpus, queries, 10), queries)
+  }
+
   test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {
     assert(fields(0)._2 > fields(1)._2, "title must outweigh body")
     assert(fields(0)._1.manifest.nDocs > 0 && fields(1)._1.manifest.nDocs > 0,
