@@ -573,7 +573,9 @@ object IndexBuilder {
       val stats = cleaned
         .select(col("doc_id").cast("long"), col("url"), col("text"))
         .as[(Long, String, String)]
-        .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
+        // termCount == terms().length (spec-pinned) without materializing a
+        // single token string — this pass touches EVERY corpus byte
+        .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
       // deterministic bucket clustering (hash on docId/bucketRange + local
       // sort) — single pass, unlike repartitionByRange whose sampling job
       // would re-run the tokenize upstream; row-group docId min/max stay
@@ -717,7 +719,7 @@ object IndexBuilder {
     val stats = cleaned
       .select(col("doc_id").cast("long"), col("url"), col("text"))
       .as[(Long, String, String)]
-      .map { case (docId, url, text) => DocStat(docId, url, tok.terms(text).length) }
+      .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
       .persist()
     val agg = stats.agg(coalesce(min(col("docId")), lit(Long.MaxValue)),
       coalesce(max(col("docId")), lit(-1L)), count(lit(1)), coalesce(sum(col("docLen")), lit(0L)),

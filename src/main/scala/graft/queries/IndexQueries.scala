@@ -218,7 +218,7 @@ object IndexQueries {
       val tok = Tokenizers.default
       val dl = cleanedDocs(spark, sfDir)
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, tok.terms(t).length) }
+        .map { case (id, t) => (id, tok.termCount(t)) }
         .toDF("doc_id", "doc_len")
         .filter(col("doc_len") > 0) // == the oracle's tok-derived doclen
       graft.plans.GlobalRank.exactPercentiles(
@@ -783,7 +783,7 @@ object IndexQueries {
       // N and total length from the CLEANED corpus (docstats semantics), not
       // from termDocs — a non-empty doc tokenizing to zero terms must still
       // count toward nDocs/avgdl, matching the WAND path's manifest stats
-      val lens = cleaned.select(col("text")).as[String].map(t => tok.terms(t).length.toLong).toDF("len")
+      val lens = cleaned.select(col("text")).as[String].map(t => tok.termCount(t).toLong).toDF("len")
       val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("total"))
       val dft = tfDf.groupBy("term").agg(count(lit(1)).as("df"))
       val qdf = QuerySet.queries

@@ -45,6 +45,14 @@ trait TokenizerStrategy extends Serializable {
 
   /** text → just the terms, in order. */
   def terms(text: String): Array[String]
+
+  /** Number of terms `terms(text)` would emit, REQUIRED to equal
+    * `terms(text).length` (TokenizerSpec pins it across the config grid).
+    * Strategies override it with allocation-free scans — the docstats
+    * stage runs this over the whole corpus, and at 100 TB the difference
+    * between counting runs and materializing every token string is a
+    * memory-bandwidth-bound stage's whole budget. */
+  def termCount(text: String): Int = terms(text).length
 }
 
 /** Unicode word tokenizer: splits on non-letter/digit runs, optional case
@@ -95,6 +103,32 @@ final class UnicodeWordTokenizer(val config: TokenizerConfig)
     var i = 0
     while (i < ts.length) { out(i) = (ts(i), i + 1); i += 1 }
     out
+  }
+
+  /** Allocation-free run counter — the same code-point scan as [[terms]]
+    * (including the case fold, whose Unicode edge cases can MOVE token
+    * boundaries, e.g. U+0130 → i + combining dot) minus every substring
+    * and builder allocation. */
+  override def termCount(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val base = if (config.lowercase) text.toLowerCase(java.util.Locale.ROOT) else text
+    val minLen = math.max(1, config.minTermLen)
+    val n = base.length
+    var count = 0
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = base.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenCp(cp)) { if (start < 0) start = i }
+      else if (start >= 0) {
+        if (i - start >= minLen) count += 1
+        start = -1
+      }
+      i += w
+    }
+    if (start >= 0 && n - start >= minLen) count += 1
+    count
   }
 }
 

@@ -22,6 +22,24 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("termCount == terms().length on every config × adversarial inputs (both strategies)") {
+    val inputs = Seq(
+      "the fast key order sort table scan",
+      "  leading   runs\tand\nnewlines  ",
+      "punct,.;:!?marks--and(parens)",
+      "a ab abc abcd", "x", "", "   ",
+      "Ünïcode Grüße straße İstanbul ΣΟΦΟΣ", // case-fold edge cases incl. U+0130
+      "mixed 123 alnum42 7x7 #hash $99.99")
+    for (cfg <- grid; strat <- Seq("word", "chargram")) {
+      val tok = Tokenizers(cfg.copy(strategy = strat))
+      inputs.foreach { s =>
+        assert(tok.termCount(s) == tok.terms(s).length,
+          s"cfg=$cfg strat=$strat input='$s'")
+      }
+      assert(tok.termCount(null) == 0)
+    }
+  }
+
   test("case folding") {
     val t = Tokenizers(TokenizerConfig(lowercase = true))
     assert(t.terms("Spark JOIN Merge").toSeq == Seq("spark", "join", "merge"))
