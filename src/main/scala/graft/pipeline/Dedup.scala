@@ -96,11 +96,18 @@ object Dedup {
   /** One-pass signatures: tokenize → shingle set → 16 minhash minima +
     * simhash, all inside the map task (zero shuffles; signatures are the
     * only thing emitted — the 100 TB-safe shape). */
-  def signatures(spark: SparkSession, sfDir: String, n: Int = 3): Dataset[DocSignature] = {
+  def signatures(spark: SparkSession, sfDir: String, n: Int = 3): Dataset[DocSignature] =
+    signaturesOf(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull && length(col("text")) > 0), n)
+
+  /** Same, over an arbitrary (doc_id, text) relation — the entry point for
+    * incremental batches (new crawl slices, streamed pages). */
+  def signaturesOf(docs: DataFrame, n: Int = 3): Dataset[DocSignature] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), col("text"))
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sh = docShingles(text, n)
@@ -125,10 +132,12 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band of BandRows equal minhashes.
     * Self-join on (band, key) — the bucket join; at scale the bucket sizes
     * are bounded by near-dup cluster sizes, not corpus size. */
-  def lshCandidates(sigs: Dataset[DocSignature]): DataFrame = {
+  /** (doc_id, band, key) band relation of the signatures — the LSH bucket
+    * keys (shared by the in-memory self-join and the persisted index). */
+  def bandRelation(sigs: Dataset[DocSignature]): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val bands = sigs
+    sigs
       .filter(_.nShingles > 0)
       .flatMap { s =>
         (0 until NumBands).iterator.map { b =>
@@ -137,6 +146,10 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "key")
+  }
+
+  def lshCandidates(sigs: Dataset[DocSignature]): DataFrame = {
+    val bands = bandRelation(sigs)
     val l = bands.as("l")
     val r = bands.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
@@ -145,12 +158,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist the corpus's LSH band index — the dedup sibling of the
+    * inverted index: signed ONCE, probed per batch. Clustered by
+    * (band, key) so a probe's shuffle join co-locates bucket collisions
+    * and parquet min/max stats prune non-colliding files. At 100 TB the
+    * corpus is never re-signed: each new crawl slice pays one map pass
+    * over ITSELF plus a join bounded by colliding buckets. */
+  def writeLshIndex(sigs: Dataset[DocSignature], dir: String, buckets: Int = 8): Unit =
+    bandRelation(sigs)
+      .repartition(buckets, col("band"), col("key"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Probe a NEW batch against the persisted index: (batch_doc, corpus_doc)
+    * LSH candidates. The corpus side is READ (pruned, clustered), never
+    * recomputed; feed the result to [[jaccardVerify]] with a shingle
+    * relation covering the batch plus the candidate corpus docs. */
+  def probeLshIndex(spark: SparkSession, dir: String,
+      batchSigs: Dataset[DocSignature]): DataFrame = {
+    val idx = spark.read.parquet(dir)
+    bandRelation(batchSigs).as("b")
+      .join(idx.as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+  }
+
   /** (doc_id, shingle) relation — one row per DISTINCT shingle per doc. */
-  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+  def shingles(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    shinglesOf(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").isNotNull && length(col("text")) > 0), n)
+
+  /** Same, over an arbitrary (doc_id, text) relation. */
+  def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), col("text"))
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) => docShingles(t, n).map(s => (id, s)) }
       .toDF("doc_id", "shingle")

@@ -38,6 +38,10 @@ object PipelineQueries {
     * offset — the data_augmentation.py offset-grid shape). */
   final val AugOffsets: Seq[Int] = Seq(1, 3, 7)
 
+  /** q_dedup_incremental's batch docId offset (batch = planted copies of
+    * every 7th corpus doc at doc_id + this). */
+  final val IncrementalPlantBase = 1000000L
+
   /** PMI pair enumeration with the min-df filter pushed BELOW the self-join:
     * a doc's pair fanout is quadratic in its distinct ELIGIBLE terms only. */
   def pmiPairs(toks: DataFrame, dfs: DataFrame, minDf: Long): DataFrame = {
@@ -153,6 +157,30 @@ object PipelineQueries {
     "q_lsh_pairs" -> ((s, d) => {
       val cands = Dedup.lshCandidates(Dedup.signatures(s, d))
       Dedup.jaccardVerify(s, d, cands)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // INCREMENTAL dedup — the production shape: the corpus's LSH band
+    // index is persisted ONCE (the dedup sibling of the inverted index),
+    // and each new batch is signed with one map pass over ITSELF and
+    // probed against the saved index; the corpus is never re-signed. The
+    // batch here is a deterministic planted near-dup slice ("copy "-
+    // prefixed every-7th doc at id+1e6, replicated in SQL); candidates
+    // verify with exact candidate-bounded Jaccard. Oracle recomputes both
+    // sides' full MinHash/LSH/Jaccard pipeline from raw text.
+    "q_dedup_incremental" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      val batch = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(IncrementalPlantBase)).as("doc_id"),
+          concat(lit("copy "), col("text")).as("text"))
+      val idxDir = s"/tmp/graft_lsh_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      graft.queries.IndexCache.deleteRecursively(new java.io.File(idxDir))
+      Dedup.writeLshIndex(Dedup.signaturesOf(corpus), idxDir)
+      val cands = Dedup.probeLshIndex(s, idxDir, Dedup.signaturesOf(batch))
+      val pairs = cands.select(col("corpus_doc").as("doc_a"), col("batch_doc").as("doc_b"))
+      val allDocs = corpus.unionByName(batch)
+      Dedup.jaccardVerify(s, d, pairs, shingles0 = Some(Dedup.shinglesOf(allDocs)))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     }),
@@ -541,6 +569,58 @@ object PipelineQueries {
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
          |  FROM shingle a JOIN shingle b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT c.doc_a, c.doc_b,
+         |       round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM cand c
+         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b
+         |WHERE round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) >= 0.5
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+         |),
+         |all_docs AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $IncrementalPlantBase AS doc_id, 'copy ' || text AS text
+         |  FROM base WHERE doc_id % 7 = 0
+         |),
+         |terms AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM all_docs),
+         |grams AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(a) - 2),
+         |                i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g
+         |  FROM terms WHERE len(a) >= 3
+         |),
+         |shingle AS (
+         |  SELECT DISTINCT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(g, ''), x -> ascii(x))),
+         |                     (h, c) -> (h * 31 + c) % 1000000007) AS sid
+         |  FROM grams
+         |),
+         |h(h_idx, a, b) AS (VALUES $minhashValues),
+         |sig AS (
+         |  SELECT s.doc_id, h.h_idx, min((h.a * s.sid + h.b) % 2147483647) AS mh
+         |  FROM shingle s CROSS JOIN h GROUP BY s.doc_id, h.h_idx
+         |),
+         |bands AS (
+         |  SELECT doc_id, h_idx // ${Dedup.BandRows} AS band,
+         |         string_agg(mh, ',' ORDER BY h_idx) AS key
+         |  FROM sig GROUP BY doc_id, band
+         |),
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands c JOIN bands b ON c.band = b.band AND c.key = b.key
+         |  WHERE c.doc_id < $IncrementalPlantBase AND b.doc_id >= $IncrementalPlantBase
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shingle GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM shingle a JOIN shingle b ON a.sid = b.sid
+         |   AND a.doc_id < $IncrementalPlantBase AND b.doc_id >= $IncrementalPlantBase
          |  GROUP BY a.doc_id, b.doc_id
          |)
          |SELECT c.doc_a, c.doc_b,
