@@ -214,6 +214,14 @@ object PipelineQueries {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.annTopK(Similarity.embeddings(s, d), 0L until 10L, 5)),
 
+    // PQ + ADC: the compressed-domain ANN scale path (vectors stored as
+    // PqM byte codes ≈ 64× smaller; candidates scored by table lookups
+    // over codes, exact rerank on the survivors). Approximate →
+    // rows-only driver check; recall ≥ 0.9 gated in PqSpec at two scales
+    // (measured 1.0 at both).
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.annTopKPQ(Similarity.embeddings(s, d), 0L until 10L, 5)),
+
     // Count-Min sketch (the deterministic-seed construction makes BOTH the
     // sketch grid and the point estimates hash-assertable against SQL —
     // one explode + one partial+final agg into Depth×Width cells)
