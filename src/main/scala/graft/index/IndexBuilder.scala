@@ -815,9 +815,23 @@ object Lineage {
   private def logPath(indexDir: String) = Paths.get(s"$indexDir/lineage.jsonl")
 
   def append(spark: SparkSession, indexDir: String, row: LineageRow): Unit = {
-    val line = s"""{"partitionId":${row.partitionId},"stage":"${row.stage}",""" +
+    val p = logPath(indexDir)
+    // a crash mid-append can leave a torn, newline-less tail; writing the
+    // next record straight after it would merge two lines and lose BOTH —
+    // terminate the torn fragment first so only it is lost
+    val needsNl = Files.exists(p) && Files.size(p) > 0 && {
+      val ch = java.nio.file.Files.newByteChannel(p)
+      try {
+        ch.position(Files.size(p) - 1)
+        val buf = java.nio.ByteBuffer.allocate(1)
+        ch.read(buf)
+        buf.get(0) != '\n'.toByte
+      } finally ch.close()
+    }
+    val line = (if (needsNl) "\n" else "") +
+      s"""{"partitionId":${row.partitionId},"stage":"${row.stage}",""" +
       s""""rowCount":${row.rowCount},"snapshotId":${row.snapshotId},"status":"${row.status}"}\n"""
-    Files.writeString(logPath(indexDir), line,
+    Files.writeString(p, line,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 

@@ -81,7 +81,10 @@ object PipelineQueries {
         }
         .toDF("doc_id", "term")
         .localCheckpoint(true)
+      // vocab-sized, consumed three times (min-df filter + both pmi df
+      // joins) — materialize once like the token relation above
       val dfs = toks.groupBy("term").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
       val pairs = pmiPairs(toks, dfs, PmiMinDf)
       pairs
         .join(dfs.select(col("term").as("term_a"), col("df").as("df_a")), "term_a")

@@ -82,20 +82,23 @@ object Intersect {
     out.result()
   }
 
-  /** first index >= `from` with a(idx) >= target (galloping + binary). */
+  /** first index >= `from` with a(idx) >= target (galloping + binary).
+    * The binary window's lower bound is the PREVIOUS probe index (the last
+    * index proven < target) — never re-derived from the step width, which
+    * would break once the step clamps at 2^30 on >2^30-element lists (the
+    * overflow-safe regime this generic U4 kernel must serve). */
   private def gallopTo(a: Array[Long], from: Int, target: Long): Int = {
     if (from >= a.length || a(from) >= target) return from
     var step = 1
+    var lo = from // invariant: a(lo) < target
     var hi = from
     while (hi < a.length && a(hi) < target) {
-      // clamp: on lists approaching 2^30 elements hi + step would overflow
-      // Int once step reaches 2^31 — this is the generic U4 kernel, so the
-      // probe index must stay in range at any list length
+      lo = hi
+      // overflow clamp: hi + step wraps negative once both near 2^30
       val next = hi + step
       hi = if (next < 0) a.length else next
       if (step < (1 << 30)) step <<= 1
     }
-    var lo = math.max(from, hi - (step >> 1))
     var h = math.min(hi, a.length)
     while (lo < h) {
       val mid = (lo + h) >>> 1
@@ -575,135 +578,178 @@ object Wand {
     run(index, queries, k, metrics, boundKey = Some(boundKey))
 
   private def run(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
-      metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] = {
-    val spark = index.spark
+      metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] =
+    runFields(Seq(index -> 1.0), queries, k, metrics, boundKey)
+
+  /** The ONE ranked-retrieval driver, generalized over weighted FIELDS —
+    * plain BM25 is the single-field instance (weight 1.0), BM25F the
+    * multi-field one ([[Bm25f.topK]] delegates here). Per field: its own
+    * dictionary lookup, (nDocs, avgdl), docstats; each (field, term) pair
+    * becomes an independent cursor with effective idf = w_f · idf_f (BM25
+    * impact is linear in idf), so upper bounds, block-max refinement and
+    * threshold seeding compose per field with no kernel changes.
+    *
+    * Global threshold seeding (zero-cost, stats-only): every (field, term)
+    * with df_f >= k guarantees df_f docs whose FULL score is at least
+    * w_f · impact_f(tf = 1, maxDocLen_f) — the max of those minima
+    * lower-bounds the true kth-best score, computed from dictionary +
+    * manifest alone (measured: 92% → 1.6% exact-evals at 512-doc buckets,
+    * PruneSpec; exactness oracle-asserted with seeding on). SOUNDNESS:
+    * single-field df is LIVE under deletes (eagerly decremented), but with
+    * multiple fields a doc deleted from another sub-index still counts in
+    * this field's df — so seeding disables on tombstoned multi-field runs.
+    *
+    * Tombstoned docs ride into each bucket's cogroup as docLen = -1
+    * sentinels for EVERY field (a doc deleted from any sub-index is dead
+    * for the logical document); the kernel skips them before scoring. */
+  private[query] def runFields(fields: Seq[(IndexHandle, Double)], queries: Seq[QuerySpec],
+      k: Int, metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] = {
+    require(fields.nonEmpty, "at least one field")
+    val spark = fields.head._1.spark
     import spark.implicits._
-    // term-pruned lookup of ONLY the batch's query terms (scale-safe: no
-    // full-dictionary collect on the query path)
-    val dict = index.lookupTerms(queries.flatMap(_.terms))
-    val m = index.manifest
-    val avgdl = m.avgdl
-    val nDocs = m.nDocs
-    // per query: (termId, idf) sorted by termId; drop OOV; dedup terms
-    val qTerms: Map[Int, Array[(Int, Double)]] = queries.map { q =>
-      q.queryId -> q.terms.distinct.flatMap(dict.get)
-        .map(e => (e.termId, Bm25.idf(nDocs, e.df)))
-        .sortBy(_._1).toArray
-    }.toMap
-    val allIds = qTerms.values.flatten.map(_._1).toSeq.distinct
-    if (allIds.isEmpty) return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
-
-    val bucketRange = m.bucketRange
-    val blocksPerBucket = m.bucketRange / m.blockSize
-    val bQ = spark.sparkContext.broadcast(qTerms)
+    val m0 = fields.head._1.manifest
+    require(fields.forall { case (h, _) =>
+      h.manifest.bucketRange == m0.bucketRange && h.manifest.blockSize == m0.blockSize },
+      "fielded sub-indexes must share block geometry (bucketRange, blockSize)")
+    val nF = fields.length
     val kk = k
+    def empty = queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
+    // term-pruned lookups of ONLY the batch's query terms (scale-safe: no
+    // full-dictionary collect on the query path)
+    val allTerms = queries.flatMap(_.terms)
+    val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
+    val avgdls = fields.map(_._1.manifest.avgdl).toArray
 
-    // ---- global threshold seeding (zero-cost, stats-only) -------------
-    // Bucket-local WAND heaps can't see other buckets' scores, so a bucket
-    // without a query's selective term would exhaust its head postings
-    // (measured: 92% exact-evals at 512-doc buckets, PruneSpec). Fix: for
-    // every query term with df >= k, ALL of its df docs have a full score
-    // >= that term's minimum possible impact, impact(tf = 1, docLen =
-    // manifest.maxDocLen) — so the max of those minima is a PROVABLE lower
-    // bound on the true kth-best full score, computed from the dictionary
-    // and the manifest alone (no Spark job, no collect). nextDown() guards
-    // exact-tie boundaries; every bucket heap starts at the bound, so weak
-    // candidates are pruned before any local heap fills, and skipped docs
-    // score strictly below the true kth score (exactness preserved —
-    // WandSpec's 200-random-query oracle equality runs with seeding on).
+    // per query: cursor specs (field, termId, effIdf), sorted (field,
+    // termId) — the kernel's deterministic accumulation order
+    val qSpecs: Map[Int, Array[(Int, Int, Double)]] = queries.map { q =>
+      q.queryId -> (for {
+        f <- 0 until nF
+        t <- q.terms.distinct
+        e <- dicts(f).get(t)
+      } yield (f, e.termId,
+          fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df)))
+        .sortBy(x => (x._1, x._2)).toArray
+    }.toMap
+    if (qSpecs.values.forall(_.isEmpty)) return empty
+
+    val seedSound = nF == 1 || fields.forall(_._1.manifest.tombVersion < 0)
     val thetaSeed: Map[Int, Double] =
-      if (m.maxDocLen <= 0) Map.empty // pre-upgrade manifest: no bound
+      if (!seedSound) Map.empty
       else queries.flatMap { q =>
-        val eligible = q.terms.distinct.flatMap(dict.get).filter(_.df >= kk)
-        if (eligible.isEmpty) None
-        else {
-          val t0 = eligible.map(e =>
-            Bm25.scoreWithIdf(Bm25.idf(nDocs, e.df), 1, m.maxDocLen, avgdl)).max
-          Some(q.queryId -> math.nextDown(t0))
-        }
+        val bounds = for {
+          f <- 0 until nF
+          if fields(f)._1.manifest.maxDocLen > 0 // pre-upgrade manifest: no bound
+          t <- q.terms.distinct
+          e <- dicts(f).get(t)
+          if e.df >= kk
+        } yield Bm25.scoreWithIdf(
+          fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df),
+          1, fields(f)._1.manifest.maxDocLen, avgdls(f))
+        // nextDown() guards exact-tie boundaries at the threshold
+        if (bounds.isEmpty) None else Some(q.queryId -> math.nextDown(bounds.max))
       }.toMap
     val bTheta = spark.sparkContext.broadcast(thetaSeed)
 
-    val filtered = index.postings
-      .filter(col("termId").isin(allIds: _*))   // pushed to parquet row groups
-      .as[PostingBlock]
+    val bucketRange = m0.bucketRange
+    val blocksPerBucket = m0.bucketRange / m0.blockSize
+    val idsByField: IndexedSeq[Seq[Int]] =
+      (0 until nF).map(f => dicts(f).values.map(_.termId).toSeq.distinct)
+
+    // field-tagged candidate blocks — the termId IN (...) predicate pushes
+    // to parquet row groups per field
+    val fBlocks: Dataset[(Int, PostingBlock)] = (0 until nF).map { f =>
+      val ids = idsByField(f)
+      if (ids.isEmpty) spark.emptyDataset[(Int, PostingBlock)]
+      else fields(f)._1.postings
+        .filter(col("termId").isin(ids.map(Int.box): _*))
+        .map(b => (f, b))
+    }.reduce(_ union _)
+
     // prune docstats (norms) to buckets that actually hold candidate blocks —
     // at 10^12 docs most buckets have no postings for a given query batch,
     // and their norms must never enter the cogroup exchange. The candidate
-    // bucket set is tiny (≤ the query terms' block count), so collect it and
-    // push an OR-of-docId-ranges predicate INTO the docstats scan: with
-    // docstats range-clustered by docId on write, parquet min/max stats skip
-    // whole files/row groups, not just rows. Very large batches fall back to
-    // the semi-join (same semantics, row-level pruning).
-    val candBuckets = filtered.toDF()
-      .select((col("blockId") / lit(blocksPerBucket)).cast("long").as("bucket"))
-      .distinct()
-    // BOUNDED probe: fetch at most MaxPredicateBuckets+1 bucket ids — the
-    // driver never materializes a web-scale bucket set; batches touching
-    // more buckets keep the fully-distributed semi-join
+    // bucket set is tiny (≤ the query terms' block count), so collect a
+    // BOUNDED probe of it and push an OR-of-docId-ranges predicate INTO the
+    // docstats scan (docstats are range-clustered by docId on write, so
+    // parquet min/max stats skip whole files/row groups); batches touching
+    // more than MaxPredicateBuckets buckets keep the fully-distributed
+    // semi-join — the driver never materializes a web-scale bucket set.
+    val candBuckets = (0 until nF).flatMap { f =>
+      val ids = idsByField(f)
+      if (ids.isEmpty) None
+      else Some(fields(f)._1.postings.toDF()
+        .filter(col("termId").isin(ids.map(Int.box): _*))
+        .select((col("blockId") / lit(blocksPerBucket)).cast("long").as("bucket")))
+    }.reduce(_ unionByName _).distinct()
     val probe: Array[Long] =
       candBuckets.limit(MaxPredicateBuckets + 1).as[Long].collect()
-    if (probe.isEmpty)
-      return queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
-    val prunedStats0 =
-      if (probe.length <= MaxPredicateBuckets) docstatsForBuckets(index, probe)
+    if (probe.isEmpty) return empty
+
+    // tombstone union across fields → docLen = -1 sentinels for EVERY
+    // field's map (bucket-pruned like the norms)
+    val tombSentinels: Dataset[(Int, DocStat)] = {
+      val tombed = fields.map(_._1).filter(_.manifest.tombVersion >= 0)
+      if (tombed.isEmpty) spark.emptyDataset[(Int, DocStat)]
       else {
-        index.docstatsRaw.toDF()
+        val ids = tombed.map(_.tombstones.toDF("docId")).reduce(_ unionByName _).distinct()
+          .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
+        // bounded path: reuse the already-collected probe array instead of
+        // re-deriving candidate buckets with another postings scan
+        val pruned =
+          if (probe.length <= MaxPredicateBuckets)
+            ids.filter(col("bucket").isin(probe.toIndexedSeq.map(Long.box): _*))
+          else ids.join(candBuckets, Seq("bucket"), "left_semi")
+        pruned.select("docId").as[Long]
+          .flatMap(d => (0 until nF).iterator.map(f => (f, DocStat(d, "", -1))))
+      }
+    }
+
+    val fStats: Dataset[(Int, DocStat)] = (0 until nF).map { f =>
+      val h = fields(f)._1
+      val pruned =
+        if (probe.length <= MaxPredicateBuckets) docstatsForBuckets(h, probe)
+        else h.docstatsRaw.toDF()
           .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
           .join(candBuckets, Seq("bucket"), "left_semi")
           .drop("bucket")
           .as[DocStat]
-      }
-    // tombstoned docs ride into each bucket's cogroup as docLen = -1
-    // sentinels (bucket-pruned like the norms); wandBucket skips them
-    // BEFORE scoring, so the heap fills with live docs only
-    val prunedStats =
-      if (m.tombVersion < 0) prunedStats0
-      else {
-        val tombBuckets = index.tombstones.toDF("docId")
-          .withColumn("bucket", (col("docId") / lit(bucketRange)).cast("long"))
-        // bounded path: reuse the already-collected probe array instead of
-        // re-deriving candidate buckets with another postings scan
-        val tombPruned =
-          if (probe.length <= MaxPredicateBuckets)
-            tombBuckets.filter(col("bucket").isin(probe.toIndexedSeq.map(Long.box): _*))
-          else tombBuckets.join(candBuckets, Seq("bucket"), "left_semi")
-        val tombSentinels = tombPruned
-          .select(col("docId"), lit("").as("url"), lit(-1).as("docLen"))
-          .as[DocStat]
-        // project away the docstats layout's `part=` partition column
-        prunedStats0.toDF().select("docId", "url", "docLen").as[DocStat]
-          .unionByName(tombSentinels)
-      }
-    val blocksByBucket = filtered.groupByKey(b => b.blockId / blocksPerBucket)
-    val statsByBucket = prunedStats.groupByKey(s => s.docId / bucketRange)
+      // project away the docstats layout's `part=` partition column
+      pruned.toDF().select("docId", "url", "docLen").as[DocStat].map(s => (f, s))
+    }.reduce(_ union _).union(tombSentinels)
+
+    val bQ = spark.sparkContext.broadcast(qSpecs)
+    val blocksByBucket = fBlocks.groupByKey(_._2.blockId / blocksPerBucket)
+    val statsByBucket = fStats.groupByKey(_._2.docId / bucketRange)
 
     val candidates: Dataset[ScoredDoc] = blocksByBucket.cogroup(statsByBucket) {
       (bucket, blocks, stats) =>
         val blockArr = blocks.toArray
         if (blockArr.isEmpty) Iterator.empty
         else {
-          val docLens = new java.util.HashMap[Long, Integer]()
+          val docLens = Array.fill(nF)(new java.util.HashMap[Long, Integer]())
           // iterator order after the shuffle is arbitrary: a -1 tombstone
           // sentinel must win over the doc's real norm either way round
-          stats.foreach { s =>
-            if (s.docLen == -1) docLens.put(s.docId, Integer.valueOf(-1))
-            else docLens.putIfAbsent(s.docId, Integer.valueOf(s.docLen))
+          stats.foreach { case (f, s) =>
+            if (s.docLen == -1) docLens(f).put(s.docId, Integer.valueOf(-1))
+            else docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen))
+            ()
           }
-          val byTerm: Map[Int, Array[DecodedBlock]] =
-            blockArr.groupBy(_.termId).map { case (t, bs) =>
-              t -> bs.sortBy(_.firstDocId).map(DecodedBlock(_, boundKey))
+          val byFieldTerm: Map[(Int, Int), Array[DecodedBlock]] =
+            blockArr.groupBy(p => (p._1, p._2.termId)).map { case (key, ps) =>
+              key -> ps.map(_._2).sortBy(_.firstDocId).map(DecodedBlock(_, boundKey))
             }
-          bQ.value.iterator.flatMap { case (qid, terms) =>
-            val cursors = terms.flatMap { case (tid, idfVal) =>
-              byTerm.get(tid).map(bs => new TermCursor(tid, bs, idfVal, avgdl))
+          bQ.value.iterator.flatMap { case (qid, specs) =>
+            val cursors = specs.flatMap { case (f, tid, effIdf) =>
+              byFieldTerm.get((f, tid))
+                .map(bs => new TermCursor(tid, bs, effIdf, avgdls(f), f))
             }
             if (cursors.isEmpty) Iterator.empty
             else {
               metrics.foreach(m =>
                 m.candidates.add(cursors.iterator.map(_.totalDocs.toLong).sum))
               val theta0 = bTheta.value.getOrElse(qid, Double.NegativeInfinity)
-              wandBucket(cursors, Array(docLens), kk, metrics, theta0).iterator
+              wandBucket(cursors, docLens, kk, metrics, theta0).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }
             }
           }

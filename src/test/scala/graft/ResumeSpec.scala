@@ -65,6 +65,16 @@ class ResumeSpec extends AnyFunSuite {
     (0 until 25).foreach(i => Lineage.append(spark, dir,
       graft.index.LineageRow(i, "spec", i.toLong, i.toLong, "committed")))
     assert(Lineage.load(spark, dir).filter(_.stage == "spec").count() == 25)
+    // a torn (crash-interrupted, newline-less) tail loses ONLY itself: the
+    // next append must not merge into it
+    val p = java.nio.file.Paths.get(s"$dir/lineage.jsonl")
+    java.nio.file.Files.writeString(p, "{\"partitionId\":9,\"sta",
+      java.nio.file.StandardOpenOption.APPEND)
+    Lineage.append(spark, dir, graft.index.LineageRow(99, "afterTorn", 1L, 1L, "committed"))
+    val rows = Lineage.load(spark, dir)
+    assert(rows.filter(_.stage == "afterTorn").count() == 1,
+      "record after a torn tail must survive")
+    assert(rows.filter(_.stage == "spec").count() == 25, "earlier records intact")
   }
 
   test("re-running a completed build is a no-op (idempotent skip)") {
