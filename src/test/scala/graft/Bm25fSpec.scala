@@ -26,21 +26,25 @@ class Bm25fSpec extends AnyFunSuite {
       .collect().map { case (id, t) => (id, tok.terms(t)) }
   }
 
-  /** From-the-definition BM25F top-k, replicating the engine's exact
-    * addend order (cursor order = (field, termId) ascending; termIds from
-    * each sub-index's dictionary) and its per-field stats. */
-  private def brute(fieldsIn: Seq[(IndexHandle, Double)], corpusIn: Array[(Long, Array[String])],
+  /** The title/body field split of a corpus (the FieldedIndexCache shape). */
+  private def titleBodySplit(corpusIn: Array[(Long, Array[String])]): IndexedSeq[Array[(Long, Array[String])]] =
+    IndexedSeq(
+      corpusIn.map { case (id, ts) => (id, ts.take(FieldedIndexCache.TitleLen)) },
+      corpusIn.map { case (id, ts) => (id, ts.drop(FieldedIndexCache.TitleLen)) }
+        .filter(_._2.nonEmpty))
+
+  /** From-the-definition BM25F top-k over ARBITRARY per-field splits,
+    * replicating the engine's exact addend order (cursor order =
+    * (field, termId) ascending; termIds from each sub-index's dictionary)
+    * and its per-field stats. */
+  private def brute(fieldsIn: Seq[(IndexHandle, Double)],
+      splits: IndexedSeq[Array[(Long, Array[String])]],
       queries: Seq[QuerySpec], k: Int): Map[Int, Seq[(Double, Long)]] = {
     val nF = fieldsIn.length
-    val fieldTerms: Int => Array[(Long, Array[String])] = {
-      val t = corpusIn.map { case (id, ts) => (id, ts.take(FieldedIndexCache.TitleLen)) }
-      val b = corpusIn.map { case (id, ts) => (id, ts.drop(FieldedIndexCache.TitleLen)) }
-        .filter(_._2.nonEmpty)
-      f => if (f == 0) t else b
-    }
+    val allIds = splits.flatMap(_.map(_._1)).distinct.sorted
     // per field: n, avgdl (exact integer ratio), df, tf, docLen
     val stats = (0 until nF).map { f =>
-      val docs = fieldTerms(f)
+      val docs = splits(f)
       val n = docs.length.toLong
       val total = docs.iterator.map(_._2.length.toLong).sum
       val avgdl = total.toDouble / n.toDouble
@@ -60,7 +64,7 @@ class Bm25fSpec extends AnyFunSuite {
         t <- q.terms.distinct
         e <- dicts(f).get(t)
       } yield (f, e.termId, t)).sortBy(x => (x._1, x._2))
-      val scored = corpusIn.map(_._1).flatMap { d =>
+      val scored = allIds.flatMap { d =>
         var s = 0.0
         var any = false
         specs.foreach { case (f, _, t) =>
@@ -95,7 +99,8 @@ class Bm25fSpec extends AnyFunSuite {
       QuerySpec(qid, Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))))
     }
     val queries = graft.queries.QuerySet.queries ++ random
-    assertExact(Bm25f.topK(fields, queries, 10), brute(fields, corpus, queries, 10), queries)
+    assertExact(Bm25f.topK(fields, queries, 10),
+      brute(fields, titleBodySplit(corpus), queries, 10), queries)
   }
 
   test("docs MISSING a field (no body) score from the present field only — exact") {
@@ -119,7 +124,8 @@ class Bm25fSpec extends AnyFunSuite {
     val queries = Seq(
       QuerySpec(1, Seq("fox")), QuerySpec(2, Seq("dog")),
       QuerySpec(3, Seq("quick", "dog")), QuerySpec(4, Seq("body", "lazy")))
-    assertExact(Bm25f.topK(pair, queries, 10), brute(pair, localCorpus, queries, 10), queries)
+    assertExact(Bm25f.topK(pair, queries, 10),
+      brute(pair, titleBodySplit(localCorpus), queries, 10), queries)
   }
 
   test("tombstone deletes compose with fielded retrieval: delete == rebuilt pair, exact") {
@@ -166,7 +172,47 @@ class Bm25fSpec extends AnyFunSuite {
     // survivor-corpus stats + the DELETED pair's dictionaries, so cursor
     // (addend) order matches `got` and bit-equality is assertable
     val localCorpus = survivors.map { case (id, t) => (id, tok.terms(t)) }.toArray
-    assertExact(got, brute(deletedPair, localCorpus, queries, 10), queries)
+    assertExact(got, brute(deletedPair, titleBodySplit(localCorpus), queries, 10), queries)
+  }
+
+  test("THREE fields (title/abstract/body): the driver is field-count generic — exact") {
+    import spark.implicits._
+    val tok = Tokenizers.default
+    // field split: tokens [0,4) / [4,8) / [8,∞); docs 0 and 3 lack a body,
+    // doc 3 also lacks an abstract tail beyond one token
+    val texts = Seq(
+      0L -> "alpha beta gamma delta eps zeta eta theta",
+      1L -> "alpha beta one two three four five six seven eight nine ten alpha",
+      2L -> "gamma two mid words fill here body starts now and runs long alpha beta",
+      3L -> "solo title words here plus",
+      4L -> "beta gamma other stuff pad pad pad pad tail tail tail beta")
+    def fieldPages(lo: Int, hi: Int) = texts.map { case (id, t) =>
+      val ts = tok.terms(t)
+      (id, ts.slice(lo, math.min(hi, ts.length)).mkString(" "))
+    }.filter(_._2.nonEmpty).toDF("doc_id", "text")
+      .select(col("doc_id"), concat(lit("f3://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        col("text"), lit("en").as("lang"))
+    val base = "/tmp/graft_bm25f_spec_3f"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(base))
+    val ranges = Seq((0, 4), (4, 8), (8, Int.MaxValue))
+    val weights = Seq(3.0, 2.0, 1.0)
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      graft.index.IndexBuilder.buildFrom(spark, fieldPages(lo, hi), s"$base/f$i",
+        graft.index.IndexConfig())
+    }
+    val fields3 = (0 until 3).map(i =>
+      graft.query.IndexReader.load(spark, s"$base/f$i") -> weights(i))
+    val splits = ranges.map { case (lo, hi) =>
+      texts.map { case (id, t) =>
+        (id, tok.terms(t).slice(lo, math.min(hi, tok.terms(t).length)))
+      }.filter(_._2.nonEmpty).toArray
+    }.toIndexedSeq
+    val queries = Seq(
+      QuerySpec(1, Seq("alpha")), QuerySpec(2, Seq("beta", "gamma")),
+      QuerySpec(3, Seq("tail", "words")), QuerySpec(4, Seq("alpha", "two", "tail")))
+    assertExact(Bm25f.topK(fields3, queries, 10),
+      brute(fields3, splits, queries, 10), queries)
   }
 
   test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {
