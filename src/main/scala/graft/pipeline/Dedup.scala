@@ -172,11 +172,13 @@ object Dedup {
 
   /** Probe a NEW batch against the persisted index: (batch_doc, corpus_doc)
     * LSH candidates. The corpus side is READ (pruned, clustered), never
-    * recomputed; feed the result to [[jaccardVerify]] with a shingle
-    * relation covering the batch plus the candidate corpus docs. */
-  def probeLshIndex(spark: SparkSession, dir: String,
-      batchSigs: Dataset[DocSignature]): DataFrame = {
-    val idx = spark.read.parquet(dir)
+    * recomputed; `indexFilter` narrows it (e.g. committed-docs-only /
+    * tombstone exclusion in streaming dedup). Feed the result to
+    * [[jaccardVerify]] with a shingle relation covering the batch plus the
+    * candidate corpus docs. */
+  def probeLshIndex(spark: SparkSession, dir: String, batchSigs: Dataset[DocSignature],
+      indexFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val idx = indexFilter(spark.read.parquet(dir))
     bandRelation(batchSigs).as("b")
       .join(idx.as("c"),
         col("b.band") === col("c.band") && col("b.key") === col("c.key"))

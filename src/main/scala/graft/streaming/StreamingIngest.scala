@@ -52,6 +52,11 @@ object StreamingIngest {
       cfg: IndexConfig,
       maxFilesPerTrigger: Int = 1024
   ): IndexManifest = {
+    // plain and dedup streaming each run their OWN checkpoint (independent
+    // batchId sequences) over the one manifest cursor — mixing them on an
+    // index would silently skip batches, so the first writer stamps the
+    // mode and any later mismatch fails loudly
+    DedupIngest.claimMode(indexDir, "plain")
     val stream = spark.readStream
       .schema(pagesSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -86,6 +86,16 @@ class StreamingDedupSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("mixing plain and dedup streaming on one index fails loudly (mode marker)") {
+    // the first test stamped _ingest_mode=dedup on this index
+    val indexDir = "/tmp/graft_test_index/stream_dedup/index"
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.ingestAvailable(
+        spark, "/tmp/graft_test_index/stream_dedup/incoming/*", indexDir, cfg)
+    }
+    assert(e.getMessage.contains("ingest"), s"unexpected error: ${e.getMessage}")
+  }
+
   test("replayed batch id (at-least-once delivery) is a committed no-op for BOTH indexes") {
     val root = "/tmp/graft_test_index/stream_dedup_replay"
     graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
