@@ -177,9 +177,14 @@ object Dedup {
     * [[jaccardVerify]] with a shingle relation covering the batch plus the
     * candidate corpus docs. */
   def probeLshIndex(spark: SparkSession, dir: String, batchSigs: Dataset[DocSignature],
+      indexFilter: DataFrame => DataFrame = identity): DataFrame =
+    probeLshIndexBands(spark, dir, bandRelation(batchSigs), indexFilter)
+
+  /** Same, over a prebuilt (possibly already-materialized) band relation. */
+  def probeLshIndexBands(spark: SparkSession, dir: String, batchBands: DataFrame,
       indexFilter: DataFrame => DataFrame = identity): DataFrame = {
     val idx = indexFilter(spark.read.parquet(dir))
-    bandRelation(batchSigs).as("b")
+    batchBands.as("b")
       .join(idx.as("c"),
         col("b.band") === col("c.band") && col("b.key") === col("c.key"))
       .select(col("b.doc_id").as("batch_doc"), col("c.doc_id").as("corpus_doc"))

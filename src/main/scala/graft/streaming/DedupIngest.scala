@@ -37,13 +37,52 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Docs too short to shingle (< n-gram width) carry no signature and are
   * never near-dup candidates — they always survive (documented; exact
-  * dedup of trivial docs belongs to the md5 path). */
+  * dedup of trivial docs belongs to the md5 path).
+  *
+  * SEMANTICS NOTE (online vs global dedup): admission is the standard
+  * ONLINE policy — dedup against committed docs, then keep-min among the
+  * batch's cross-survivors. A doc whose only near-dup neighbor was itself
+  * cross-dropped survives here, whereas a GLOBAL rebuild through the
+  * connected-components keep-min (`q_dedup_groups`) would drop it:
+  * streaming admission is inherently arrival-order-dependent, and the
+  * online policy guarantees only that (a) the minimum of any within-batch
+  * chain survives and (b) nothing similar to a live committed doc enters.
+  *
+  * DELETE lifecycle: the dedup index keeps its OWN tombstone table
+  * (`dedupDir/tombstones`), written by [[purge]] — deleting docs from a
+  * dedup-ingested corpus should call `IndexBuilder.delete*` AND `purge`
+  * together, so re-crawled content stays admissible even after the
+  * inverted index's compaction clears ITS tombstones. The probe also
+  * honors the inverted index's live tombstones as a safety net. */
 object DedupIngest {
 
   final val DefaultThreshold = 0.9
 
   private def bandsDir(dedupDir: String) = s"$dedupDir/bands"
   private def sigsDir(dedupDir: String) = s"$dedupDir/sigs"
+  private def tombsPath(dedupDir: String) = s"$dedupDir/tombstones"
+
+  /** Remove docs from the dedup index's PROBE surface (their bands/sigs
+    * rows stay physical, like index tombstones pre-compaction): the
+    * delete-side companion of `IndexBuilder.delete`. Idempotent
+    * (overwrite of the union). */
+  def purge(spark: SparkSession, dedupDir: String, ids: DataFrame): Unit = {
+    val fresh = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    val p = java.nio.file.Paths.get(tombsPath(dedupDir))
+    val merged =
+      if (java.nio.file.Files.exists(p))
+        spark.read.parquet(tombsPath(dedupDir)).unionByName(fresh).distinct()
+      else fresh
+    // two-phase overwrite: the source is also the destination
+    val tmp = s"${tombsPath(dedupDir)}_next"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(tombsPath(dedupDir))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+  }
 
   /** One streaming lineage per index: the checkpointed batchId sequence is
     * only monotone WITHIN one ingest mode, so the first streaming writer
@@ -71,11 +110,11 @@ object DedupIngest {
       .write.mode("overwrite").parquet(s"${sigsDir(dedupDir)}/part=$part")
   }
 
-  /** Bootstrap the dedup index for an existing corpus — cleaned with the
-    * SAME config (incl. the language allowlist) as the index build, so
-    * both indexes describe the same document set. */
+  /** Bootstrap the dedup index for an existing corpus — `cfg` is REQUIRED
+    * and must be the index build's config (incl. the language allowlist),
+    * so both indexes describe the same document set. */
   def bootstrap(spark: SparkSession, corpusPages: DataFrame, dedupDir: String,
-      cfg: IndexConfig = IndexConfig(), buckets: Int = 8): Unit = {
+      cfg: IndexConfig, buckets: Int = 8): Unit = {
     val cleaned = Pages.cleaned(corpusPages, cfg.langs)
     writeParts(spark,
       Dedup.signaturesOf(cleaned.select(col("doc_id"), col("text"))),
@@ -93,6 +132,10 @@ object DedupIngest {
       cfg: IndexConfig, batchId: Long, threshold: Double = DefaultThreshold,
       buckets: Int = 8): IndexManifest = {
     import spark.implicits._
+    // batch-mode callers advance the same cursor as the streams — stamp
+    // the mode here too, so direct applyBatch use can never interleave
+    // with a plain stream's independent batchId sequence
+    claimMode(indexDir, "dedup")
     val old = Manifest.read(s"$indexDir/manifest.json")
     if (batchId <= old.lastBatchId) return old // committed-batch replay: no-op
 
@@ -114,21 +157,26 @@ object DedupIngest {
         .localCheckpoint(true) // both estimator joins
 
       // batch vs LIVE committed corpus: the maxDocId guard excludes a
-      // crashed attempt's own part=b<batchId> partitions on replay, and
-      // tombstone-deleted docs are excluded so re-crawled content is
+      // crashed attempt's own part=b<batchId> partitions on replay;
+      // deleted docs are excluded via the dedup index's OWN tombstones
+      // (purge — survives index compaction) plus the inverted index's
+      // live tombstones as a safety net, so re-crawled deleted content is
       // admissible again
-      val tombs: Option[DataFrame] =
+      val tombTables: Seq[DataFrame] = Seq(
         if (old.tombVersion < 0) None
         else Some(spark.read
-          .parquet(IndexBuilder.tombDirFor(indexDir, old.tombVersion)).toDF("doc_id"))
+          .parquet(IndexBuilder.tombDirFor(indexDir, old.tombVersion)).toDF("doc_id")),
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tombsPath(dedupDir)))) None
+        else Some(spark.read.parquet(tombsPath(dedupDir)))
+      ).flatten
       def liveCommitted(df: DataFrame): DataFrame = {
         val committed = df.filter(col("doc_id") <= old.maxDocId)
-        tombs.fold(committed)(t => committed.join(t, Seq("doc_id"), "left_anti"))
+        tombTables.foldLeft(committed)((d, t) => d.join(t, Seq("doc_id"), "left_anti"))
       }
       val corpusSigs = liveCommitted(spark.read.parquet(sigsDir(dedupDir)))
         .select(col("doc_id").as("corpus_doc"), col("sig").as("c_sig"))
       val crossDups = Dedup
-        .probeLshIndex(spark, bandsDir(dedupDir), sigs, liveCommitted)
+        .probeLshIndexBands(spark, bandsDir(dedupDir), bands, liveCommitted)
         .join(bSigs, "batch_doc")
         .join(corpusSigs, "corpus_doc")
         .filter(estCol(col("b_sig"), col("c_sig")) >= threshold)
@@ -154,12 +202,15 @@ object DedupIngest {
       val dups = crossDups.unionByName(selfDups).distinct()
         .withColumnRenamed("batch_doc", "doc_id")
         .localCheckpoint(true) // survivors filter + survivor-sigs semi-join
-      // survivors as RAW batch rows: append cleans them itself (ONE
-      // cleaning pass on the commit path) and counts corrupt rows into
-      // skippedCorrupt exactly like plain ingest / a full rebuild
-      val survivors = batch
-        .join(dups.select(col("doc_id").cast(batch.schema("doc_id").dataType)),
+      // survivors from the CLEANED batch (the rows the dedup decisions
+      // were actually made on — subtracting ids from the raw batch could
+      // resurrect a same-url sibling that was never probed), PLUS the raw
+      // corrupt rows so append's skippedCorrupt accounting matches plain
+      // ingest / a full rebuild (append re-drops them, counted)
+      val survivors = cleaned
+        .join(dups.select(col("doc_id").cast(cleaned.schema("doc_id").dataType)),
           Seq("doc_id"), "left_anti")
+        .unionByName(batch.filter(col("text").isNull).select(cleaned.columns.map(col): _*))
 
       // dedup-index growth FIRST (overwrite-idempotent partition), the
       // inverted-index append LAST (it commits the manifest cursor)

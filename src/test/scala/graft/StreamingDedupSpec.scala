@@ -36,7 +36,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val pages = Pages.withInjections(spark, sfDir).persist()
     val bootstrapPages = pages.filter(col("doc_id") < 192)
     IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
-    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir)
+    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
 
     val base = Pages.base(spark, sfDir)
     // batch 1: fresh docs 200..249 + copy of corpus doc 5 (id 260) +
@@ -87,13 +87,42 @@ class StreamingDedupSpec extends AnyFunSuite {
   }
 
   test("mixing plain and dedup streaming on one index fails loudly (mode marker)") {
-    // the first test stamped _ingest_mode=dedup on this index
-    val indexDir = "/tmp/graft_test_index/stream_dedup/index"
+    // self-contained: a fresh index dir stamped with the dedup mode
+    val indexDir = "/tmp/graft_test_index/stream_dedup_mode"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(indexDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/_ingest_mode"), "dedup")
     val e = intercept[IllegalArgumentException] {
       graft.streaming.StreamingIngest.ingestAvailable(
-        spark, "/tmp/graft_test_index/stream_dedup/incoming/*", indexDir, cfg)
+        spark, s"$indexDir/incoming/*", indexDir, cfg)
     }
     assert(e.getMessage.contains("ingest"), s"unexpected error: ${e.getMessage}")
+  }
+
+  test("purge: re-crawled deleted content is admissible even after index compaction; " +
+    "without purge the stale signature would veto it") {
+    import spark.implicits._
+    def setup(root: String, doPurge: Boolean): Long = {
+      graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+      val indexDir = s"$root/index"
+      val dedupDir = s"$root/dedup"
+      val bootstrapPages = Pages.withInjections(spark, sfDir).filter(col("doc_id") < 192)
+      IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
+      DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
+      // delete doc 5, then COMPACT (clears the index's own tombstones)
+      IndexBuilder.delete(spark, indexDir, Seq(5L))
+      if (doPurge) DedupIngest.purge(spark, dedupDir, Seq(5L).toDF("doc_id"))
+      IndexBuilder.compact(spark, indexDir)
+      // re-crawl of doc 5's content at a fresh id
+      DedupIngest.applyBatch(spark, copyOf(5L, 400L), indexDir, dedupDir, cfg, batchId = 1L)
+      IndexReader.load(spark, indexDir).docstats.filter(col("docId") === 400L).count()
+    }
+    assert(setup("/tmp/graft_test_index/stream_dedup_purge", doPurge = true) == 1L,
+      "purged content's re-crawl must be admitted")
+    assert(setup("/tmp/graft_test_index/stream_dedup_nopurge", doPurge = false) == 0L,
+      "fixture: without purge the stale signature should veto the re-crawl " +
+        "(this is exactly why purge exists)")
   }
 
   test("replayed batch id (at-least-once delivery) is a committed no-op for BOTH indexes") {
@@ -104,7 +133,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val pages = Pages.withInjections(spark, sfDir)
     val bootstrapPages = pages.filter(col("doc_id") < 192)
     IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
-    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir)
+    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
     val batch = Pages.base(spark, sfDir)
       .filter(col("doc_id") >= 200 && col("doc_id") < 230)
       .unionByName(copyOf(5L, 290L))
