@@ -79,9 +79,15 @@ object Components {
     while (!converged) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
       rounds += 1
-      // fixpoint: same canonical edge set (counts equal + anti-join empty)
-      converged = next.count() == cur.count() &&
-        next.join(cur, Seq("src", "dst"), "left_anti").isEmpty
+      // fixpoint: same canonical edge set, decided in ONE action — both
+      // sides are distinct by construction, so in the unioned multiset an
+      // edge appears twice iff it is on both sides; any count-1 group is a
+      // difference in either direction (replaces the two-action count() +
+      // anti-join probe: halves the per-round job count at O(log n) rounds)
+      converged = next.unionByName(cur)
+        .groupBy("src", "dst").count()
+        .filter(col("count") === 1)
+        .isEmpty
       cur = next
     }
     // at fixpoint the edges are stars rooted at each component's minimum:

@@ -435,6 +435,19 @@ object IndexQueries {
     "q_bm25f_topk" -> ((spark, sfDir) =>
       rankedReport(spark,
         graft.query.Bm25f.topK(FieldedIndexCache.get(spark, sfDir), QuerySet.queries, k = 40),
+        kWand = 40)),
+
+    // TIERED retrieval (the approximate fast path): same WAND kernel, but
+    // block pruning bounds derive from the E6 tfP90 quantile metadata
+    // instead of maxTf — an unsafe-by-design bound that may lose tf-outlier
+    // docs at a measured recall cost (PruneSpec gates recall >= 0.9 against
+    // exact topK on this exact configuration; evals-saved measured there
+    // too). No SQL oracle BY DESIGN (approximate result, like q_ann_lsh):
+    // the driver records a rows-only check, the spec carries the gate.
+    "q_bm25_tiered" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        graft.query.Wand.topKApprox(IndexCache.handle(spark, sfDir), QuerySet.queries,
+          k = 40, boundKey = graft.index.TfQuantileComputer.TfP90Key),
         kWand = 40))
   )
 

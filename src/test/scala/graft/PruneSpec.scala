@@ -134,6 +134,25 @@ class PruneSpec extends AnyFunSuite {
     assert(recalls.forall(_ >= 0.8), s"tiered recall dropped below 0.8: $recalls")
   }
 
+  test("q_bm25_tiered driver-row configuration: recall >= 0.9 vs exact topK") {
+    // the EXACT configuration behind the driver's rows-only q_bm25_tiered:
+    // sf corpus index, fixture query set, k=40 headroom, top-10 reported
+    val h = graft.queries.IndexCache.handle(spark, "/root/testdata/sf0.001")
+    val exact = Wand.topK(h, graft.queries.QuerySet.queries, 40)
+    val approx = Wand.topKApprox(h, graft.queries.QuerySet.queries, 40,
+      graft.index.TfQuantileComputer.TfP90Key)
+    val recalls = graft.queries.QuerySet.queries
+      .filter(q => exact(q.queryId).nonEmpty)
+      .map { q =>
+        val want = exact(q.queryId).take(10).map(_._2).toSet
+        val got = approx(q.queryId).take(10).map(_._2).toSet
+        q.queryId -> (want intersect got).size.toDouble / math.max(1, want.size)
+      }
+    info(recalls.map { case (q, r) => f"q$q=$r%.2f" }.mkString(", "))
+    assert(recalls.forall(_._2 >= 0.9),
+      s"tiered driver-row recall below the 0.9 gate: $recalls")
+  }
+
   test("global threshold seeding rescues small-bucket pruning (exactness preserved)") {
     import spark.implicits._
     // 512-doc buckets: WITHOUT seeding these queries measured 92%
