@@ -6,7 +6,6 @@ import graft.query.Bm25
 import graft.tokenize.{TokenizerStrategy, Tokenizers}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
@@ -35,6 +34,17 @@ final case class BucketedPosting(termId: Int, bucket: Long, docId: Long, tf: Int
   * `blockId = bucket * blocksPerBucket + localIdx`, so per-bucket partials
   * need NO second merge pass (the reference's density-balanced chunking
   * recast, utils/split.py:243-360).
+  *
+  * STORAGE is LSM-segmented since r5: postings and docstats live in
+  * immutable per-docId-range [[Segment]] directories listed in the manifest
+  * (`segments/seg_<lo>_<hi>_v<v>/{postings,docstats}`). Builds commit one
+  * segment per chunk, appends add one, and compaction REPLACES only the
+  * segments overlapping its slice with one merged higher-version segment —
+  * every other segment's files are physically untouched (slice-local write
+  * I/O; the reference analog: chunked dataset writes reproduce only
+  * affected files, midi_tokenizer.py:3228-3230). Reads are manifest-driven
+  * multi-path scans, never directory discovery, so crashed writers' orphan
+  * directories are invisible until [[vacuum]] removes them.
   */
 object IndexBuilder {
 
@@ -81,13 +91,26 @@ object IndexBuilder {
   def tombDirFor(indexDir: String, version: Int): String =
     f"$indexDir/tombstones/v$version%05d"
 
-  /** Postings root for a compaction generation (0 = original layout). */
-  def postingsRootFor(indexDir: String, gen: Int): String =
-    if (gen == 0) s"$indexDir/postings" else f"$indexDir/postings_g$gen%03d"
+  /** One segment's root directory. */
+  def segmentDir(indexDir: String, s: Segment): String =
+    s"$indexDir/segments/${s.name}"
 
-  /** Docstats dir for a compaction generation (0 = original layout). */
-  def docstatsDirFor(indexDir: String, gen: Int): String =
-    if (gen == 0) s"$indexDir/docstats" else f"$indexDir/docstats_g$gen%03d"
+  /** The live postings directories — manifest-driven (read truth). */
+  def postingsDirs(indexDir: String, m: IndexManifest): Seq[String] =
+    m.segments.map(s => s"${segmentDir(indexDir, s)}/postings")
+
+  /** The live docstats directories — manifest-driven (read truth). */
+  def docstatsDirs(indexDir: String, m: IndexManifest): Seq[String] =
+    m.segments.map(s => s"${segmentDir(indexDir, s)}/docstats")
+
+  /** All live postings blocks: a multi-path scan over the manifest's
+    * segment list (predicates on termId/blockId push into every path). */
+  def readPostings(spark: SparkSession, indexDir: String, m: IndexManifest): DataFrame =
+    spark.read.parquet(postingsDirs(indexDir, m): _*)
+
+  /** All live (physical) docstats rows, manifest-driven like postings. */
+  def readDocstats(spark: SparkSession, indexDir: String, m: IndexManifest): DataFrame =
+    spark.read.parquet(docstatsDirs(indexDir, m): _*)
 
   /** Tombstone delete — the third lifecycle verb (build / append / delete).
     * Postings, docstats and block metadata keep deleted rows physically
@@ -112,7 +135,7 @@ object IndexBuilder {
       if (old.tombVersion < 0) spark.emptyDataset[Long]
       else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).as[Long]
     val requested = docIds.distinct.toDF("docId")
-    val docstats = spark.read.parquet(docstatsDirFor(indexDir, old.compactGen))
+    val docstats = readDocstats(spark, indexDir, old)
     // genuinely-new = requested ∩ existing docs − already-tombstoned
     val fresh = requested
       .join(docstats.select("docId"), Seq("docId"), "left_semi")
@@ -136,7 +159,7 @@ object IndexBuilder {
     // two-path discipline as WAND's docstats pruning
     val bpb = old.bucketRange / old.blockSize
     val buckets = fresh.map(_ / old.bucketRange).distinct
-    val allBlocks = readChunks(spark, indexDir, old)
+    val allBlocks = readPostings(spark, indexDir, old)
     val affectedBlocks =
       if (buckets.length <= graft.query.Wand.MaxPredicateBuckets)
         allBlocks.filter(buckets.map { b =>
@@ -180,7 +203,7 @@ object IndexBuilder {
     val oldTombs: Dataset[Long] =
       if (old.tombVersion < 0) spark.emptyDataset[Long]
       else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).as[Long]
-    val docstats = spark.read.parquet(docstatsDirFor(indexDir, old.compactGen))
+    val docstats = readDocstats(spark, indexDir, old)
     // genuinely-new = requested ∩ existing docs − already-tombstoned;
     // multi-consumer (agg + buckets + posting join + tombstone union) →
     // materialize once, GC-reclaimed
@@ -203,7 +226,7 @@ object IndexBuilder {
     val bpb = old.bucketRange / old.blockSize
     val freshBuckets = fresh
       .select((col("docId") / lit(old.bucketRange)).cast("long").as("__bucket")).distinct()
-    val affectedBlocks = readChunks(spark, indexDir, old)
+    val affectedBlocks = readPostings(spark, indexDir, old)
       .withColumn("__bucket", (col("blockId") / lit(bpb)).cast("long"))
       .join(freshBuckets, Seq("__bucket"), "left_semi")
       .drop("__bucket")
@@ -255,13 +278,6 @@ object IndexBuilder {
       dictVersion = old.dictVersion + 1, tombVersion = old.tombVersion + 1)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     manifest
-  }
-
-  /** All committed postings chunk dirs of the current generation. */
-  private def readChunks(spark: SparkSession, indexDir: String, m: IndexManifest): DataFrame = {
-    val dirs = (0 until m.nChunks)
-      .map(c => f"${postingsRootFor(indexDir, m.compactGen)}/chunk_$c%05d")
-    spark.read.parquet(dirs: _*)
   }
 
   /** Frequency-ordered dense termIds WITHOUT a single-partition global
@@ -369,10 +385,6 @@ object IndexBuilder {
     import spark.implicits._
     val bDict = spark.sparkContext.broadcast(dict)
     val bucketRange = cfg.bucketRange
-    val blockSize = cfg.blockSize
-    val blocksPerBucket = cfg.blocksPerBucket
-    val computers = cfg.metaComputers
-
     val bucketed: Dataset[BucketedPosting] = td.mapPartitions { it =>
       val d = bDict.value
       it.flatMap { p =>
@@ -429,63 +441,66 @@ object IndexBuilder {
   }
 
   /** Compaction — physically drop tombstoned rows: decode every surviving
-    * posting from the current generation's blocks, re-join its norm from
-    * the live docstats, and reassemble blocks through the SAME salted
-    * exchange + streaming encoder as the original build; live docstats are
-    * rewritten bucket-clustered. Everything lands in generation g+1
-    * directories with the manifest (nChunks = 1, tombVersion cleared)
-    * committed LAST — a crash mid-compaction leaves generation g live and
-    * a re-run re-derives the same g+1. The dictionary is untouched: df/cf
-    * are already live since delete(), and df-0 rows stay so termIds remain
-    * stable. After compaction the index is physically equal to a fresh
-    * rebuild without the deleted docs (CompactSpec). */
+    * posting from the affected segments' blocks, re-join its norm from the
+    * live docstats, and reassemble blocks through the SAME salted exchange +
+    * streaming encoder as the original build; live docstats are rewritten
+    * bucket-clustered. The affected segments are REPLACED in the manifest by
+    * one merged segment at version max(v)+1 (committed LAST — a crash
+    * mid-compaction leaves the old segments live and a re-run re-derives
+    * the same merged segment); their directories become garbage for
+    * [[vacuum]]. The dictionary is untouched: df/cf are already live since
+    * delete(), and df-0 rows stay so termIds remain stable. After a full
+    * compaction the index is physically equal to a fresh rebuild without
+    * the deleted docs (CompactSpec). */
   def compact(spark: SparkSession, indexDir: String): IndexManifest =
     compactRange(spark, indexDir, None)
 
-  /** Incremental sibling: compact ONLY the docId buckets in
-    * `[bucketLo, bucketHi)` — the LSM-style slice compaction a 100 TB index
-    * needs (a whole-index rewrite is one monolithic job; a slice bounds the
-    * decode + shuffle volume to the slice's postings). Blocks and docstats
-    * OUTSIDE the slice pass through to the new generation as a columnar
-    * copy (no decode, no docstats join); tombstones outside the slice stay
-    * live in tombstones v(N+1), so the remaining buckets compact later.
-    * All layout parameters come from the MANIFEST (postingsBuckets +
-    * metaComputers persisted at build), so an index built with a
-    * non-default layout keeps it across generations. */
+  /** Incremental sibling: compact ONLY the segments overlapping the docId
+    * buckets `[bucketLo, bucketHi)` — the LSM-style slice compaction a
+    * 100 TB index needs. The slice is rounded OUT to whole segments (the
+    * immutable I/O unit): decode + shuffle + WRITE are all bounded by the
+    * overlapping segments, and every non-overlapping segment's files are
+    * physically untouched (CompactSpec asserts byte-identical paths+sizes).
+    * Tombstones outside the compacted span stay live in tombstones v(N+1),
+    * so the remaining segments compact later. All layout parameters come
+    * from the MANIFEST (postingsBuckets + metaComputers persisted at
+    * build), so an index built with a non-default layout keeps it. */
   def compactRange(spark: SparkSession, indexDir: String,
       bucketRange0: Option[(Long, Long)]): IndexManifest = {
     import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
     if (old.tombVersion < 0) return old // nothing tombstoned — no-op
-    val gen = old.compactGen
     val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange,
       postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     val (bLo, bHi) = bucketRange0.getOrElse((0L, Long.MaxValue))
-    def inRange(bucketCol: org.apache.spark.sql.Column) =
-      bucketCol >= bLo && bucketCol < bHi
-    val bpb = old.bucketRange / old.blockSize
+    val docLo = if (bLo >= Long.MaxValue / old.bucketRange) Long.MaxValue else bLo * old.bucketRange
+    val docHi = if (bHi >= Long.MaxValue / old.bucketRange) Long.MaxValue else bHi * old.bucketRange
+    val (touched, untouched) = old.segments.partition(_.overlaps(docLo, docHi))
+    if (touched.isEmpty) return old
+    // effective span = the touched segments' union range (slice rounded out
+    // to the immutable I/O unit); merged version derived deterministically
+    // from the replaced set, so a crash-replay overwrites the same dir
+    val spanLo = touched.map(_.lo).min
+    val spanHi = touched.map(_.hi).max
+    val merged = Segment(spanLo, spanHi, touched.map(_.v).max + 1)
+    val mergedDir = segmentDir(indexDir, merged)
 
     // multi-consumer relations here are DIRECT parquet scans (tombstones,
     // blocks) — re-scanning per consumer beats materializing a whole-index
     // checkpoint, the same columnar re-scan trade as cacheTermDocs=false
     val tombs = spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
-    val tombsIn = tombs.filter(inRange(col("docId") / lit(old.bucketRange)))
-    val tombsOut = tombs.filter(!inRange(col("docId") / lit(old.bucketRange)))
+    val tombsIn = tombs.filter(col("docId") >= spanLo && col("docId") < spanHi)
+    val tombsOut = tombs.filter(col("docId") < spanLo || col("docId") >= spanHi)
 
-    val oldStats = spark.read.parquet(docstatsDirFor(indexDir, gen))
+    // in-span docstats lose their tombstoned rows; out-of-span segments are
+    // never even read
+    val statsIn = spark.read
+      .parquet(touched.map(s => s"${segmentDir(indexDir, s)}/docstats"): _*)
       .select("docId", "url", "docLen")
-    // in-slice docstats lose their tombstoned rows; out-of-slice pass through
-    val statsIn = oldStats.filter(inRange(col("docId") / lit(old.bucketRange)))
       .join(broadcast(tombsIn), Seq("docId"), "left_anti")
-    val statsOut = oldStats.filter(!inRange(col("docId") / lit(old.bucketRange)))
-    val newStats = statsIn.unionByName(statsOut).as[DocStat]
 
-    val allBlocks = readChunks(spark, indexDir, old)
-    val blocksIn = allBlocks.filter(inRange(col("blockId") / lit(bpb)))
-    // pass-through: out-of-slice blocks are copied column-for-column —
-    // never decoded, never joined
-    val blocksOut = allBlocks.filter(!inRange(col("blockId") / lit(bpb))).as[PostingBlock]
-    val surviving = blocksIn
+    val surviving = spark.read
+      .parquet(touched.map(s => s"${segmentDir(indexDir, s)}/postings"): _*)
       .as[PostingBlock]
       .flatMap { b =>
         val ids = VByte.decodeDocIds(b.docIdGaps)
@@ -494,27 +509,23 @@ object IndexBuilder {
         ids.indices.iterator.map(j => (b.termId, ids(j), tfs(j), poss(j)))
       }
       .toDF("termId", "docId", "tf", "positions")
-      // the inner join with LIVE in-slice docstats drops tombstoned rows by
+      // the inner join with LIVE in-span docstats drops tombstoned rows by
       // itself (statsIn is already anti-joined) — no separate anti-join
       .join(statsIn.select(col("docId"), col("docLen")), "docId")
       .select(col("termId"), (col("docId") / lit(old.bucketRange)).cast("long").as("bucket"),
         col("docId"), col("tf"), col("docLen"), col("positions"))
       .as[BucketedPosting]
 
-    val newGen = gen + 1
-    assembleBlocks(surviving, cfg).unionByName(blocksOut)
+    assembleBlocks(surviving, cfg)
       .repartition(cfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
-      .write.mode("overwrite")
-      .parquet(s"${postingsRootFor(indexDir, newGen)}/chunk_00000")
-    newStats
+      .write.mode("overwrite").parquet(s"$mergedDir/postings")
+    statsIn
       .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
-      // keep the part= layout so post-compaction appends still land in
-      // their own overwrite-idempotent partition next to part=base
-      .write.mode("overwrite").parquet(s"${docstatsDirFor(indexDir, newGen)}/part=base")
+      .write.mode("overwrite").parquet(s"$mergedDir/docstats")
 
-    // tombstones that survive the slice (none on a full compaction)
+    // tombstones that survive outside the span (none on a full compaction)
     val remaining = tombsOut.count()
     val newTombVersion =
       if (remaining == 0L) -1
@@ -528,18 +539,39 @@ object IndexBuilder {
 
     Lineage.append(spark, indexDir,
       LineageRow(-1, "compact", old.nDocs, System.currentTimeMillis(), "committed"))
-    val manifest = old.copy(nChunks = 1, tombVersion = newTombVersion, compactGen = newGen)
+    val manifest = old.copy(tombVersion = newTombVersion,
+      segments = (untouched :+ merged).sortBy(_.lo))
     Manifest.write(s"$indexDir/manifest.json", manifest)
     manifest
   }
 
+  /** Garbage-collect directories no longer referenced by the manifest:
+    * segments replaced by compaction (or left by crashed attempts) and
+    * superseded dictionary/tombstone versions. Safe against crashed
+    * writers because reads are manifest-driven; NOT safe concurrently
+    * with readers still holding pre-vacuum handles. Returns the deleted
+    * paths (relative to indexDir). */
+  def vacuum(spark: SparkSession, indexDir: String): Seq[String] = {
+    val m = Manifest.read(s"$indexDir/manifest.json")
+    val liveSegs = m.segments.map(_.name).toSet
+    val segGarbage = Store.list(s"$indexDir/segments").filterNot(liveSegs.contains)
+      .map(n => s"segments/$n")
+    val dictGarbage = Store.list(s"$indexDir/dictionary")
+      .filterNot(_ == f"v${m.dictVersion}%05d").map(n => s"dictionary/$n")
+    val tombGarbage = Store.list(s"$indexDir/tombstones")
+      .filterNot(n => m.tombVersion >= 0 && n == f"v${m.tombVersion}%05d")
+      .map(n => s"tombstones/$n")
+    val garbage = segGarbage ++ dictGarbage ++ tombGarbage
+    garbage.foreach(rel => Store.delete(s"$indexDir/$rel"))
+    garbage
+  }
+
   // ---------------------------------------------------------------- build
 
-  private def exists(path: String): Boolean = Files.exists(Paths.get(path))
-  private def success(dir: String): Boolean = exists(s"$dir/_SUCCESS")
+  private def success(dir: String): Boolean = Store.exists(s"$dir/_SUCCESS")
 
   /** Full resumable build: pages(sfDir) → index at indexDir.
-    * Stages (stats → dictionary → postings chunk 0..n-1 → manifest) each
+    * Stages (dictionary → per-segment docstats + postings → manifest) each
     * commit atomically (parquet _SUCCESS) + append a lineage row; a re-run
     * skips committed stages (crash-restart yields a bit-identical index —
     * tested). */
@@ -557,41 +589,19 @@ object IndexBuilder {
 
   def buildFrom(spark: SparkSession, pages: org.apache.spark.sql.DataFrame, indexDir: String, cfg: IndexConfig): IndexManifest = {
     import spark.implicits._
+    // a committed build is a pure no-op (idempotent skip) — the manifest is
+    // only ever written after every stage's _SUCCESS
+    if (Store.exists(s"$indexDir/manifest.json"))
+      return Manifest.read(s"$indexDir/manifest.json")
     val tok = Tokenizers(cfg.tokenizer)
-    Files.createDirectories(Paths.get(indexDir))
+    Store.mkdirs(indexDir)
 
     val cleaned = Pages.cleaned(pages, cfg.langs).persist()
 
-    // -- stage: docstats + global stats ---------------------------------
-    // Layout: docstats/part=<id> partitions — "base" for the batch build,
-    // one per append batch — so each writer OVERWRITES its own partition
-    // (idempotent on replay, never mode(append) into a shared dir). Files
-    // are range-clustered by docId so a query's bucket predicate prunes
-    // parquet row groups/files, not just rows.
-    val docstatsDir = s"$indexDir/docstats"
-    if (!success(s"$docstatsDir/part=base")) timed("docstats") {
-      val stats = cleaned
-        .select(col("doc_id").cast("long"), col("url"), col("text"))
-        .as[(Long, String, String)]
-        // termCount == terms().length (spec-pinned) without materializing a
-        // single token string — this pass touches EVERY corpus byte
-        .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
-      // deterministic bucket clustering (hash on docId/bucketRange + local
-      // sort) — single pass, unlike repartitionByRange whose sampling job
-      // would re-run the tokenize upstream; row-group docId min/max stay
-      // tight for the query path's range-predicate pruning
-      stats.repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
-        .sortWithinPartitions(col("docId"))
-        .write.mode("overwrite").parquet(s"$docstatsDir/part=base")
-      Lineage.append(spark, indexDir, LineageRow(-1, "docstats", -1L, System.currentTimeMillis(), "committed"))
-    }
-    val docstats = spark.read.parquet(docstatsDir).as[DocStat]
-    val agg = timed("global-stats")(docstats.agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L)),
-      coalesce(max(col("docLen")), lit(0))).head())
-    val nDocs = agg.getLong(0)
-    val totalLen = agg.getLong(1)
-    val maxDocLen = agg.getInt(2)
-    val avgdl = totalLen.toDouble / nDocs.toDouble
+    // cheap column aggregates (no tokenize): the docId span that defines the
+    // segment ranges, and the corrupt-row count
+    val maxDocId = timed("doc-span")(cleaned
+      .agg(coalesce(max(col("doc_id").cast("long")), lit(0L))).head().getLong(0))
     val skippedCorrupt = timed("corrupt-count")(pages.filter(col("text").isNull).count())
 
     // -- stage: dictionary ----------------------------------------------
@@ -626,22 +636,49 @@ object IndexBuilder {
       if (useBroadcastDict) headDict.as[TermEntry].collect().map(e => e.term -> e).toMap
       else Map.empty
 
-    // -- stage: postings, chunked over docId ranges ----------------------
-    val maxDocId = docstats.agg(coalesce(max(col("docId")), lit(0L))).head().getLong(0)
+    // -- stage: segments (docstats + postings per docId range) -----------
     // P1 density-balanced sizing: nChunks == 0 derives the chunk count from
-    // the exact corpus token total, bounding per-chunk postings volume
+    // the exact corpus token total, bounding per-chunk postings volume —
+    // the AUTO path pays one extra token-count pass for it
     val nChunks =
       if (cfg.nChunks > 0) cfg.nChunks
-      else math.max(1L, (totalLen + cfg.targetTokensPerChunk - 1) / cfg.targetTokensPerChunk).toInt
+      else {
+        val totalTokens = timed("auto-sizing")(cleaned.select(col("text")).as[String]
+          .map(t => tok.termCount(t).toLong)
+          .agg(coalesce(sum(col("value")), lit(0L))).head().getLong(0))
+        math.max(1L, (totalTokens + cfg.targetTokensPerChunk - 1) / cfg.targetTokensPerChunk).toInt
+      }
     val rawChunk = (maxDocId + 1 + nChunks - 1) / nChunks
-    // chunk boundary aligned to bucketRange so buckets never span chunks
+    // chunk boundary aligned to bucketRange so buckets never span segments
+    // within one build (appends may still share the tail bucket — handled
+    // by firstDocId-ordered block merge at query time)
     val chunkRange = math.max(((rawChunk + cfg.bucketRange - 1) / cfg.bucketRange) * cfg.bucketRange, cfg.bucketRange)
+    val segs = Seq.newBuilder[Segment]
     var chunk = 0
     while (chunk * chunkRange <= maxDocId) {
       val lo = chunk * chunkRange
-      val hi = lo + chunkRange // exclusive
-      val chunkDir = f"$indexDir/postings/chunk_$chunk%05d"
-      if (!success(chunkDir)) timed(s"postings-chunk-$chunk") {
+      // the last segment's hi clamps to maxDocId + 1, so the segment list
+      // tiles [0, maxDocId + 1) exactly and an append's segment
+      // [maxDocId + 1, …) never overlaps
+      val hi = math.min(lo + chunkRange, maxDocId + 1)
+      val seg = Segment(lo, hi, 0)
+      val sdir = segmentDir(indexDir, seg)
+      if (!success(s"$sdir/docstats")) timed(s"docstats-$chunk") {
+        // termCount == terms().length (spec-pinned) without materializing a
+        // single token string; deterministic bucket clustering (hash on
+        // docId/bucketRange + local sort) keeps row-group docId min/max
+        // tight for the query path's range-predicate pruning
+        cleaned
+          .filter(col("doc_id").cast("long") >= lo && col("doc_id").cast("long") < hi)
+          .select(col("doc_id").cast("long"), col("url"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
+          .repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
+          .sortWithinPartitions(col("docId"))
+          .write.mode("overwrite").parquet(s"$sdir/docstats")
+        Lineage.append(spark, indexDir, LineageRow(chunk, "docstats", -1L, System.currentTimeMillis(), "committed"))
+      }
+      if (!success(s"$sdir/postings")) timed(s"postings-$chunk") {
         val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
         val blocks =
           if (useBroadcastDict) postingBlocks(part, dict, cfg)
@@ -649,17 +686,27 @@ object IndexBuilder {
         blocks
           .repartition(cfg.postingsBuckets, col("termId"))
           .sortWithinPartitions(col("termId"), col("blockId"))
-          .write.mode("overwrite").parquet(chunkDir)
-        val nBlocks = spark.read.parquet(chunkDir).count()
+          .write.mode("overwrite").parquet(s"$sdir/postings")
+        val nBlocks = spark.read.parquet(s"$sdir/postings").count()
         Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
       }
+      segs += seg
       chunk += 1
     }
+    val segments = segs.result()
 
-    val manifest = IndexManifest(nDocs, totalLen, vocabSize, skippedCorrupt,
-      cfg.blockSize, cfg.bucketRange, chunk, maxDocId,
-      maxDocLen = maxDocLen, postingsBuckets = cfg.postingsBuckets,
-      metaComputerNames = BlockMetaComputers.names(cfg.metaComputers))
+    // global stats from the committed segment docstats (one cheap columnar
+    // agg — this also revalidates the segment set is readable)
+    val agg = timed("global-stats")(spark.read
+      .parquet(segments.map(s => s"${segmentDir(indexDir, s)}/docstats"): _*)
+      .agg(count(lit(1)), coalesce(sum(col("docLen")), lit(0L)),
+        coalesce(max(col("docLen")), lit(0))).head())
+    val manifest = IndexManifest(nDocs = agg.getLong(0), totalLen = agg.getLong(1),
+      vocabSize = vocabSize, skippedCorrupt = skippedCorrupt,
+      blockSize = cfg.blockSize, bucketRange = cfg.bucketRange, maxDocId = maxDocId,
+      maxDocLen = agg.getInt(2), postingsBuckets = cfg.postingsBuckets,
+      metaComputerNames = BlockMetaComputers.names(cfg.metaComputers),
+      segments = segments)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
@@ -670,7 +717,7 @@ object IndexBuilder {
 
   /** Incremental append: add new documents (docIds strictly beyond the
     * manifest's maxDocId) to an existing index WITHOUT touching committed
-    * chunks — the engine analog of re-running `tokenize_dataset` over a
+    * segments — the engine analog of re-running `tokenize_dataset` over a
     * grown corpus (midi_tokenizer.py:3084-3198 + the idempotent skip,
     * utils/split.py:98-104).
     *
@@ -685,13 +732,13 @@ object IndexBuilder {
     *
     * Crash/replay safety (exactly-once with [[graft.streaming
     * .StreamingIngest]]): every write of one append is an OVERWRITE of a
-    * destination derived from the BASE manifest — the docstats `part=`
-    * partition, the dictionary version v(N+1) computed from v(N), and the
-    * postings chunk `old.nChunks` — and the manifest (carrying
-    * `lastBatchId`) commits last. A replay after a mid-append crash
-    * regenerates identical state; a replay after the manifest commit is
-    * skipped outright via `batchId <= lastBatchId`. The only non-idempotent
-    * trace is an extra informational lineage row.
+    * destination derived from the BASE manifest — the delta's own segment
+    * directory `seg_<maxDocId+1>_<maxNew+1>_v0` and the dictionary version
+    * v(N+1) computed from v(N) — and the manifest (carrying `lastBatchId`)
+    * commits last. A replay after a mid-append crash regenerates identical
+    * state; a replay after the manifest commit is skipped outright via
+    * `batchId <= lastBatchId`. The only non-idempotent trace is an extra
+    * informational lineage row.
     *
     * Scale discipline: the dictionary is NEVER collected to the driver.
     * The merged dictionary is written distributed (termId-range-clustered),
@@ -715,7 +762,6 @@ object IndexBuilder {
     val ecfg = cfg.copy(postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     val cleaned = Pages.cleaned(deltaPages, cfg.langs).persist()
 
-    // delta docstats → own partition directory, overwritten on replay
     val stats = cleaned
       .select(col("doc_id").cast("long"), col("url"), col("text"))
       .as[(Long, String, String)]
@@ -731,14 +777,24 @@ object IndexBuilder {
         "(no side effects were taken; if batches arrive from a streaming file source, " +
         "same-instant files may be discovered out of docId order — raise maxFilesPerTrigger " +
         "so they coalesce into one batch)")
-    // DISJOINT partition namespaces: streaming batches write part=b<batchId>,
-    // manual appends part=c<nChunks> — a streaming batchId can never collide
-    // with (and overwrite) a manual append's docstats partition
-    val partName = batchId.fold(s"c${old.nChunks}")(b => s"b$b")
+    if (nNew == 0) {
+      // nothing survived cleaning: no segment, but the cursor still commits
+      val skipped0 = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
+      val m0 = old.copy(skippedCorrupt = skipped0, lastBatchId = batchId.getOrElse(old.lastBatchId))
+      Manifest.write(s"$indexDir/manifest.json", m0)
+      stats.unpersist(); cleaned.unpersist()
+      return m0
+    }
+
+    // the delta's own segment: lo pinned to the base cursor (keeps the
+    // segment list tiling the docId space even across sparse batches) and
+    // derived from the BASE manifest, so a crash-replay overwrites the
+    // same directory
+    val seg = Segment(old.maxDocId + 1, maxNew + 1, 0)
+    val sdir = segmentDir(indexDir, seg)
     stats.repartition(ecfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
-      .write.mode("overwrite")
-      .parquet(s"${docstatsDirFor(indexDir, old.compactGen)}/part=$partName")
+      .write.mode("overwrite").parquet(s"$sdir/docstats")
 
     // dictionary v(N+1) from v(N): update df/cf of existing terms, append
     // NEW terms after vocabSize — all distributed, written multi-file
@@ -771,7 +827,7 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(newDictDir)
     freshRanked.release()
 
-    // postings: one new chunk from the delta under the UPDATED dictionary.
+    // postings: the delta segment's blocks under the UPDATED dictionary.
     // Broadcast map = new dictionary ⋉ delta terms (batch-bounded collect),
     // head-filtered under a vocabulary cap exactly like the base build.
     val deltaDict = spark.read.parquet(newDictDir)
@@ -781,22 +837,22 @@ object IndexBuilder {
       headDelta.select("termId", "term", "df", "cf").as[TermEntry]
         .collect().map(e => e.term -> e).toMap
     joined.unpersist()
-    val chunkDir = f"${postingsRootFor(indexDir, old.compactGen)}/chunk_${old.nChunks}%05d"
     postingBlocks(td, dict, ecfg)
       .repartition(ecfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
-      .write.mode("overwrite").parquet(chunkDir)
+      .write.mode("overwrite").parquet(s"$sdir/postings")
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
 
     val skipped = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
-    // old.copy: tombVersion/compactGen (and any future field) carry over —
-    // appends never disturb tombstones or the compaction generation
+    // old.copy: tombVersion (and any future field) carries over — appends
+    // never disturb tombstones or other segments
     val manifest = old.copy(nDocs = old.nDocs + nNew, totalLen = old.totalLen + lenNew,
       vocabSize = vocabSize, skippedCorrupt = skipped,
-      nChunks = old.nChunks + 1, maxDocId = math.max(old.maxDocId, maxNew),
+      maxDocId = math.max(old.maxDocId, maxNew),
       dictVersion = old.dictVersion + 1, lastBatchId = batchId.getOrElse(old.lastBatchId),
-      maxDocLen = math.max(old.maxDocLen, maxDlNew))
+      maxDocLen = math.max(old.maxDocLen, maxDlNew),
+      segments = old.segments :+ seg)
     Manifest.write(s"$indexDir/manifest.json", manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
@@ -814,7 +870,21 @@ object IndexBuilder {
 object Lineage {
   private def logPath(indexDir: String) = Paths.get(s"$indexDir/lineage.jsonl")
 
-  def append(spark: SparkSession, indexDir: String, row: LineageRow): Unit = {
+  /** One-time migration of the pre-r4 per-event parquet lineage dir into
+    * lineage.jsonl (ordered by event timestamp), so an upgraded index keeps
+    * its history. The legacy dir is removed after a successful import. */
+  private def importLegacy(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val legacy = s"$indexDir/lineage"
+    if (!Files.exists(logPath(indexDir)) && Store.exists(s"$legacy/_SUCCESS")) {
+      spark.read.parquet(legacy).as[LineageRow].collect()
+        .sortBy(_.snapshotId)
+        .foreach(r => appendLine(indexDir, r))
+      Store.delete(legacy)
+    }
+  }
+
+  private def appendLine(indexDir: String, row: LineageRow): Unit = {
     val p = logPath(indexDir)
     // a crash mid-append can leave a torn, newline-less tail; writing the
     // next record straight after it would merge two lines and lose BOTH —
@@ -835,8 +905,14 @@ object Lineage {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
+  def append(spark: SparkSession, indexDir: String, row: LineageRow): Unit = {
+    importLegacy(spark, indexDir)
+    appendLine(indexDir, row)
+  }
+
   def load(spark: SparkSession, indexDir: String): Dataset[LineageRow] = {
     import spark.implicits._
+    importLegacy(spark, indexDir)
     val p = logPath(indexDir)
     val lines =
       if (Files.exists(p))
@@ -853,45 +929,45 @@ object Lineage {
   }
 }
 
-/** Tiny hand-rolled JSON manifest I/O (numeric fields + one constrained
-  * string field; no extra deps). The string field (`metaComputerNames`)
-  * is restricted to registry names `[A-Za-z0-9,]` so the regex parser
-  * stays exact — [[graft.index.BlockMetaComputers]] enforces the alphabet
-  * by construction. */
+/** Tiny hand-rolled JSON manifest I/O (numeric fields + two constrained
+  * string fields; no extra deps). The string fields are alphabet-restricted
+  * so the regex parser stays exact: `metaComputerNames` to registry names
+  * `[A-Za-z0-9,]` ([[graft.index.BlockMetaComputers]] enforces it by
+  * construction) and `segments` to `[0-9_,]` ([[Segment.encoded]]). */
 object Manifest {
   def write(path: String, m: IndexManifest): Unit = {
     require(m.metaComputerNames.matches("[A-Za-z0-9,]*"),
       s"metaComputerNames '${m.metaComputerNames}' outside the manifest-safe alphabet")
+    val segStr = Segment.encode(m.segments)
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
         s""""skippedCorrupt":${m.skippedCorrupt},"blockSize":${m.blockSize},""" +
-        s""""bucketRange":${m.bucketRange},"nChunks":${m.nChunks},"maxDocId":${m.maxDocId},""" +
+        s""""bucketRange":${m.bucketRange},"maxDocId":${m.maxDocId},""" +
         s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
-        s""""tombVersion":${m.tombVersion},"compactGen":${m.compactGen},""" +
+        s""""tombVersion":${m.tombVersion},""" +
         s""""maxDocLen":${m.maxDocLen},"postingsBuckets":${m.postingsBuckets},""" +
-        s""""metaComputerNames":"${m.metaComputerNames}"}"""
-    Files.writeString(Paths.get(path), json)
+        s""""metaComputerNames":"${m.metaComputerNames}","segments":"$segStr"}"""
+    Store.writeString(path, json)
   }
 
   def read(path: String): IndexManifest = {
-    val s = Files.readString(Paths.get(path))
-    def opt(k: String): Option[Long] =
-      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
-    // versioned-layout fields: an index written before they existed has the
-    // flat (un-versioned) dictionary layout and cannot be read by this
-    // engine version — fail with an actionable message, not a cryptic one
-    def f(k: String): Long = opt(k).getOrElse(sys.error(
-      s"manifest missing '$k' at $path — index format too old for this engine version; rebuild the index"))
-    val metaNames = ("\"metaComputerNames\":\"([A-Za-z0-9,]*)\"").r
-      .findFirstMatchIn(s).map(_.group(1))
-      .getOrElse("posSpan") // pre-registry manifests were built with the then-default PosSpan
+    val s = Store.readString(path)
+    // every field is required: an index written before the r5 segment
+    // layout (or before any field existed) cannot be read by this engine
+    // version — fail with an actionable message, not a cryptic one
+    def f(k: String): Long = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(sys.error(
+        s"manifest missing '$k' at $path — index format too old for this engine version; rebuild the index"))
+    def str(k: String, alphabet: String): String = ("\"" + k + "\":\"(" + alphabet + "*)\"").r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse(sys.error(
+        s"manifest missing '$k' at $path — index format too old for this engine version; rebuild the index"))
     IndexManifest(f("nDocs"), f("totalLen"), f("vocabSize"), f("skippedCorrupt"),
-      f("blockSize").toInt, f("bucketRange"), f("nChunks").toInt, f("maxDocId"),
+      f("blockSize").toInt, f("bucketRange"), f("maxDocId"),
       f("dictVersion").toInt, f("lastBatchId"),
-      opt("tombVersion").getOrElse(-1L).toInt, // absent in pre-delete manifests
-      opt("compactGen").getOrElse(0L).toInt,
-      opt("maxDocLen").getOrElse(0L).toInt,
-      opt("postingsBuckets").getOrElse(8L).toInt, // 8 was the only pre-field default
-      metaNames)
+      f("tombVersion").toInt,
+      f("maxDocLen").toInt,
+      f("postingsBuckets").toInt,
+      str("metaComputerNames", "[A-Za-z0-9,]"),
+      Segment.decode(str("segments", "[0-9_,]")))
   }
 }

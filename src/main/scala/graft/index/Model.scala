@@ -150,6 +150,42 @@ object BlockMetaComputers {
       sys.error(s"unknown BlockMetaComputer name '$n' in manifest")))
 }
 
+/** One immutable index segment — the LSM-style unit of postings +
+  * docstats storage AND of compaction I/O. A segment owns the docId range
+  * `[lo, hi)`: its postings directory holds every block whose docIds fall
+  * in the range, its docstats directory the matching norms. Segments are
+  * range-disjoint; the manifest's segment list is the single source of
+  * read truth (a crashed writer's orphan directory is never read, because
+  * reads are manifest-driven multi-path scans, not directory discovery).
+  *
+  * `v` is the segment's rewrite version: compaction REPLACES a set of
+  * segments with one merged segment at `max(v)+1` over the union range,
+  * writing only that one directory — every other segment's files are
+  * physically untouched (the reference analog: chunked dataset writes
+  * reproduce only affected files, midi_tokenizer.py:3228-3230). Version in
+  * the name keeps the write overwrite-idempotent on crash replay while
+  * never colliding with the directories it replaces. */
+final case class Segment(lo: Long, hi: Long, v: Int) {
+  require(lo >= 0 && hi > lo && v >= 0, s"bad segment ($lo, $hi, $v)")
+  /** directory name; docId bounds zero-padded so listings sort in range
+    * order (13 digits covers the 10^12-doc design point). */
+  def name: String = f"seg_$lo%013d_$hi%013d_v$v%05d"
+  /** compact manifest encoding (alphabet [0-9_] — manifest-regex-safe). */
+  def encoded: String = s"${lo}_${hi}_$v"
+  def overlaps(l: Long, h: Long): Boolean = lo < h && hi > l
+}
+
+object Segment {
+  def encode(ss: Seq[Segment]): String = ss.map(_.encoded).mkString(",")
+  def decode(s: String): Seq[Segment] =
+    if (s.isEmpty) Seq.empty
+    else s.split(',').toSeq.map { e =>
+      val p = e.split('_')
+      require(p.length == 3, s"bad segment encoding '$e'")
+      Segment(p(0).toLong, p(1).toLong, p(2).toInt)
+    }
+}
+
 /** Lineage row (FIXTURES.md §5) — per-chunk commit record enabling
   * checkpointed resume (the hidden-hash skip of utils/split.py:98-104,
   * done transactionally). */
@@ -219,7 +255,6 @@ final case class IndexManifest(
     skippedCorrupt: Long,
     blockSize: Int,
     bucketRange: Long,
-    nChunks: Int,
     /** highest docId in the index — the append cursor (incremental builds
       * add docs strictly beyond it, cf. re-runnable tokenize_dataset +
       * the idempotent skip, utils/split.py:98-104). */
@@ -244,14 +279,6 @@ final case class IndexManifest(
       * rows physically until compaction, and per-block (maxTf, minDocLen)
       * bounds stay conservative upper bounds. */
     tombVersion: Int = -1,
-    /** compaction generation: 0 = the original build layout
-      * (`postings/chunk_*`, `docstats/`); generation g > 0 reads
-      * `postings_g%03d/` and `docstats_g%03d/` — compaction rewrites both
-      * without tombstoned rows into the NEXT generation's directories and
-      * commits the manifest last (crash mid-compaction leaves the old
-      * generation live; a re-run re-derives the same g+1). Compaction
-      * merges all chunks into one and clears tombVersion. */
-    compactGen: Int = 0,
     /** maximum docLen in the index — an UPPER bound maintained monotonically
       * (build computes it exactly; append takes the max; delete/compact
       * keep it, which stays a valid bound). Powers the zero-cost WAND
@@ -265,8 +292,18 @@ final case class IndexManifest(
     /** comma-joined [[BlockMetaComputers]] registry names the index was
       * built with — rewriting verbs rehydrate the SAME computer set, so
       * block meta never silently changes across generations. */
-    metaComputerNames: String = "posSpan,tfQuantile"
+    metaComputerNames: String = "posSpan,tfQuantile",
+    /** the live [[Segment]] list, ascending by `lo` — THE read truth for
+      * postings and docstats (manifest-driven multi-path scans; nothing
+      * reads by directory discovery). Builds commit one segment per chunk,
+      * appends add one, compaction replaces overlapping segments with one
+      * merged higher-`v` segment and touches no other segment's files.
+      * Replaced directories become unreferenced garbage until
+      * [[IndexBuilder.vacuum]]. */
+    segments: Seq[Segment] = Seq.empty
 ) {
+  /** resumable-build chunk count of the live layout (= segment count). */
+  def nChunks: Int = segments.length
   /** Exact avgdl = integer total / integer count — bit-identical across
     * engines and reruns. */
   def avgdl: Double = totalLen.toDouble / nDocs.toDouble

@@ -114,18 +114,13 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
   def dictionary: Dataset[TermEntry] =
     spark.read.parquet(graft.index.IndexBuilder.dictDirFor(dir, manifest.dictVersion))
       .select("termId", "term", "df", "cf").as[TermEntry]
-  def postings: Dataset[PostingBlock] = {
-    val root = graft.index.IndexBuilder.postingsRootFor(dir, manifest.compactGen)
-    val dirs = (0 until manifest.nChunks).map(c => f"$root/chunk_$c%05d")
-    spark.read.parquet(dirs: _*).as[PostingBlock]
-  }
+  def postings: Dataset[PostingBlock] =
+    graft.index.IndexBuilder.readPostings(spark, dir, manifest).as[PostingBlock]
   /** PHYSICAL docstats — includes tombstoned docs' rows until compaction.
     * Internal machinery only: WAND (which overlays docLen = -1 sentinels)
     * and the validator (whose per-block invariants are physical). */
   def docstatsRaw: Dataset[DocStat] =
-    spark.read
-      .parquet(graft.index.IndexBuilder.docstatsDirFor(dir, manifest.compactGen))
-      .as[DocStat]
+    graft.index.IndexBuilder.readDocstats(spark, dir, manifest).as[DocStat]
   /** LIVE docstats — the public accessor: tombstoned docs excluded, so
     * every docstats-derived surface (norms, quantiles, stats queries)
     * reflects the live corpus by construction. No-op when never deleted. */
@@ -714,7 +709,6 @@ object Wand {
           .join(candBuckets, Seq("bucket"), "left_semi")
           .drop("bucket")
           .as[DocStat]
-      // project away the docstats layout's `part=` partition column
       pruned.toDF().select("docId", "url", "docLen").as[DocStat].map(s => (f, s))
     }.reduce(_ union _).union(tombSentinels)
 

@@ -51,8 +51,9 @@ class CompactSpec extends AnyFunSuite {
     assert(a.keySet == b.keySet,
       s"term sets differ: onlyCompact=${(a.keySet -- b.keySet).take(5)} onlyRebuilt=${(b.keySet -- a.keySet).take(5)}")
     a.foreach { case (t, rows) => assert(rows == b(t), s"term '$t' postings differ") }
-    assert(compHandle.manifest.tombVersion == -1 && compHandle.manifest.compactGen == 1)
-    assert(compHandle.manifest.nChunks == 1, "compaction must merge chunks")
+    assert(compHandle.manifest.tombVersion == -1)
+    assert(compHandle.manifest.nChunks == 1, "full compaction must merge into one segment")
+    assert(compHandle.manifest.segments.head.v == 1, "merged segment must carry version max(v)+1")
   }
 
   test("compact == rebuild: docstats and WAND results identical") {
@@ -104,39 +105,72 @@ class CompactSpec extends AnyFunSuite {
     assert(after == before, "compaction without tombstones must be a no-op")
   }
 
-  test("PARTIAL (bucket-range) compaction: slice drops its tombstones physically, " +
-    "rest passes through with tombstones live; non-default layout survives") {
+  /** Recursive (relative path → size) listing — the byte-identity probe for
+    * the slice-locality assertion. */
+  private def fileSizes(root: java.nio.file.Path): Map[String, Long] = {
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out(root.relativize(p).toString) = java.nio.file.Files.size(p)
+    }
+    out.toMap
+  }
+
+  test("PARTIAL (bucket-range) compaction: touched segments drop their tombstones " +
+    "physically, untouched segments' FILES are byte-identical (slice-local write I/O); " +
+    "non-default layout survives") {
     import spark.implicits._
     val dir = "/tmp/graft_compact_spec/partial"
     IndexCache.deleteRecursively(new java.io.File(dir))
-    // non-default layout: 3 postings buckets + small geometry — the
-    // manifest must carry it through every compaction (r3 bug: compact
-    // silently reverted to the default config's bucket count)
-    val cfg = IndexConfig(blockSize = 16, bucketRange = 64, postingsBuckets = 3)
+    // non-default layout: 3 postings buckets + small geometry + a 4-segment
+    // build — the manifest must carry the layout through every compaction
+    // (r3 bug: compact silently reverted to the default config's bucket
+    // count), and only the slice's segments may see write I/O
+    val cfg = IndexConfig(blockSize = 16, bucketRange = 64, postingsBuckets = 3, nChunks = 4)
     IndexBuilder.build(spark, sfDir, dir, cfg)
     val h0 = IndexReader.load(spark, dir)
+    assert(h0.manifest.segments.length >= 3, "fixture shape: want a multi-segment build")
     val ids = h0.docstats.filter(col("docId") % 4 === 1).map(_.docId).collect().toSeq
     IndexBuilder.delete(spark, dir, ids)
-    val hDel = IndexReader.load(spark, dir) // snapshot: tombstoned, gen 0
+    val hDel = IndexReader.load(spark, dir) // snapshot: tombstoned, pre-compaction
     val wantWand = Wand.topK(hDel, graft.queries.QuerySet.queries, 10)
 
     val maxBucket = h0.manifest.maxDocId / cfg.bucketRange
     val mid = maxBucket / 2 + 1 // compact the lower half of the docId space
+    val untouchedBefore = hDel.manifest.segments
+      .filterNot(_.overlaps(0L, mid * cfg.bucketRange))
+    assert(untouchedBefore.nonEmpty, "fixture shape: want segments outside the slice")
+    val sizesBefore = untouchedBefore.map { s =>
+      s.name -> fileSizes(java.nio.file.Paths.get(IndexBuilder.segmentDir(dir, s)))
+    }.toMap
+
     val m1 = IndexBuilder.compactRange(spark, dir, Some((0L, mid)))
-    assert(m1.compactGen == 1 && m1.nChunks == 1)
     assert(m1.tombVersion >= 0, "out-of-slice tombstones must stay live")
     assert(m1.postingsBuckets == 3, "manifest layout lost in partial compaction")
+    val mergedSeg = m1.segments.filter(_.v > 0)
+    assert(mergedSeg.length == 1, s"expected ONE merged segment, got ${m1.segments}")
+    // THE slice-locality invariant: every untouched segment's files are
+    // byte-identical (same relative paths, same sizes) — a slice compaction
+    // must never rewrite out-of-slice data
+    untouchedBefore.foreach { s =>
+      assert(m1.segments.contains(s), s"untouched segment $s dropped from the manifest")
+      val after = fileSizes(java.nio.file.Paths.get(IndexBuilder.segmentDir(dir, s)))
+      assert(after == sizesBefore(s.name), s"untouched segment ${s.name} files changed")
+    }
     val h1 = IndexReader.load(spark, dir)
-    // slice physically clean, remainder physically dirty (tombstone overlay)
-    val sliceBoundary = mid * cfg.bucketRange
+    // compacted span physically clean, remainder physically dirty
+    // (tombstone overlay); the span is the slice rounded OUT to whole
+    // segments — its boundary is the merged segment's hi
+    val spanHi = mergedSeg.head.hi
     val physDocs = h1.postings.flatMap(b =>
       graft.codec.VByte.decodeDocIds(b.docIdGaps).toSeq).collect().toSet
-    assert(!physDocs.exists(d => d < sliceBoundary && ids.contains(d)),
-      "a tombstoned doc survived physically inside the compacted slice")
-    assert(physDocs.exists(d => d >= sliceBoundary && ids.contains(d)),
+    assert(!physDocs.exists(d => d < spanHi && ids.contains(d)),
+      "a tombstoned doc survived physically inside the compacted span")
+    assert(physDocs.exists(d => d >= spanHi && ids.contains(d)),
       "fixture shape: the uncompacted remainder should still hold tombstoned rows")
-    // layout on disk: exactly postingsBuckets part files in the new chunk
-    val partFiles = new java.io.File(s"$dir/postings_g001/chunk_00000")
+    // layout on disk: exactly postingsBuckets part files in the merged segment
+    val partFiles = new java.io.File(
+      s"${IndexBuilder.segmentDir(dir, mergedSeg.head)}/postings")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(partFiles == 3, s"expected 3 postings part files, got $partFiles")
     assert(IndexValidator.validate(h1).collect().isEmpty,
@@ -149,7 +183,7 @@ class CompactSpec extends AnyFunSuite {
 
     // the final merge: compacting the remainder clears all tombstones
     val m2 = IndexBuilder.compactRange(spark, dir, Some((mid, maxBucket + 1)))
-    assert(m2.compactGen == 2 && m2.tombVersion == -1 && m2.postingsBuckets == 3)
+    assert(m2.tombVersion == -1 && m2.postingsBuckets == 3)
     val h2 = IndexReader.load(spark, dir)
     val physDocs2 = h2.postings.flatMap(b =>
       graft.codec.VByte.decodeDocIds(b.docIdGaps).toSeq).collect().toSet
@@ -158,6 +192,19 @@ class CompactSpec extends AnyFunSuite {
     val got2 = Wand.topK(h2, graft.queries.QuerySet.queries, 10)
     graft.queries.QuerySet.queries.foreach { q =>
       assert(got2(q.queryId).toSeq == wantWand(q.queryId).toSeq, s"query ${q.queryId} after final")
+    }
+
+    // vacuum: replaced segment dirs are garbage; after vacuum, exactly the
+    // live segments remain on disk and the index still answers queries
+    val removed = IndexBuilder.vacuum(spark, dir)
+    assert(removed.nonEmpty, "expected replaced segment/dict/tombstone garbage")
+    val onDisk = new java.io.File(s"$dir/segments").listFiles().map(_.getName).toSet
+    assert(onDisk == m2.segments.map(_.name).toSet,
+      s"vacuum left non-live segments: $onDisk vs ${m2.segments.map(_.name)}")
+    val h3 = IndexReader.load(spark, dir)
+    val got3 = Wand.topK(h3, graft.queries.QuerySet.queries, 10)
+    graft.queries.QuerySet.queries.foreach { q =>
+      assert(got3(q.queryId).toSeq == wantWand(q.queryId).toSeq, s"query ${q.queryId} after vacuum")
     }
   }
 
@@ -186,7 +233,7 @@ class CompactSpec extends AnyFunSuite {
         timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
         encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
     val m2 = IndexBuilder.append(spark, extra, dir, IndexConfig())
-    assert(m2.compactGen == m1.compactGen && m2.nChunks == 2)
+    assert(m2.segments.length == m1.segments.length + 1 && m2.nChunks == 2)
     val h2 = IndexReader.load(spark, dir)
     val res = Wand.topK(h2, Seq(QuerySpec(1, Seq("freshcompact"))), 10)(1)
     assert(res.map(_._2).contains(newId))

@@ -27,15 +27,17 @@ class ResumeSpec extends AnyFunSuite {
 
     IndexBuilder.build(spark, sfDir, full, cfg)
 
-    // simulate: run 1 completes stats+dictionary+chunks 0-1, then "crashes"
+    // simulate: run 1 completes dictionary+segments 0-1, then "crashes"
     IndexBuilder.build(spark, sfDir, crash, cfg)
-    // wipe the manifest and the last two chunks — as if the job died mid-flight
+    // wipe the manifest and the last two segments — as if the job died mid-flight
     import java.nio.file._
     Files.deleteIfExists(Paths.get(s"$crash/manifest.json"))
-    graft.queries.IndexCache.deleteRecursively(new java.io.File(s"$crash/postings/chunk_00002"))
-    graft.queries.IndexCache.deleteRecursively(new java.io.File(s"$crash/postings/chunk_00003"))
+    val segDirs = new java.io.File(s"$crash/segments").listFiles().map(_.getName).sorted
+    assert(segDirs.length == 4, s"fixture shape: want 4 segments, got ${segDirs.toSeq}")
+    segDirs.takeRight(2).foreach(n =>
+      graft.queries.IndexCache.deleteRecursively(new java.io.File(s"$crash/segments/$n")))
 
-    // resume: must rebuild ONLY the missing chunks and produce identical bits
+    // resume: must rebuild ONLY the missing segments and produce identical bits
     val m2 = IndexBuilder.build(spark, sfDir, crash, cfg)
     val mFull = Manifest.read(s"$full/manifest.json")
     assert(m2 == mFull, "manifests differ after resume")

@@ -20,13 +20,15 @@ class ValidatorSpec extends AnyFunSuite {
     IndexCache.deleteRecursively(new java.io.File(dst))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     val m = Manifest.read(s"$src/manifest.json")
-    // single consolidated chunk in the copy
-    Manifest.write(s"$dst/manifest.json", m.copy(nChunks = 1))
+    // single consolidated segment in the copy
+    val seg = Segment(0L, m.maxDocId + 1, 0)
+    Manifest.write(s"$dst/manifest.json", m.copy(segments = Seq(seg)))
     val dict = spark.read.parquet(IndexBuilder.dictDirFor(src, m.dictVersion))
     dropTermId.fold(dict)(t => dict.filter(col("termId") =!= t))
       .write.mode("overwrite").parquet(IndexBuilder.dictDirFor(dst, m.dictVersion))
-    spark.read.parquet(s"$src/docstats").write.mode("overwrite").parquet(s"$dst/docstats")
-    postings.write.mode("overwrite").parquet(f"$dst/postings/chunk_${0}%05d")
+    IndexBuilder.readDocstats(spark, src, m)
+      .write.mode("overwrite").parquet(s"${IndexBuilder.segmentDir(dst, seg)}/docstats")
+    postings.write.mode("overwrite").parquet(s"${IndexBuilder.segmentDir(dst, seg)}/postings")
   }
 
   test("clean index validates empty; tampered maxTf and missing dict term are flagged") {
