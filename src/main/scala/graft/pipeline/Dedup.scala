@@ -129,21 +129,38 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .filter(col("n") > 1)
 
+  /** 64-bit band-bucket key: an LCG-combine + splitmix-style avalanche over
+    * the band's BandRows minhash values. The engine joins/persists THIS
+    * 8-byte key, never the concatenated decimal string (~80 bytes/row — at
+    * 10¹² docs × 4 bands that string form is tens of TB of pure shuffle and
+    * storage overhead on the dedup path). A hash collision merely adds a
+    * spurious CANDIDATE pair, which the downstream similarity verification
+    * (signature estimator / exact Jaccard) rejects — LSH banding is already
+    * a candidate generator, so correctness is untouched; the SQL oracles
+    * keep their re-derivable string-keyed join and match on the OUTPUT
+    * pairs. */
+  def bandKey(sig: Array[Long], band: Int): Long = {
+    var h = 1125899906842597L
+    var i = band * BandRows
+    val end = i + BandRows
+    while (i < end) { h = h * 6364136223846793005L + sig(i); i += 1 }
+    h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 29
+    h
+  }
+
   /** LSH candidate pairs: docs sharing any band of BandRows equal minhashes.
     * Self-join on (band, key) — the bucket join; at scale the bucket sizes
     * are bounded by near-dup cluster sizes, not corpus size. */
   /** (doc_id, band, key) band relation of the signatures — the LSH bucket
-    * keys (shared by the in-memory self-join and the persisted index). */
+    * keys (shared by the in-memory self-join and the persisted index);
+    * `key` is the 64-bit [[bandKey]] hash. */
   def bandRelation(sigs: Dataset[DocSignature]): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     sigs
       .filter(_.nShingles > 0)
       .flatMap { s =>
-        (0 until NumBands).iterator.map { b =>
-          val key = s.sig.slice(b * BandRows, (b + 1) * BandRows).mkString(",")
-          (s.docId, b, key)
-        }
+        (0 until NumBands).iterator.map(b => (s.docId, b, bandKey(s.sig, b)))
       }
       .toDF("doc_id", "band", "key")
   }

@@ -2,6 +2,7 @@ package graft
 
 import graft.corpus.Pages
 import graft.index.{IndexBuilder, IndexConfig, IndexValidator, Manifest}
+import graft.pipeline.Dedup
 import graft.query.IndexReader
 import graft.streaming.DedupIngest
 import org.scalatest.funsuite.AnyFunSuite
@@ -125,6 +126,178 @@ class StreamingDedupSpec extends AnyFunSuite {
         "(this is exactly why purge exists)")
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  private def parquetFiles(dir: String): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      var n = 0
+      java.nio.file.Files.walk(root).forEach(p =>
+        if (p.getFileName.toString.endsWith(".parquet")) n += 1)
+      n
+    }
+  }
+
+  test("dedup-index lifecycle: batches + purge + compact + vacuum — admission decisions " +
+    "identical to pre-compaction, bounded file count, multi-file tombstone write") {
+    import spark.implicits._
+    val root = "/tmp/graft_test_index/dedup_lifecycle"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val dedupDir = s"$root/dedup"
+    val bootstrapPages = Pages.withInjections(spark, sfDir).filter(col("doc_id") < 192)
+    IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
+    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
+    val base = Pages.base(spark, sfDir)
+
+    // two batches: fresh docs + a cross dup (shadow rows accumulate)
+    DedupIngest.applyBatch(spark,
+      base.filter(col("doc_id") >= 300 && col("doc_id") < 320).unionByName(copyOf(5L, 330L)),
+      indexDir, dedupDir, cfg, batchId = 1L)
+    DedupIngest.applyBatch(spark,
+      base.filter(col("doc_id") >= 340 && col("doc_id") < 350).unionByName(copyOf(300L, 351L)),
+      indexDir, dedupDir, cfg, batchId = 2L)
+
+    // GDPR-ish purge of a docId range; the merged tombstone table must be a
+    // bucket-clustered MULTI-file write (no single-task funnel)
+    IndexBuilder.deleteByIds(spark, indexDir,
+      spark.range(0, 64).toDF("doc_id"))
+    DedupIngest.purge(spark, dedupDir, spark.range(0, 64).toDF("doc_id"))
+    val dmAfterPurge = DedupIngest.readManifest(dedupDir)
+    assert(dmAfterPurge.tombVersion == 0)
+    assert(parquetFiles(DedupIngest.tombDir(dedupDir, 0)) > 1,
+      "tombstone table written through a single task")
+
+    // clone BOTH indexes, compact only the original's dedup index — then
+    // the same batch must make identical admission decisions on both
+    val clone = s"${root}_clone"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(clone))
+    copyDir(root, clone)
+    val dmC = DedupIngest.compactIndex(spark, dedupDir)
+    assert(dmC.baseVersion == 1 && dmC.tombVersion == -1)
+    val removed = DedupIngest.vacuum(spark, dedupDir)
+    assert(removed.nonEmpty, "expected replaced dedup generations to vacuum")
+    // bounded file count: buckets files per (base|shadow) part per table
+    assert(parquetFiles(DedupIngest.bandsDir(dedupDir, 1)) <= 2 * dmC.buckets,
+      "compaction did not bound the bands file count")
+
+    // probe batch: re-crawl of PURGED content (admit), dup of live batch
+    // doc (drop), dup of bootstrap live doc (drop), fresh doc (admit)
+    def probeBatch = copyOf(5L, 400L)
+      .unionByName(copyOf(300L, 401L))
+      .unionByName(copyOf(100L, 402L))
+      .unionByName(copyOf(480L, 403L)) // 480 never ingested → fresh text
+    val mOrig = DedupIngest.applyBatch(spark, probeBatch, indexDir, dedupDir, cfg, batchId = 3L)
+    val mClone = DedupIngest.applyBatch(spark, probeBatch,
+      s"$clone/index", s"$clone/dedup", cfg, batchId = 3L)
+    val liveOrig = IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+    val liveClone = IndexReader.load(spark, s"$clone/index").docstats.collect().map(_.docId).toSet
+    assert(liveOrig == liveClone,
+      s"compaction changed admission decisions: ${(liveOrig -- liveClone).take(5)} / ${(liveClone -- liveOrig).take(5)}")
+    assert(liveOrig.contains(400L) && liveOrig.contains(403L), "purged re-crawl / fresh doc rejected")
+    assert(!liveOrig.contains(401L) && !liveOrig.contains(402L), "a near-dup of live content admitted")
+    assert(mOrig.nDocs == mClone.nDocs)
+  }
+
+  /** token-window text builder: doc i = tokens [lo, lo+n) — shifted windows
+    * give precisely controlled shingle overlap for chain fixtures. */
+  private def windowText(lo: Int, n: Int): String =
+    (lo until lo + n).map(i => s"w$i").mkString(" ")
+
+  private def pageOf(id: Long, text: String) = {
+    import spark.implicits._
+    Seq((id, text)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        concat(lit("https://chain/"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        encode(col("text"), "UTF-8").as("html"), col("text"), lit("en").as("lang"))
+  }
+
+  test("GLOBAL reconcile: chains through dropped docs collapse to the full-rebuild " +
+    "keep-min live set; demoted victims stop vetoing but keep their edges") {
+    import spark.implicits._
+    val root = "/tmp/graft_test_index/dedup_reconcile"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val dedupDir = s"$root/dedup"
+    val t = 0.8
+
+    // chain: A ≈ B ≈ C but A ≉ C (shifted 200-token windows; measured
+    // estimator values 0.875 / 0.875 / 0.75 straddle t=0.8); D unrelated
+    val (aTxt, bTxt, cTxt) = (windowText(0, 200), windowText(15, 200), windowText(30, 200))
+    val dTxt = windowText(5000, 100)
+    // fixture shape: the estimator must see B near A, C near B, C NOT near A
+    def est(x: String, y: String): Double = {
+      val s = Dedup.signaturesOf(Seq((1L, x), (2L, y)).toDF("doc_id", "text")).collect()
+      val (sx, sy) = (s.find(_.docId == 1L).get.sig, s.find(_.docId == 2L).get.sig)
+      sx.zip(sy).count { case (u, v) => u == v }.toDouble / Dedup.NumHashes
+    }
+    assert(est(aTxt, bTxt) >= t, s"fixture: est(A,B)=${est(aTxt, bTxt)} must pass $t")
+    assert(est(bTxt, cTxt) >= t, s"fixture: est(B,C)=${est(bTxt, cTxt)} must pass $t")
+    assert(est(aTxt, cTxt) < t, s"fixture: est(A,C)=${est(aTxt, cTxt)} must fail $t")
+
+    // seed index with one unrelated doc; dedup index auto-initializes
+    // (ensureInit — no explicit bootstrap call)
+    IndexBuilder.buildFrom(spark, pageOf(1L, windowText(9000, 50)), indexDir, cfg)
+    DedupIngest.applyBatch(spark, pageOf(10L, aTxt).unionByName(pageOf(11L, dTxt)),
+      indexDir, dedupDir, cfg, batchId = 1L, threshold = t)
+    // B: dropped cross vs A → shadow row + edge (10,20)
+    DedupIngest.applyBatch(spark, pageOf(20L, bTxt), indexDir, dedupDir, cfg,
+      batchId = 2L, threshold = t)
+    // C: not near live A, near SHADOW B → admitted online, edge (20,30)
+    DedupIngest.applyBatch(spark, pageOf(30L, cTxt), indexDir, dedupDir, cfg,
+      batchId = 3L, threshold = t)
+    val liveBefore = IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+    assert(liveBefore == Set(1L, 10L, 11L, 30L),
+      s"online admission shape off: $liveBefore (C must survive online — that IS the gap)")
+
+    // reconcile: CC over the pair log {(10,20),(20,30)} → component min 10;
+    // live victim C(30) is tombstoned + demoted
+    val n = DedupIngest.reconcile(spark, indexDir, dedupDir)
+    assert(n == 1L, s"expected exactly one reconcile victim, got $n")
+    val liveAfter = IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+
+    // ground truth: global dedup over ALL crawled docs with the same
+    // estimator — LSH candidates, est filter, CC keep-min
+    val all = Seq((1L, windowText(9000, 50)), (10L, aTxt), (11L, dTxt),
+      (20L, bTxt), (30L, cTxt)).toDF("doc_id", "text")
+    val sigsAll = Dedup.signaturesOf(all).localCheckpoint(true)
+    val sigMap = sigsAll.collect().map(s => s.docId -> s.sig).toMap
+    val edges = Dedup.lshCandidates(sigsAll).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) =>
+        sigMap(x).zip(sigMap(y)).count { case (u, v) => u == v }.toDouble / Dedup.NumHashes >= t }
+    val losers = graft.pipeline.Components.connectedComponents(
+        edges.toSeq.toDF("id_a", "id_b"))
+      .filter(col("id") =!= col("component")).collect().map(_.getLong(0)).toSet
+    val expected = Set(1L, 10L, 11L, 20L, 30L) -- losers
+    assert(liveAfter == expected,
+      s"reconciled live set $liveAfter != full-rebuild global dedup $expected")
+
+    // idempotent: a second reconcile finds nothing
+    assert(DedupIngest.reconcile(spark, indexDir, dedupDir) == 0L)
+
+    // demote semantics: a re-crawl of C's content is NOT vetoed by the
+    // demoted victim (admitted online), but its logged edge to C pulls it
+    // into the component at the NEXT reconcile — eventual global
+    // consistency
+    DedupIngest.applyBatch(spark, pageOf(40L, cTxt), indexDir, dedupDir, cfg,
+      batchId = 4L, threshold = t)
+    assert(IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+      .contains(40L), "demoted victim must not veto admission")
+    assert(DedupIngest.reconcile(spark, indexDir, dedupDir) == 1L,
+      "second-generation dup must fall at the next reconcile")
+  }
+
   test("replayed batch id (at-least-once delivery) is a committed no-op for BOTH indexes") {
     val root = "/tmp/graft_test_index/stream_dedup_replay"
     graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
@@ -139,10 +312,10 @@ class StreamingDedupSpec extends AnyFunSuite {
       .unionByName(copyOf(5L, 290L))
     val m1 = DedupIngest.applyBatch(spark, batch, indexDir, dedupDir, cfg, batchId = 3L)
     assert(m1.lastBatchId == 3L)
-    val bandsBefore = spark.read.parquet(s"$dedupDir/bands").count()
+    val bandsBefore = DedupIngest.liveBands(spark, dedupDir).count()
     val m2 = DedupIngest.applyBatch(spark, batch, indexDir, dedupDir, cfg, batchId = 3L)
     assert(m2 == m1, "replayed batch changed the manifest")
-    assert(spark.read.parquet(s"$dedupDir/bands").count() == bandsBefore,
+    assert(DedupIngest.liveBands(spark, dedupDir).count() == bandsBefore,
       "replayed batch grew the dedup index")
   }
 }
