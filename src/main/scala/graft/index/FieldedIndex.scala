@@ -1,0 +1,72 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One field of a fielded (BM25F) index: its name (the sub-index directory
+  * suffix), its score weight w_f, the pages column holding the field's
+  * text, and the field's OWN build config — per-field vocabulary caps,
+  * tokenizers and clustering are first-class (a title field might keep its
+  * full vocabulary while a body field caps at the head). Block geometry
+  * (blockSize, bucketRange) must match across fields — the fielded WAND
+  * cogroups all fields by docId bucket. */
+final case class FieldSpec(
+    name: String,
+    weight: Double,
+    textCol: String,
+    cfg: IndexConfig = IndexConfig()) {
+  require(name.matches("[A-Za-z0-9_]+"), s"field name '$name' outside [A-Za-z0-9_]")
+  require(weight > 0d && !weight.isInfinite, s"field weight must be positive, got $weight")
+}
+
+/** First-class fielded-index build artifact (the engine analog of the
+  * reference's multi-vocabulary tokenizers — Octuple/CPWord emit parallel
+  * token streams per timestep, tokenizations/octuple.py:173-203,
+  * cp_word.py:319-416): one full sub-index per field (own dictionary,
+  * postings segments, norms, stats) under `baseDir/field_<name>`, plus a
+  * `fielded.json` manifest recording the field names and weights —
+  * committed LAST, so a crash mid-build leaves no readable fielded index
+  * and a re-run resumes each sub-index's own checkpointed stages.
+  * [[graft.query.Bm25f.topK]] consumes [[load]]'s output directly. */
+object FieldedIndex {
+
+  def fieldDir(baseDir: String, name: String): String = s"$baseDir/field_$name"
+  private def manifestPath(baseDir: String) = s"$baseDir/fielded.json"
+
+  /** Build every field's sub-index from one pages relation. `pages` must
+    * carry the standard page columns (doc_id, url, warc_ts, lang) plus one
+    * text column per [[FieldSpec.textCol]]; a doc whose field text is
+    * empty simply doesn't appear in that field's sub-index (title-only
+    * docs score from the title field alone — missing-field semantics are
+    * Bm25fSpec-pinned). */
+  def build(spark: SparkSession, pages: DataFrame, baseDir: String,
+      fields: Seq[FieldSpec]): Unit = {
+    require(fields.nonEmpty, "at least one field")
+    require(fields.map(_.name).distinct.length == fields.length,
+      s"duplicate field names in ${fields.map(_.name)}")
+    require(fields.map(f => (f.cfg.blockSize, f.cfg.bucketRange)).distinct.length == 1,
+      "fielded sub-indexes must share block geometry (blockSize, bucketRange)")
+    fields.foreach { f =>
+      val fieldPages = pages.select(
+        col("doc_id"), col("url"), col("warc_ts"),
+        col(f.textCol).as("text"), col("lang"))
+      IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+    }
+    val json = fields
+      .map(f => s"""{"name":"${f.name}","weight":${f.weight}}""")
+      .mkString("""{"fields":[""", ",", "]}")
+    Store.writeString(manifestPath(baseDir), json)
+  }
+
+  /** Load the fielded index as [[graft.query.Bm25f.topK]]'s input: one
+    * (handle, weight) per field, in build order. */
+  def load(spark: SparkSession, baseDir: String): Seq[(graft.query.IndexHandle, Double)] = {
+    val s = Store.readString(manifestPath(baseDir))
+    val re = """\{"name":"([A-Za-z0-9_]+)","weight":([-0-9.eE]+)\}""".r
+    val fields = re.findAllMatchIn(s).map(m => (m.group(1), m.group(2).toDouble)).toSeq
+    require(fields.nonEmpty, s"no fields in ${manifestPath(baseDir)}")
+    fields.map { case (name, w) =>
+      graft.query.IndexReader.load(spark, fieldDir(baseDir, name)) -> w
+    }
+  }
+}

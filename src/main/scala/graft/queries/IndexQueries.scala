@@ -20,10 +20,9 @@ object IndexCache {
       IndexReader.load(spark, dir)
     })
 
-  def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  /** Fixture-dir cleanup, routed through the storage layer (the File-typed
+    * signature is kept for the many spec call sites). */
+  def deleteRecursively(f: java.io.File): Unit = graft.index.Store.delete(f.getPath)
 }
 
 /** Dedicated index copy with docIds [DelLo, DelHi) tombstone-deleted —
@@ -81,28 +80,30 @@ object FieldedIndexCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(IndexHandle, Double)]]()
 
-  /** Derive the title/body field split from cleaned pages and build one
-    * sub-index per field under `base` (also the spec entry point, so the
-    * short-doc/missing-field shape is testable on synthetic corpora). */
+  /** Derive the title/body field split from cleaned pages (ONE tokenize
+    * pass emits both field columns) and build through the public
+    * [[graft.index.FieldedIndex]] API — weights are manifest-recorded and
+    * [[graft.index.FieldedIndex.load]] round-trips them (also the spec
+    * entry point, so the short-doc/missing-field shape is testable on
+    * synthetic corpora). */
   def buildPair(spark: SparkSession, cleanedPages: DataFrame, base: String): Seq[(IndexHandle, Double)] = {
     import spark.implicits._
-    IndexCache.deleteRecursively(new java.io.File(base))
+    graft.index.Store.delete(base)
     val tok = Tokenizers.default
-    val cleaned = cleanedPages
+    val fielded = cleanedPages
       .select(col("doc_id").cast("long"), col("url"), col("warc_ts"),
         col("text"), col("lang"))
-    def fieldPages(title: Boolean): DataFrame =
-      cleaned.as[(Long, String, java.sql.Timestamp, String, String)]
-        .map { case (id, url, ts, text, lang) =>
-          val terms = tok.terms(text)
-          val ft = (if (title) terms.take(TitleLen) else terms.drop(TitleLen)).mkString(" ")
-          (id, url, ts, ft, lang)
-        }
-        .toDF("doc_id", "url", "warc_ts", "text", "lang")
-    IndexBuilder.buildFrom(spark, fieldPages(title = true), s"$base/title", IndexConfig())
-    IndexBuilder.buildFrom(spark, fieldPages(title = false), s"$base/body", IndexConfig())
-    Seq(IndexReader.load(spark, s"$base/title") -> TitleWeight,
-      IndexReader.load(spark, s"$base/body") -> BodyWeight)
+      .as[(Long, String, java.sql.Timestamp, String, String)]
+      .map { case (id, url, ts, text, lang) =>
+        val terms = tok.terms(text)
+        (id, url, ts, terms.take(TitleLen).mkString(" "),
+          terms.drop(TitleLen).mkString(" "), lang)
+      }
+      .toDF("doc_id", "url", "warc_ts", "title_text", "body_text", "lang")
+    graft.index.FieldedIndex.build(spark, fielded, base, Seq(
+      graft.index.FieldSpec("title", TitleWeight, "title_text"),
+      graft.index.FieldSpec("body", BodyWeight, "body_text")))
+    graft.index.FieldedIndex.load(spark, base)
   }
 
   def get(spark: SparkSession, sfDir: String): Seq[(IndexHandle, Double)] =

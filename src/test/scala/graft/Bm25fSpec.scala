@@ -142,11 +142,14 @@ class Bm25fSpec extends AnyFunSuite {
     val pair = FieldedIndexCache.buildPair(spark, pages(texts), "/tmp/graft_bm25f_spec_del")
     // delete every 4th doc from BOTH sub-indexes (the derived-table contract)
     val dead = texts.map(_._1).filter(_ % 4 == 1)
-    graft.index.IndexBuilder.delete(spark, "/tmp/graft_bm25f_spec_del/title", dead)
-    graft.index.IndexBuilder.delete(spark, "/tmp/graft_bm25f_spec_del/body", dead)
-    val deletedPair = Seq(
-      graft.query.IndexReader.load(spark, "/tmp/graft_bm25f_spec_del/title") -> FieldedIndexCache.TitleWeight,
-      graft.query.IndexReader.load(spark, "/tmp/graft_bm25f_spec_del/body") -> FieldedIndexCache.BodyWeight)
+    graft.index.IndexBuilder.delete(spark,
+      graft.index.FieldedIndex.fieldDir("/tmp/graft_bm25f_spec_del", "title"), dead)
+    graft.index.IndexBuilder.delete(spark,
+      graft.index.FieldedIndex.fieldDir("/tmp/graft_bm25f_spec_del", "body"), dead)
+    // reload through the PUBLIC fielded API: weights come from fielded.json
+    val deletedPair = graft.index.FieldedIndex.load(spark, "/tmp/graft_bm25f_spec_del")
+    assert(deletedPair.map(_._2) == Seq(FieldedIndexCache.TitleWeight, FieldedIndexCache.BodyWeight),
+      "fielded manifest must round-trip the field weights")
     // the ground truth: a pair rebuilt from the corpus minus the deleted docs
     val survivors = texts.filterNot { case (id, _) => dead.contains(id) }
     val rebuilt = FieldedIndexCache.buildPair(spark, pages(survivors), "/tmp/graft_bm25f_spec_del_reb")
@@ -213,6 +216,37 @@ class Bm25fSpec extends AnyFunSuite {
       QuerySpec(3, Seq("tail", "words")), QuerySpec(4, Seq("alpha", "two", "tail")))
     assertExact(Bm25f.topK(fields3, queries, 10),
       brute(fields3, splits, queries, 10), queries)
+  }
+
+  test("public FieldedIndex API: per-field vocabCap caps ONLY that field; " +
+    "load round-trips names, weights, and order") {
+    import spark.implicits._
+    import graft.index.{FieldSpec, FieldedIndex, IndexConfig}
+    val base = "/tmp/graft_bm25f_spec_api"
+    graft.index.Store.delete(base)
+    val pages = (0L until 20L).map { id =>
+      (id, s"head$id common title words",
+        (0 until 30).map(j => s"b${(id + j) % 9}").mkString(" "))
+    }.toDF("doc_id", "title_text", "body_text")
+      .select(col("doc_id"), concat(lit("api://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        col("title_text"), col("body_text"), lit("en").as("lang"))
+    FieldedIndex.build(spark, pages, base, Seq(
+      FieldSpec("title", 3.0, "title_text"),
+      FieldSpec("body", 1.0, "body_text", IndexConfig(vocabCap = Some(4)))))
+    val loaded = FieldedIndex.load(spark, base)
+    assert(loaded.map(_._2) == Seq(3.0, 1.0), "weights must round-trip")
+    val (titleH, bodyH) = (loaded(0)._1, loaded(1)._1)
+    // the capped field's postings carry ONLY its head terms; the uncapped
+    // field is untouched (per-field configs are independent)
+    val bodyTerms = bodyH.postings.collect().map(_.termId).distinct.sorted
+    assert(bodyTerms.nonEmpty && bodyTerms.forall(_ < 4),
+      s"body postings outside the vocabCap head: ${bodyTerms.toSeq}")
+    assert(titleH.postings.collect().map(_.termId).distinct.length.toLong
+      == titleH.manifest.vocabSize, "uncapped title field lost terms")
+    // and the loaded pair is queryable end-to-end
+    val res = Bm25f.topK(loaded, Seq(QuerySpec(1, Seq("common"))), 5)(1)
+    assert(res.nonEmpty, "fielded query over the API-built pair returned nothing")
   }
 
   test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {
