@@ -42,6 +42,12 @@ object PipelineQueries {
     * every 7th corpus doc at doc_id + this). */
   final val IncrementalPlantBase = 1000000L
 
+  /** Window width (tokens) for the substring-dedup driver queries — small
+    * enough that the toy fixtures exercise span merging; the API default
+    * is [[SubstringDedup.DefaultWindow]] (50, the published web-scale
+    * operating point). Mirrored verbatim in the oracle SQL. */
+  final val SubstrWindow = 8
+
   /** PMI pair enumeration with the min-df filter pushed BELOW the self-join:
     * a doc's pair fanout is quadratic in its distinct ELIGIBLE terms only. */
   def pmiPairs(toks: DataFrame, dfs: DataFrame, minDf: Long): DataFrame = {
@@ -266,6 +272,22 @@ object PipelineQueries {
         .orderBy("doc_id", "aug_offset")
     }),
 
+    // Substring-level exact dedup (the "dedup the substrings" operator):
+    // maximal merged spans of w-token windows occurring > once in the
+    // corpus. Rolling 64-bit window hash -> count>1 hash set -> candidate
+    // windows -> content-verified -> per-doc gaps-and-islands merge; the
+    // oracle re-derives everything from window content strings, so the
+    // engine's hash is a pure pruning device.
+    "q_substring_spans" -> ((s, d) =>
+      SubstringDedup.duplicatedSpans(SubstringDedup.tokenArrays(docs(s, d)), SubstrWindow)
+        .orderBy("doc_id", "span_start")),
+
+    // Aggressive substring scrub: every duplicated span removed from the
+    // normalized token stream; one row per doc with the surviving text.
+    "q_substring_scrub" -> ((s, d) =>
+      SubstringDedup.scrub(SubstringDedup.tokenArrays(docs(s, d)), SubstrWindow)
+        .orderBy("doc_id")),
+
     // dedup GROUPS from near-dup pairs: exact connected components by
     // distributed min-label propagation; component = keep-min canonical
     // representative. Oracle: recursive-CTE transitive closure over the
@@ -344,6 +366,37 @@ object PipelineQueries {
         |                  list_transform(b.emb, x -> x * x)), (acc, x) -> acc + x))), 4) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |)""".stripMargin
+
+  /** Duplicated-window CTE chain shared by the substring-dedup oracles:
+    * w-token windows keyed by their CONTENT string, occurrence count > 1,
+    * then the per-doc gaps-and-islands grouping (`grp` has one row per
+    * duplicated window with its merge-group id `g`). */
+  private val substrDupWindowsCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND length(text) > 0
+       |),
+       |toksl AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM corpus),
+       |wins AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ts) - $SubstrWindow + 1)) AS start, ts
+       |  FROM toksl WHERE len(ts) >= $SubstrWindow
+       |),
+       |keyed AS (
+       |  SELECT doc_id, start,
+       |         array_to_string(list_slice(ts, start, start + $SubstrWindow - 1), ' ') AS k
+       |  FROM wins
+       |),
+       |dup AS (SELECT k FROM keyed GROUP BY k HAVING count(*) > 1),
+       |dw AS (SELECT doc_id, start FROM keyed WHERE k IN (SELECT k FROM dup)),
+       |seq AS (
+       |  SELECT doc_id, start, lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS pstart
+       |  FROM dw
+       |),
+       |grp AS (
+       |  SELECT doc_id, start,
+       |         sum(CASE WHEN pstart IS NULL OR start > pstart + $SubstrWindow THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY start) AS g
+       |  FROM seq
+       |)""".stripMargin
 
   /** SQL twin of the rolling hash (DuckDB per-character fold). */
   private def rhSql(s: String): String =
@@ -683,6 +736,45 @@ object PipelineQueries {
     "q_cosine_neardup" ->
       s"""WITH $cosinePairsCte
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // duplicated w-token windows by CONTENT (hash-free: the oracle's
+    // ground truth is the window string itself), merged per doc by the
+    // same gaps-and-islands rule as the engine
+    "q_substring_spans" ->
+      s"""WITH $substrDupWindowsCte
+         |SELECT doc_id,
+         |       CAST(min(start) AS INTEGER) AS span_start,
+         |       CAST(max(start) + $SubstrWindow - 1 AS INTEGER) AS span_end,
+         |       CAST(max(start) + $SubstrWindow - min(start) AS INTEGER) AS span_len
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_substring_scrub" ->
+      s"""WITH $substrDupWindowsCte,
+         |spans AS (
+         |  SELECT doc_id, min(start) AS span_start, max(start) + $SubstrWindow - 1 AS span_end
+         |  FROM grp GROUP BY doc_id, g
+         |),
+         |tokp AS (
+         |  SELECT doc_id, unnest(ts) AS term, unnest(generate_series(1, len(ts))) AS pos
+         |  FROM toksl
+         |),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.term FROM tokp t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |                    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)
+         |),
+         |ka AS (
+         |  SELECT doc_id, count(*) AS kept_len,
+         |         array_to_string(list(term ORDER BY pos), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |),
+         |dl AS (SELECT doc_id, len(ts) AS doc_len FROM toksl)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(ka.kept_len, 0) AS INTEGER) AS kept_len,
+         |       CAST(d.doc_len - coalesce(ka.kept_len, 0) AS INTEGER) AS removed_len,
+         |       coalesce(ka.clean_text, '') AS clean_text
+         |FROM dl d LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // exact connected components of the >= 0.99 near-dup pair graph:
     // transitive closure via a recursive CTE (min reachable id per vertex)
