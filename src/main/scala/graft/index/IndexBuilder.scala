@@ -275,9 +275,9 @@ object IndexBuilder {
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "delete", nDel, System.currentTimeMillis(), "committed"))
     val manifest = old.copy(nDocs = old.nDocs - nDel, totalLen = old.totalLen - lenDel,
-      dictVersion = old.dictVersion + 1, tombVersion = old.tombVersion + 1)
-    Manifest.write(s"$indexDir/manifest.json", manifest)
-    manifest
+      dictVersion = old.dictVersion + 1, tombVersion = old.tombVersion + 1,
+      snapshotId = old.snapshotId + 1, operation = "delete")
+    Manifest.commit(indexDir, manifest)
   }
 
   /** Frequency-ordered dense termIds WITHOUT a single-partition global
@@ -540,28 +540,46 @@ object IndexBuilder {
     Lineage.append(spark, indexDir,
       LineageRow(-1, "compact", old.nDocs, System.currentTimeMillis(), "committed"))
     val manifest = old.copy(tombVersion = newTombVersion,
-      segments = (untouched :+ merged).sortBy(_.lo))
-    Manifest.write(s"$indexDir/manifest.json", manifest)
-    manifest
+      segments = (untouched :+ merged).sortBy(_.lo),
+      snapshotId = old.snapshotId + 1, operation = "compact")
+    Manifest.commit(indexDir, manifest)
   }
 
-  /** Garbage-collect directories no longer referenced by the manifest:
-    * segments replaced by compaction (or left by crashed attempts) and
-    * superseded dictionary/tombstone versions. Safe against crashed
-    * writers because reads are manifest-driven; NOT safe concurrently
-    * with readers still holding pre-vacuum handles. Returns the deleted
-    * paths (relative to indexDir). */
-  def vacuum(spark: SparkSession, indexDir: String): Seq[String] = {
-    val m = Manifest.read(s"$indexDir/manifest.json")
-    val liveSegs = m.segments.map(_.name).toSet
+  /** Garbage-collect everything outside the retention window: segment /
+    * dictionary / tombstone directories referenced by NO retained snapshot
+    * (replaced by compaction, superseded by appends/deletes, or left by
+    * crashed attempts) plus the expired snapshot manifests themselves.
+    *
+    * Retention is snapshot-count-based, Iceberg-style: the live snapshot
+    * plus the `retainSnapshots - 1` committed snapshots before it stay
+    * fully time-travel-queryable ([[Manifest.readAt]]); anything older
+    * expires. Snapshot files NEWER than the live pointer (a crashed,
+    * never-flipped commit) are garbage too — the replayed verb re-derives
+    * them. Safe against crashed writers because reads are manifest-driven;
+    * NOT safe concurrently with readers still holding pre-vacuum handles.
+    * Returns the deleted paths (relative to indexDir). */
+  def vacuum(spark: SparkSession, indexDir: String, retainSnapshots: Int = 1): Seq[String] = {
+    require(retainSnapshots >= 1, "retainSnapshots must be >= 1 (the live snapshot)")
+    val live = Manifest.read(s"$indexDir/manifest.json")
+    val retained = Manifest.history(indexDir)
+      .filter(_.snapshotId < live.snapshotId)
+      .sortBy(-_.snapshotId).take(retainSnapshots - 1) :+ live
+    val liveSegs = retained.flatMap(_.segments.map(_.name)).toSet
+    val liveDicts = retained.map(m => f"v${m.dictVersion}%05d").toSet
+    val liveTombs = retained.filter(_.tombVersion >= 0)
+      .map(m => f"v${m.tombVersion}%05d").toSet
+    val liveSnaps = (retained.map(m => f"v${m.snapshotId}%05d.json") :+
+      f"v${live.snapshotId}%05d.json").toSet
     val segGarbage = Store.list(s"$indexDir/segments").filterNot(liveSegs.contains)
       .map(n => s"segments/$n")
     val dictGarbage = Store.list(s"$indexDir/dictionary")
-      .filterNot(_ == f"v${m.dictVersion}%05d").map(n => s"dictionary/$n")
+      .filterNot(liveDicts.contains).map(n => s"dictionary/$n")
     val tombGarbage = Store.list(s"$indexDir/tombstones")
-      .filterNot(n => m.tombVersion >= 0 && n == f"v${m.tombVersion}%05d")
-      .map(n => s"tombstones/$n")
-    val garbage = segGarbage ++ dictGarbage ++ tombGarbage
+      .filterNot(liveTombs.contains).map(n => s"tombstones/$n")
+    val snapGarbage = Store.list(Manifest.snapshotDir(indexDir))
+      .filter(_.matches("v\\d{5}\\.json")).filterNot(liveSnaps.contains)
+      .map(n => s"snapshots/$n")
+    val garbage = segGarbage ++ dictGarbage ++ tombGarbage ++ snapGarbage
     garbage.foreach(rel => Store.delete(s"$indexDir/$rel"))
     garbage
   }
@@ -707,7 +725,7 @@ object IndexBuilder {
       maxDocLen = agg.getInt(2), postingsBuckets = cfg.postingsBuckets,
       metaComputerNames = BlockMetaComputers.names(cfg.metaComputers),
       segments = segments)
-    Manifest.write(s"$indexDir/manifest.json", manifest)
+    Manifest.commit(indexDir, manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
     manifest
@@ -780,8 +798,9 @@ object IndexBuilder {
     if (nNew == 0) {
       // nothing survived cleaning: no segment, but the cursor still commits
       val skipped0 = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
-      val m0 = old.copy(skippedCorrupt = skipped0, lastBatchId = batchId.getOrElse(old.lastBatchId))
-      Manifest.write(s"$indexDir/manifest.json", m0)
+      val m0 = old.copy(skippedCorrupt = skipped0, lastBatchId = batchId.getOrElse(old.lastBatchId),
+        snapshotId = old.snapshotId + 1, operation = "append")
+      Manifest.commit(indexDir, m0)
       stats.unpersist(); cleaned.unpersist()
       return m0
     }
@@ -852,8 +871,9 @@ object IndexBuilder {
       maxDocId = math.max(old.maxDocId, maxNew),
       dictVersion = old.dictVersion + 1, lastBatchId = batchId.getOrElse(old.lastBatchId),
       maxDocLen = math.max(old.maxDocLen, maxDlNew),
-      segments = old.segments :+ seg)
-    Manifest.write(s"$indexDir/manifest.json", manifest)
+      segments = old.segments :+ seg,
+      snapshotId = old.snapshotId + 1, operation = "append")
+    Manifest.commit(indexDir, manifest)
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
   }
@@ -938,6 +958,8 @@ object Manifest {
   def write(path: String, m: IndexManifest): Unit = {
     require(m.metaComputerNames.matches("[A-Za-z0-9,]*"),
       s"metaComputerNames '${m.metaComputerNames}' outside the manifest-safe alphabet")
+    require(m.operation.matches("[a-z]+"),
+      s"operation '${m.operation}' outside the manifest-safe alphabet")
     val segStr = Segment.encode(m.segments)
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
@@ -946,9 +968,43 @@ object Manifest {
         s""""dictVersion":${m.dictVersion},"lastBatchId":${m.lastBatchId},""" +
         s""""tombVersion":${m.tombVersion},""" +
         s""""maxDocLen":${m.maxDocLen},"postingsBuckets":${m.postingsBuckets},""" +
+        s""""snapshotId":${m.snapshotId},"operation":"${m.operation}",""" +
         s""""metaComputerNames":"${m.metaComputerNames}","segments":"$segStr"}"""
     Store.writeString(path, json)
   }
+
+  def snapshotDir(indexDir: String): String = s"$indexDir/snapshots"
+  def snapshotPath(indexDir: String, snapshotId: Int): String =
+    f"${snapshotDir(indexDir)}/v$snapshotId%05d.json"
+
+  /** THE commit primitive every verb routes through: archive the immutable
+    * snapshot manifest FIRST, then flip the live pointer. A crash between
+    * the two writes leaves the live pointer on the previous snapshot; the
+    * replayed verb re-derives the SAME snapshotId from that untouched base
+    * and overwrites the orphaned snapshot file — overwrite-idempotent,
+    * like every other commit in the engine. */
+  def commit(indexDir: String, m: IndexManifest): IndexManifest = {
+    write(snapshotPath(indexDir, m.snapshotId), m)
+    write(s"$indexDir/manifest.json", m)
+    m
+  }
+
+  /** The manifest as of snapshot `snapshotId` — fails actionably when the
+    * snapshot has been expired by vacuum retention (or never committed). */
+  def readAt(indexDir: String, snapshotId: Int): IndexManifest = {
+    val p = snapshotPath(indexDir, snapshotId)
+    if (!Store.exists(p)) {
+      val have = history(indexDir).map(_.snapshotId)
+      sys.error(s"snapshot $snapshotId not found at $p — expired by vacuum " +
+        s"retention or never committed; retained snapshots: [${have.mkString(", ")}]")
+    }
+    read(p)
+  }
+
+  /** All retained snapshots, ascending by snapshotId (commit order). */
+  def history(indexDir: String): Seq[IndexManifest] =
+    Store.list(snapshotDir(indexDir)).filter(_.matches("v\\d{5}\\.json"))
+      .map(n => read(s"${snapshotDir(indexDir)}/$n")).sortBy(_.snapshotId)
 
   def read(path: String): IndexManifest = {
     val s = Store.readString(path)
@@ -967,7 +1023,9 @@ object Manifest {
       f("tombVersion").toInt,
       f("maxDocLen").toInt,
       f("postingsBuckets").toInt,
-      str("metaComputerNames", "[A-Za-z0-9,]"),
-      Segment.decode(str("segments", "[0-9_,]")))
+      snapshotId = f("snapshotId").toInt,
+      operation = str("operation", "[a-z]"),
+      metaComputerNames = str("metaComputerNames", "[A-Za-z0-9,]"),
+      segments = Segment.decode(str("segments", "[0-9_,]")))
   }
 }

@@ -293,6 +293,21 @@ final case class IndexManifest(
       * built with — rewriting verbs rehydrate the SAME computer set, so
       * block meta never silently changes across generations. */
     metaComputerNames: String = "posSpan,tfQuantile",
+    /** linear snapshot counter (Iceberg-snapshot-shaped time travel): every
+      * committing verb archives the full manifest it is about to make live
+      * as `snapshots/v%05d.json` BEFORE flipping `manifest.json`, so the
+      * commit history is a chain of immutable manifests. `loadAt` reads an
+      * archived manifest and queries the index as of that commit — every
+      * directory a snapshot references (segments, dictionary/tombstone
+      * versions) stays on disk until [[IndexBuilder.vacuum]]'s retention
+      * window drops it. Deterministic (old.snapshotId + 1), so crash
+      * replays re-derive the same id. */
+    snapshotId: Int = 0,
+    /** the committing verb that produced this snapshot (`build` / `append`
+      * / `delete` / `compact`) — deterministic, so resumed builds stay
+      * bit-identical to uninterrupted ones; wall-clock commit times live in
+      * the lineage log, not here. Alphabet `[a-z]` (manifest-regex-safe). */
+    operation: String = "build",
     /** the live [[Segment]] list, ascending by `lo` — THE read truth for
       * postings and docstats (manifest-driven multi-path scans; nothing
       * reads by directory discovery). Builds commit one segment per chunk,

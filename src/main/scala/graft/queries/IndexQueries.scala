@@ -35,7 +35,7 @@ object DeletedIndexCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
   private val compacted = new java.util.concurrent.ConcurrentHashMap[String, IndexHandle]()
 
-  private def dirFor(sfDir: String) =
+  def dirFor(sfDir: String): String =
     s"/tmp/graft_del_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
   def get(spark: SparkSession, sfDir: String): IndexHandle =
@@ -449,7 +449,19 @@ object IndexQueries {
       rankedReport(spark,
         graft.query.Wand.topKApprox(IndexCache.handle(spark, sfDir), QuerySet.queries,
           k = 40, boundKey = graft.index.TfQuantileComputer.TfP90Key),
-        kWand = 40))
+        kWand = 40)),
+
+    // TIME TRAVEL (Iceberg-snapshot-shaped): the tombstone delete committed
+    // snapshot 1 on the q_delete fixture; loading the SAME directory as of
+    // snapshot 0 (Manifest.readAt → the archived pre-delete manifest) must
+    // reproduce the FULL-corpus BM25 ranking exactly — q_bm25_topk's oracle,
+    // answered by a post-delete index. Proves snapshots are immutable and
+    // complete: dictionary v0, tombVersion=-1, and the original segment set
+    // all remain addressable until vacuum retention expires them.
+    "q_timetravel" -> ((spark, sfDir) => {
+      DeletedIndexCache.get(spark, sfDir) // commits snapshot 0 (build) + 1 (delete)
+      wandReport(spark, IndexReader.loadAt(spark, DeletedIndexCache.dirFor(sfDir), 0))
+    })
   )
 
   /** q_decode's fixed docId range (a few buckets' worth of docs). */
@@ -1093,6 +1105,8 @@ object IndexQueries {
       "q_bm25_topk" -> bm25TopSql(corpusCte),
       "q_bm25_brute" -> bm25TopSql(corpusCte),
       "q_bm25_after_delete" -> bm25TopSql(corpusCteDeleted),
+      // pre-delete snapshot of the post-delete index == full corpus
+      "q_timetravel" -> bm25TopSql(corpusCte),
       "q_delete_dict" ->
         s"""WITH $corpusCteDeleted
            |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,

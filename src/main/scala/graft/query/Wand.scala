@@ -167,6 +167,13 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
 object IndexReader {
   def load(spark: SparkSession, dir: String): IndexHandle =
     IndexHandle(spark, dir, Manifest.read(s"$dir/manifest.json"))
+
+  /** Time-travel load: the index exactly as of snapshot `snapshotId` —
+    * every query surface (WAND, decode, stats, tombstone overlays) runs
+    * against the archived manifest's segment/dictionary/tombstone versions,
+    * which stay on disk until vacuum retention expires the snapshot. */
+  def loadAt(spark: SparkSession, dir: String, snapshotId: Int): IndexHandle =
+    IndexHandle(spark, dir, Manifest.readAt(dir, snapshotId))
 }
 
 /** Document-at-a-time block-max WAND top-k (the new query surface mandated
