@@ -59,6 +59,16 @@ object Store {
     ()
   }
 
+  /** Recursive copy (dirs or files) — the export primitive. Goes through
+    * `FileUtil.copy`, so source and destination may live on different
+    * filesystems (local → object store and back). */
+  def copy(src: String, dst: String): Unit = {
+    val (sfs, sp) = fsOf(src)
+    val (dfs, dp) = fsOf(dst)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
+    ()
+  }
+
   /** Atomic-within-one-FS rename (the two-phase swap primitive). */
   def rename(src: String, dst: String): Boolean = {
     val (fs, s) = fsOf(src)

@@ -461,6 +461,19 @@ object IndexQueries {
     "q_timetravel" -> ((spark, sfDir) => {
       DeletedIndexCache.get(spark, sfDir) // commits snapshot 0 (build) + 1 (delete)
       wandReport(spark, IndexReader.loadAt(spark, DeletedIndexCache.dirFor(sfDir), 0))
+    }),
+
+    // SNAPSHOT DIFF (the incremental-consumer verb): what changed between
+    // two commits of one index, as (doc_id, change) rows. On the q_delete
+    // fixture the 0→1 diff is exactly the tombstoned docId range projected
+    // onto the cleaned corpus — SQL-oracle-expressible. Two anti-joins
+    // over live docstats; output change-sized, nothing driver-side.
+    "q_snapshot_diff" -> ((spark, sfDir) => {
+      DeletedIndexCache.get(spark, sfDir)
+      val dir = DeletedIndexCache.dirFor(sfDir)
+      graft.query.SnapshotDiff.diff(
+        IndexReader.loadAt(spark, dir, 0), IndexReader.loadAt(spark, dir, 1))
+        .orderBy("doc_id")
     })
   )
 
@@ -1107,6 +1120,12 @@ object IndexQueries {
       "q_bm25_after_delete" -> bm25TopSql(corpusCteDeleted),
       // pre-delete snapshot of the post-delete index == full corpus
       "q_timetravel" -> bm25TopSql(corpusCte),
+      // 0→1 diff of the delete fixture == the tombstoned range ∩ cleaned corpus
+      "q_snapshot_diff" ->
+        s"""SELECT doc_id, 'removed' AS change FROM documents
+           |WHERE text IS NOT NULL AND length(text) > 0
+           |  AND doc_id >= ${DeletedIndexCache.DelLo} AND doc_id < ${DeletedIndexCache.DelHi}
+           |ORDER BY doc_id""".stripMargin,
       "q_delete_dict" ->
         s"""WITH $corpusCteDeleted
            |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
