@@ -469,7 +469,6 @@ object IndexBuilder {
       bucketRange0: Option[(Long, Long)]): IndexManifest = {
     import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
-    if (old.tombVersion < 0) return old // nothing tombstoned — no-op
     val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange,
       postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     val (bLo, bHi) = bucketRange0.getOrElse((0L, Long.MaxValue))
@@ -477,6 +476,11 @@ object IndexBuilder {
     val docHi = if (bHi >= Long.MaxValue / old.bucketRange) Long.MaxValue else bHi * old.bucketRange
     val (touched, untouched) = old.segments.partition(_.overlaps(docLo, docHi))
     if (touched.isEmpty) return old
+    // with no tombstones a single-segment slice has nothing to drop and
+    // nothing to merge — a pure rewrite, skipped; MULTIPLE touched segments
+    // still merge (the [[maintain]] segment-merge mode: append-created
+    // small segments fold into one even on a delete-free index)
+    if (old.tombVersion < 0 && touched.length <= 1) return old
     // effective span = the touched segments' union range (slice rounded out
     // to the immutable I/O unit); merged version derived deterministically
     // from the replaced set, so a crash-replay overwrites the same dir
@@ -488,7 +492,9 @@ object IndexBuilder {
     // multi-consumer relations here are DIRECT parquet scans (tombstones,
     // blocks) — re-scanning per consumer beats materializing a whole-index
     // checkpoint, the same columnar re-scan trade as cacheTermDocs=false
-    val tombs = spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
+    val tombs =
+      if (old.tombVersion < 0) spark.range(0).select(col("id").as("docId"))
+      else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
     val tombsIn = tombs.filter(col("docId") >= spanLo && col("docId") < spanHi)
     val tombsOut = tombs.filter(col("docId") < spanLo || col("docId") >= spanHi)
 
@@ -526,7 +532,7 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(s"$mergedDir/docstats")
 
     // tombstones that survive outside the span (none on a full compaction)
-    val remaining = tombsOut.count()
+    val remaining = if (old.tombVersion < 0) 0L else tombsOut.count()
     val newTombVersion =
       if (remaining == 0L) -1
       else {
@@ -543,6 +549,47 @@ object IndexBuilder {
       segments = (untouched :+ merged).sortBy(_.lo),
       snapshotId = old.snapshotId + 1, operation = "compact")
     Manifest.commit(indexDir, manifest)
+  }
+
+  /** LSM maintenance policy — bound the live segment count. Every append
+    * commits one new segment, so a long-lived crawl loop accumulates
+    * segments without bound; real LSM engines run a background merge policy
+    * and this is the engine's: while more than `maxSegments` segments are
+    * live, merge the ADJACENT RUN with the smallest combined on-disk bytes
+    * (size-tiered selection — folding the small append segments first
+    * minimizes write amplification; the big base segments are only ever
+    * rewritten when they themselves become the smallest candidates) via
+    * [[compactRange]] on the run's bucket span. Merge I/O per round is
+    * bounded by the chosen run; every other segment's files stay physically
+    * untouched, and each merge is its own crash-safe snapshot commit
+    * (interrupt → resume composes). Candidate sizing reads file METADATA
+    * only (`Store.sizeOf`), no data scan. Tombstones inside a merged span
+    * are dropped for free; replaced directories await [[vacuum]].
+    *
+    * `fanIn` caps how many segments one merge folds (merge cost bound). A
+    * call on an index already within budget is a pure no-op (no snapshot
+    * churn). Returns the final manifest. */
+  def maintain(spark: SparkSession, indexDir: String,
+      maxSegments: Int = 8, fanIn: Int = 8): IndexManifest = {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    require(fanIn >= 2, "fanIn must be >= 2 (a merge folds at least two segments)")
+    var m = Manifest.read(s"$indexDir/manifest.json")
+    while (m.segments.length > maxSegments) {
+      val segs = m.segments // ascending by lo (manifest invariant)
+      val sizes = segs.map(s => Store.sizeOf(segmentDir(indexDir, s)))
+      // fold enough to reach budget this round when fanIn allows, else the
+      // largest permitted run; pick the cheapest adjacent window
+      val runLen = math.max(2, math.min(fanIn, segs.length - maxSegments + 1))
+      val best = (0 to segs.length - runLen)
+        .minBy(i => sizes.slice(i, i + runLen).sum)
+      val lo = segs(best).lo / m.bucketRange
+      val hi = (segs(best + runLen - 1).hi + m.bucketRange - 1) / m.bucketRange
+      val next = compactRange(spark, indexDir, Some((lo, hi)))
+      require(next.segments.length < m.segments.length,
+        s"maintain made no progress at run [$best, ${best + runLen}) — segment overlap bug")
+      m = next
+    }
+    m
   }
 
   /** Garbage-collect everything outside the retention window: segment /

@@ -53,6 +53,14 @@ object Store {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Total bytes under a path (recursive); 0 when absent. Driver-side
+    * metadata op — the LSM maintenance policy sizes merge candidates from
+    * file metadata, never from data scans. */
+  def sizeOf(path: String): Long = {
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   def mkdirs(path: String): Unit = {
     val (fs, p) = fsOf(path)
     fs.mkdirs(p)

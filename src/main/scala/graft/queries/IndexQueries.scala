@@ -129,6 +129,19 @@ object QuerySet {
   /** SQL VALUES list for the DuckDB oracle. */
   def sqlValues: String =
     queries.flatMap(q => q.terms.map(t => s"(${q.queryId},'$t')")).mkString(", ")
+
+  /** The same query set with deterministic per-term boosts (term i gets
+    * weight 1 + i/2 — exactly representable doubles, so the SQL oracle's
+    * literals match bit-for-bit). */
+  val boosted: Seq[QuerySpec] = queries.map { q =>
+    q.copy(boosts = q.terms.distinct.zipWithIndex
+      .map { case (t, i) => t -> (1.0 + 0.5 * i) }.toMap)
+  }
+
+  /** (query_id, term, weight) VALUES rows mirroring [[boosted]]. */
+  def sqlBoostedValues: String =
+    boosted.flatMap(q => q.terms.distinct.map(t =>
+      s"(${q.queryId},'$t',${q.boost(t)})")).mkString(", ")
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -413,8 +426,91 @@ object IndexQueries {
         .orderBy("term")
     }),
 
+    // LSM maintenance, oracle-checked end-to-end: a crawl-shaped index
+    // (base build over doc_id < 160 in two chunks, then appends of
+    // [160, 320) and [320, 480) — four live segments) is folded back to
+    // <= 2 segments by the size-tiered merge policy (IndexBuilder.maintain:
+    // smallest adjacent run by on-disk bytes, merged via slice-local
+    // compactRange; untouched segments' files never rewritten). The report
+    // DECODES every posting of the maintained index — per-term df/cf/
+    // docId-sum/position-sum must equal the doc_id < 480 corpus statistics,
+    // proving the merge lost and corrupted nothing. Small bucketRange so
+    // the fixture spans multiple buckets and the merge is genuinely
+    // slice-local (MaintainSpec asserts the file-level byte-identity).
+    "q_maintain_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val base = s"/tmp/graft_maintain_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(base))
+      val pages = Pages.withInjections(spark, sfDir)
+      val cfg = graft.index.IndexConfig(blockSize = 16, bucketRange = 64,
+        nChunks = 2, postingsBuckets = 2)
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < 160), base, cfg)
+      IndexBuilder.append(spark,
+        pages.filter(col("doc_id") >= 160 && col("doc_id") < 320), base, cfg)
+      IndexBuilder.append(spark,
+        pages.filter(col("doc_id") >= 320 && col("doc_id") < 480), base, cfg)
+      val m = IndexBuilder.maintain(spark, base, maxSegments = 2)
+      require(m.segments.length <= 2,
+        s"maintain(maxSegments = 2) left ${m.segments.length} segments")
+      val h = graft.query.IndexReader.load(spark, base)
+      val stats = h.postings
+        .map { b =>
+          val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+          val tfs = graft.codec.VByte.decodeInts(b.tfs)
+          val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
+          (b.termId, ids.length.toLong, tfs.map(_.toLong).sum, ids.sum,
+            poss.iterator.map(_.iterator.map(_.toLong).sum).sum)
+        }
+        .toDF("term_id", "n", "tf_sum", "docid_sum", "p_sum")
+        .groupBy("term_id")
+        .agg(sum("n").cast("long").as("df"), sum("tf_sum").cast("long").as("cf"),
+          sum("docid_sum").cast("long").as("docid_sum"),
+          sum("p_sum").cast("long").as("pos_sum"))
+      stats
+        .join(h.dictionary.toDF().select(col("termId").as("term_id"), col("term")), "term_id")
+        .select(col("term"), col("df"), col("cf"), col("docid_sum"), col("pos_sum"))
+        .orderBy("term")
+    }),
+
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
+
+    // FILTERED ranked retrieval: BM25 top-10 restricted to a document
+    // metadata predicate (doc_id % 3 = 0 here, standing in for the
+    // site:/lang/date-range filters of a search result page). Exact among
+    // matching docs; idf/avgdl/N stay corpus-global (a filter narrows the
+    // result set, it does not re-weight terms); non-matching docs become
+    // docLen = -1 skip sentinels inside the bucket cogroup — the tombstone
+    // mechanism reused, one codegen'd when() on the bucket-pruned norms
+    // scan, no extra pass or shuffle. Threshold seeding disables (unsound
+    // under a filter); block-max pruning still applies.
+    "q_bm25_filtered" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Wand.topKFiltered(IndexCache.handle(spark, sfDir), QuerySet.queries,
+          k = 40, filter = col("docId") % 3 === 0), kWand = 40)),
+
+    // BOOSTED ranked retrieval: query-time per-term weights (the `term^w`
+    // search-box syntax; fixture weights 1, 1.5, 2, ... per term). BM25
+    // impact is linear in idf, so a boost folds into the cursor's effective
+    // idf at query-plan time — block-max bounds, pruning and threshold
+    // seeding all scale consistently and the WAND kernel is untouched
+    // (the same linearity that powers BM25F's w_f·idf_f field weights).
+    "q_bm25_boosted" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Wand.topK(IndexCache.handle(spark, sfDir), QuerySet.boosted, k = 40),
+        kWand = 40)),
+
+    // MORE LIKE THIS: rank the corpus against a query derived from a
+    // source document's own term statistics, everything read from the
+    // index — (term, tf) decoded from the doc's bucket, tf·idf top-5
+    // selection (6 dp rounding, term-asc ties), then the standard WAND
+    // driver with a docId != source filter. The oracle re-derives the
+    // selection from the raw text, so a green row proves profile decode,
+    // selection AND retrieval end-to-end.
+    "q_mlt" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Map(1 -> mlt(spark, IndexCache.handle(spark, sfDir),
+          MltDoc, MltTermCount, k = 40)), kWand = 40)),
 
     // Second ranking model over the SAME index read-path: Dirichlet-
     // smoothed query likelihood (mu=2000) — proves the scoring layer is
@@ -512,6 +608,57 @@ object IndexQueries {
       .transform(h.excludeDeleted(_, "doc_id"))
     occ.join(h.dictionary.toDF().select(col("termId").as("term_id"), col("term")), "term_id")
       .select(col("doc_id"), col("pos"), col("term"))
+  }
+
+  /** MLT fixture: the source document and profile size. */
+  final val MltDoc = 42L
+  final val MltTermCount = 5
+
+  /** "More like this" term selection, everything read FROM THE INDEX (no
+    * access to the original text): decode the source doc's (term, tf)
+    * vector from its bucket's postings (blockId range predicate —
+    * bucket-exact parquet pushdown, cost independent of corpus size), join
+    * the pruned dictionary for df, score tf·idf rounded to 6 dp (cross-
+    * engine ln ulp), ties by term asc, keep the top `m` — the classic
+    * Lucene MLT selection made deterministic for the oracle. Only the
+    * selected m terms are ever collected. */
+  def mltTerms(spark: SparkSession, h: graft.query.IndexHandle,
+      docId: Long, m: Int): Seq[String] = {
+    import spark.implicits._
+    val mf = h.manifest
+    val blocksPerBucket = mf.bucketRange / mf.blockSize
+    val b = docId / mf.bucketRange
+    val prof = h.postings
+      .filter(col("blockId") >= b * blocksPerBucket &&
+        col("blockId") < (b + 1) * blocksPerBucket)
+      .as[graft.index.PostingBlock]
+      .flatMap { blk =>
+        val ids = graft.codec.VByte.decodeDocIds(blk.docIdGaps)
+        val tfs = graft.codec.VByte.decodeInts(blk.tfs)
+        ids.indices.iterator.filter(j => ids(j) == docId)
+          .map(j => (blk.termId, tfs(j)))
+      }
+      .toDF("term_id", "tf")
+    prof
+      .join(h.dictionary.toDF().select(col("termId").as("term_id"),
+        col("term"), col("df")), "term_id")
+      .withColumn("sc", round(col("tf") *
+        log((lit(mf.nDocs).cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6))
+      .orderBy(col("sc").desc, col("term").asc)
+      .limit(m)
+      .select("term").as[String].collect().toSeq
+  }
+
+  /** MLT retrieval: the selected terms run through the UNCHANGED filtered
+    * WAND driver with a docId != source predicate — one bucket-bounded
+    * decode + one ≤m-term dictionary lookup + one standard top-k. */
+  def mlt(spark: SparkSession, h: graft.query.IndexHandle,
+      docId: Long, m: Int, k: Int): Array[(Double, Long)] = {
+    val terms = mltTerms(spark, h, docId, m)
+    if (terms.isEmpty) Array.empty
+    else Wand.topKFiltered(h, Seq(QuerySpec(1, terms)), k,
+      col("docId") =!= docId)(1)
   }
 
   /** The fixed phrase-query set: two bigrams (incl. a repeated-term one —
@@ -854,7 +1001,7 @@ object IndexQueries {
   // ----------------------------------------------------------------- oracle
 
   val oracles: Map[String, String] = {
-    def bm25TopSql(cte: String): String =
+    def bm25TopSql(cte: String, docWhere: String = ""): String =
       s"""WITH $cte,
          |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
          |scores AS (
@@ -864,7 +1011,7 @@ object IndexQueries {
          |  JOIN tf ON tf.term = q.term
          |  JOIN dft ON dft.term = q.term
          |  JOIN doclen ON doclen.doc_id = tf.doc_id
-         |  CROSS JOIN gstats
+         |  CROSS JOIN gstats$docWhere
          |  GROUP BY q.query_id, tf.doc_id
          |),
          |ranked AS (
@@ -1117,6 +1264,72 @@ object IndexQueries {
            |FROM per_bucket""".stripMargin,
       "q_bm25_topk" -> bm25TopSql(corpusCte),
       "q_bm25_brute" -> bm25TopSql(corpusCte),
+      // filter narrows the SCORED docs only; idf/avgdl stay corpus-global
+      "q_bm25_filtered" -> bm25TopSql(corpusCte, "\n  WHERE tf.doc_id % 3 = 0"),
+      // per-term boost w multiplies that term's whole BM25 impact
+      "q_bm25_boosted" ->
+        s"""WITH $corpusCte,
+           |q(query_id, term, w) AS (VALUES ${QuerySet.sqlBoostedValues}),
+           |scores AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |         sum(q.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
+           |  FROM q
+           |  JOIN tf ON tf.term = q.term
+           |  JOIN dft ON dft.term = q.term
+           |  JOIN doclen ON doclen.doc_id = tf.doc_id
+           |  CROSS JOIN gstats
+           |  GROUP BY q.query_id, tf.doc_id
+           |),
+           |ranked AS (
+           |  SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+           |  FROM scores
+           |)
+           |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       doc_id, round(score, 4) AS score
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // MLT: top-5 tf·idf terms of doc MltDoc (6 dp, term-asc ties) as the
+      // query; retrieval excludes the source doc; stats corpus-global
+      "q_mlt" ->
+        s"""WITH $corpusCte,
+           |src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = $MltDoc GROUP BY term),
+           |sel AS (
+           |  SELECT s.term,
+           |         round(s.tf * ln((n - d.df + 0.5) / (d.df + 0.5) + 1.0), 6) AS sc
+           |  FROM src s JOIN dft d ON d.term = s.term CROSS JOIN gstats
+           |),
+           |top_terms AS (SELECT term FROM sel ORDER BY sc DESC, term LIMIT $MltTermCount),
+           |scores AS (
+           |  SELECT 1 AS query_id, tf.doc_id,
+           |         sum(${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")}) AS score
+           |  FROM top_terms q
+           |  JOIN tf ON tf.term = q.term
+           |  JOIN dft ON dft.term = q.term
+           |  JOIN doclen ON doclen.doc_id = tf.doc_id
+           |  CROSS JOIN gstats
+           |  WHERE tf.doc_id <> $MltDoc
+           |  GROUP BY tf.doc_id
+           |),
+           |ranked AS (
+           |  SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+           |  FROM scores
+           |)
+           |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       doc_id, round(score, 4) AS score
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // the maintained (merged) index must decode to exactly the corpus
+      // statistics of its doc_id < 480 fixture — nothing lost, nothing dup'd
+      "q_maintain_stats" ->
+        s"""WITH ${corpusCteWhere(" AND doc_id < 480")},
+           |ps AS (SELECT term, CAST(sum(pos) AS BIGINT) AS pos_sum FROM tok GROUP BY term)
+           |SELECT tf.term, count(*) AS df, CAST(sum(tf.tf) AS BIGINT) AS cf,
+           |       CAST(sum(tf.doc_id) AS BIGINT) AS docid_sum,
+           |       max(ps.pos_sum) AS pos_sum
+           |FROM tf JOIN ps ON ps.term = tf.term
+           |GROUP BY tf.term ORDER BY tf.term""".stripMargin,
       "q_bm25_after_delete" -> bm25TopSql(corpusCteDeleted),
       // pre-delete snapshot of the post-delete index == full corpus
       "q_timetravel" -> bm25TopSql(corpusCte),

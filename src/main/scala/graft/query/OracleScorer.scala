@@ -28,7 +28,12 @@ object OracleScorer {
     private val postings: Map[String, Array[TermDoc]] =
       termDocs.groupBy(_.term).map { case (t, arr) => t -> arr.sortBy(_.docId) }
 
-    def topK(terms: Seq[String], k: Int): Array[(Double, Long)] = {
+    def topK(terms: Seq[String], k: Int): Array[(Double, Long)] =
+      topK(terms, k, Map.empty[String, Double])
+
+    /** Boosted variant: per-term weight folded into idf BEFORE the impact,
+      * mirroring Wand's effIdf = boost · idf exactly (bit-for-bit). */
+    def topK(terms: Seq[String], k: Int, boosts: Map[String, Double]): Array[(Double, Long)] = {
       // dedup query terms; resolve; sort by termId ascending (summation order)
       val resolved = terms.distinct
         .flatMap(t => dict.get(t).map(e => (e, t)))
@@ -38,7 +43,7 @@ object OracleScorer {
       // order — identical addend order to Wand's exact evaluation.
       val perDoc = scala.collection.mutable.HashMap.empty[Long, List[Double]]
       resolved.foreach { case (entry, term) =>
-        val idf = Bm25.idf(nDocs, entry.df)
+        val idf = boosts.getOrElse(term, 1.0) * Bm25.idf(nDocs, entry.df)
         postings.getOrElse(term, Array.empty).foreach { p =>
           val impact = Bm25.scoreWithIdf(idf, p.tf, p.docLen, avgdl)
           perDoc.updateWith(p.docId) {

@@ -5,7 +5,18 @@ import graft.index._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-final case class QuerySpec(queryId: Int, terms: Seq[String])
+/** One retrieval query. `boosts` are optional query-time per-term weights
+  * (the `term^2.0` syntax of a search box): BM25 impact is linear in idf, so
+  * a boost folds into the cursor's effective idf at query-plan time — upper
+  * bounds, block-max refinement and threshold seeding all scale with it and
+  * the WAND kernel is untouched. Absent terms default to weight 1.0;
+  * non-positive boosts are rejected (a zero-weight term is term removal —
+  * do that in the query, not the scorer). */
+final case class QuerySpec(queryId: Int, terms: Seq[String],
+    boosts: Map[String, Double] = Map.empty) {
+  require(boosts.values.forall(_ > 0.0), s"non-positive boost in $boosts")
+  def boost(term: String): Double = boosts.getOrElse(term, 1.0)
+}
 final case class ScoredDoc(queryId: Int, docId: Long, score: Double)
 
 /** k-way sorted-array intersection with galloping (exponential) search:
@@ -567,6 +578,26 @@ object Wand {
       metrics: Option[WandMetrics]): Map[Int, Array[(Double, Long)]] =
     run(index, queries, k, metrics, boundKey = None)
 
+  /** FILTERED exact top-k: BM25 over only the documents satisfying a
+    * metadata predicate (a Column over the docstats row: docId, url,
+    * docLen) — the "site:/date-range/lang filter" of a search engine.
+    * Scoring statistics (idf, avgdl, N) stay CORPUS-global (the standard
+    * semantics: a filter narrows the result set, it does not re-weight
+    * terms), and the result is exact among matching docs: non-matching
+    * docs ride into the bucket cogroup as docLen = -1 skip sentinels —
+    * the same mechanism as tombstones, ONE when() over the already
+    * bucket-pruned docstats scan, no extra pass, no extra shuffle. At
+    * 10^12 docs the marginal cost over unfiltered WAND is one codegen'd
+    * predicate per candidate-bucket norm row. Upper bounds still include
+    * filtered docs (less pruning, never wrong); the stats-only threshold
+    * seed is UNSOUND under a filter (its guaranteed docs may be filtered
+    * out) and is disabled. */
+  def topKFiltered(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      filter: org.apache.spark.sql.Column,
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
+      docFilter = Some(filter))
+
   /** TIERED approximate top-k: identical machinery, but block pruning
     * bounds derive from the named E6 metadata entry (e.g.
     * [[graft.index.TfQuantileComputer.TfP90Key]]) instead of maxTf — an
@@ -605,7 +636,8 @@ object Wand {
     * sentinels for EVERY field (a doc deleted from any sub-index is dead
     * for the logical document); the kernel skips them before scoring. */
   private[query] def runFields(fields: Seq[(IndexHandle, Double)], queries: Seq[QuerySpec],
-      k: Int, metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] = {
+      k: Int, metrics: Option[WandMetrics], boundKey: Option[String],
+      docFilter: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
     val spark = fields.head._1.spark
     import spark.implicits._
@@ -630,12 +662,13 @@ object Wand {
         t <- q.terms.distinct
         e <- dicts(f).get(t)
       } yield (f, e.termId,
-          fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df)))
+          q.boost(t) * fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df)))
         .sortBy(x => (x._1, x._2)).toArray
     }.toMap
     if (qSpecs.values.forall(_.isEmpty)) return empty
 
-    val seedSound = nF == 1 || fields.forall(_._1.manifest.tombVersion < 0)
+    val seedSound =
+      docFilter.isEmpty && (nF == 1 || fields.forall(_._1.manifest.tombVersion < 0))
     val thetaSeed: Map[Int, Double] =
       if (!seedSound) Map.empty
       else queries.flatMap { q =>
@@ -646,7 +679,7 @@ object Wand {
           e <- dicts(f).get(t)
           if e.df >= kk
         } yield Bm25.scoreWithIdf(
-          fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df),
+          q.boost(t) * fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df),
           1, fields(f)._1.manifest.maxDocLen, avgdls(f))
         // nextDown() guards exact-tie boundaries at the threshold
         if (bounds.isEmpty) None else Some(q.queryId -> math.nextDown(bounds.max))
@@ -716,7 +749,14 @@ object Wand {
           .join(candBuckets, Seq("bucket"), "left_semi")
           .drop("bucket")
           .as[DocStat]
-      pruned.toDF().select("docId", "url", "docLen").as[DocStat].map(s => (f, s))
+      // a metadata filter marks non-matching docs with the same -1 skip
+      // sentinel as tombstones — one codegen'd when() on the pruned scan
+      val dlCol = docFilter match {
+        case Some(p) => when(p, col("docLen")).otherwise(lit(-1)).cast("int")
+        case None    => col("docLen")
+      }
+      pruned.toDF().select(col("docId"), col("url"), dlCol.as("docLen"))
+        .as[DocStat].map(s => (f, s))
     }.reduce(_ union _).union(tombSentinels)
 
     val bQ = spark.sparkContext.broadcast(qSpecs)

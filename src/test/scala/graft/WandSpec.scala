@@ -68,6 +68,94 @@ class WandSpec extends AnyFunSuite {
     assert(got(1).isEmpty && got(2).isEmpty)
   }
 
+  test("boosted top-k: per-term weights fold into effective idf (exact doubles)") {
+    val boosted = graft.queries.QuerySet.boosted
+    val got = Wand.topK(handle, boosted, 10)
+    boosted.foreach { q =>
+      val want = oracle.topK(q.terms, 10, q.boosts)
+      assert(got(q.queryId).toSeq == want.toSeq, s"q=${q.terms} boosts=${q.boosts}")
+    }
+    // a uniform boost of 1.0 is a no-op (bit-for-bit)
+    val unit = QuerySet.queries.map(q =>
+      q.copy(boosts = q.terms.map(_ -> 1.0).toMap))
+    val gotUnit = Wand.topK(handle, unit, 10)
+    val plain = Wand.topK(handle, QuerySet.queries, 10)
+    QuerySet.queries.foreach(q =>
+      assert(gotUnit(q.queryId).toSeq == plain(q.queryId).toSeq, s"q=${q.terms}"))
+    // boosting can genuinely change the ranking on a multi-term query
+    assert(QuerySet.queries.exists { q =>
+      q.terms.distinct.length > 1 &&
+        got(q.queryId).map(_._2).toSeq != plain(q.queryId).map(_._2).toSeq
+    }, "fixture boosts never changed any ranking — weak fixture")
+  }
+
+  test("filtered top-k: exact among matching docs, corpus-global stats") {
+    val pred: Long => Boolean = _ % 3 == 0
+    val got = Wand.topKFiltered(handle, QuerySet.queries, 10, col("docId") % 3 === 0)
+    QuerySet.queries.foreach { q =>
+      // the definition: full brute-force ranking restricted to matching docs
+      val want = oracle.topK(q.terms, Int.MaxValue)
+        .filter { case (_, d) => pred(d) }.take(10)
+      val g = got(q.queryId)
+      assert(g.length == want.length, s"q=${q.terms}: got ${g.length} want ${want.length}")
+      g.zip(want).foreach { case ((gs, gd), (ws, wd)) =>
+        assert(gd == wd && gs == ws, s"q=${q.terms}: got ($gs,$gd) want ($ws,$wd)")
+      }
+      // every returned doc satisfies the predicate
+      assert(g.forall { case (_, d) => pred(d) })
+    }
+  }
+
+  test("filtered top-k: always-true filter == unfiltered; empty filter == empty") {
+    val all = Wand.topK(handle, QuerySet.queries, 10)
+    val allF = Wand.topKFiltered(handle, QuerySet.queries, 10,
+      org.apache.spark.sql.functions.lit(true))
+    QuerySet.queries.foreach { q =>
+      assert(allF(q.queryId).toSeq == all(q.queryId).toSeq, s"q=${q.terms}")
+    }
+    val none = Wand.topKFiltered(handle, QuerySet.queries, 10,
+      org.apache.spark.sql.functions.lit(false))
+    assert(none.values.forall(_.isEmpty))
+  }
+
+  test("filtered top-k on url metadata (the site: filter shape)") {
+    // urls end in the docId digits — filter to urls ending '0' == docId % 10 == 0
+    val got = Wand.topKFiltered(handle, QuerySet.queries, 10,
+      col("url").endsWith("0"))
+    QuerySet.queries.foreach { q =>
+      val want = oracle.topK(q.terms, Int.MaxValue)
+        .filter { case (_, d) => d % 10 == 0 }.take(10)
+      assert(got(q.queryId).toSeq == want.toSeq, s"q=${q.terms}")
+    }
+  }
+
+  test("more-like-this: index-decoded profile == text-derived profile; exact scores") {
+    import spark.implicits._
+    val srcDoc = 7L
+    val tok = Tokenizers.default
+    // expected selection from the RAW TEXT (the engine never reads it)
+    val text = Pages.cleaned(Pages.withInjections(spark, sfDir))
+      .filter(col("doc_id") === srcDoc).select("text").as[String].head()
+    val m = handle.manifest
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantTerms = tok.terms(text).groupBy(identity).view.mapValues(_.size).toSeq
+      .flatMap { case (t, tf) => handle.dictMap.get(t).map(e =>
+        (t, r6(tf.toDouble * Bm25.idf(m.nDocs, e.df)))) }
+      .sortBy { case (t, sc) => (-sc, t) }
+      .take(graft.queries.IndexQueries.MltTermCount).map(_._1)
+    val gotTerms = graft.queries.IndexQueries.mltTerms(
+      spark, handle, srcDoc, graft.queries.IndexQueries.MltTermCount)
+    assert(gotTerms == wantTerms, s"selection drifted: got $gotTerms want $wantTerms")
+
+    // retrieval == from-definition ranking minus the source doc
+    val got = graft.queries.IndexQueries.mlt(
+      spark, handle, srcDoc, graft.queries.IndexQueries.MltTermCount, 10)
+    val want = oracle.topK(wantTerms, Int.MaxValue)
+      .filter { case (_, d) => d != srcDoc }.take(10)
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.forall(_._2 != srcDoc))
+  }
+
   test("index invariants are clean (E7 validator)") {
     val errs = IndexValidator.validate(handle).collect()
     assert(errs.isEmpty, errs.take(5).mkString("; "))
