@@ -46,23 +46,46 @@ object FieldedIndex {
       s"duplicate field names in ${fields.map(_.name)}")
     require(fields.map(f => (f.cfg.blockSize, f.cfg.bucketRange)).distinct.length == 1,
       "fielded sub-indexes must share block geometry (blockSize, bucketRange)")
+    // a COMMITTED fielded index (fielded.json present) only re-runs as a
+    // pure no-op with the identical spec: buildFrom's idempotent skip would
+    // silently ignore a CHANGED per-field cfg (tokenizer, vocabCap, textCol)
+    // while this manifest rewrote itself to claim the new spec was applied —
+    // queries would then run against stale sub-indexes with no error. A
+    // crashed build (no fielded.json yet, manifest commits last) still
+    // resumes each sub-index's own checkpointed stages.
+    val json = fieldedJson(fields)
+    if (Store.exists(manifestPath(baseDir))) {
+      val existing = Store.readString(manifestPath(baseDir))
+      require(existing == json,
+        s"fielded index already committed at $baseDir with a different field spec " +
+          s"($existing); sub-index builds are idempotent skips, so rebuilding in place " +
+          "would silently keep the old tokenization — build into a fresh directory")
+      return
+    }
     fields.foreach { f =>
       val fieldPages = pages.select(
         col("doc_id"), col("url"), col("warc_ts"),
         col(f.textCol).as("text"), col("lang"))
       IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
     }
-    val json = fields
-      .map(f => s"""{"name":"${f.name}","weight":${f.weight}}""")
-      .mkString("""{"fields":[""", ",", "]}")
     Store.writeString(manifestPath(baseDir), json)
   }
+
+  /** The committed spec, in full: name, weight, source column, and the
+    * build-relevant cfg fingerprint (analyzer + cap + geometry) per field —
+    * so the committed-destination check above catches EVERY spec change
+    * that would silently no-op against already-built sub-indexes. */
+  private def fieldedJson(fields: Seq[FieldSpec]): String = fields
+    .map(f => s"""{"name":"${f.name}","weight":${f.weight},"textCol":"${f.textCol}",""" +
+      s""""analyzer":"${f.cfg.analyzerId}","vocabCap":${f.cfg.vocabCap.getOrElse(-1)},""" +
+      s""""blockSize":${f.cfg.blockSize},"bucketRange":${f.cfg.bucketRange}}""")
+    .mkString("""{"fields":[""", ",", "]}")
 
   /** Load the fielded index as [[graft.query.Bm25f.topK]]'s input: one
     * (handle, weight) per field, in build order. */
   def load(spark: SparkSession, baseDir: String): Seq[(graft.query.IndexHandle, Double)] = {
     val s = Store.readString(manifestPath(baseDir))
-    val re = """\{"name":"([A-Za-z0-9_]+)","weight":([-0-9.eE]+)\}""".r
+    val re = """\{"name":"([A-Za-z0-9_]+)","weight":([-0-9.eE]+),[^}]*\}""".r
     val fields = re.findAllMatchIn(s).map(m => (m.group(1), m.group(2).toDouble)).toSeq
     require(fields.nonEmpty, s"no fields in ${manifestPath(baseDir)}")
     fields.map { case (name, w) =>

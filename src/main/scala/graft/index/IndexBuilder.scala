@@ -467,14 +467,29 @@ object IndexBuilder {
     * build), so an index built with a non-default layout keeps it. */
   def compactRange(spark: SparkSession, indexDir: String,
       bucketRange0: Option[(Long, Long)]): IndexManifest = {
-    import spark.implicits._
     val old = Manifest.read(s"$indexDir/manifest.json")
-    val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange,
-      postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     val (bLo, bHi) = bucketRange0.getOrElse((0L, Long.MaxValue))
     val docLo = if (bLo >= Long.MaxValue / old.bucketRange) Long.MaxValue else bLo * old.bucketRange
     val docHi = if (bHi >= Long.MaxValue / old.bucketRange) Long.MaxValue else bHi * old.bucketRange
     val (touched, untouched) = old.segments.partition(_.overlaps(docLo, docHi))
+    compactSegments(spark, indexDir, old, touched, untouched)
+  }
+
+  /** The compaction core over an EXACT touched-segment set (the touched
+    * run must be contiguous in segment order so the merged span covers no
+    * untouched segment — compactRange guarantees it by overlap partition,
+    * [[maintain]] by slicing an adjacent run; segment doc ranges are
+    * disjoint by construction). Taking the set rather than a bucket span
+    * lets maintain merge EXACTLY its chosen run even when segment
+    * boundaries are not bucket-aligned (append segments start at
+    * maxDocId + 1) — bucket rounding would otherwise drag a neighboring
+    * multi-TB base segment into a merge of two tiny appends. */
+  private def compactSegments(spark: SparkSession, indexDir: String,
+      old: IndexManifest, touched: Seq[Segment],
+      untouched: Seq[Segment]): IndexManifest = {
+    import spark.implicits._
+    val cfg = IndexConfig(blockSize = old.blockSize, bucketRange = old.bucketRange,
+      postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
     if (touched.isEmpty) return old
     // with no tombstones a single-segment slice has nothing to drop and
     // nothing to merge — a pure rewrite, skipped; MULTIPLE touched segments
@@ -486,6 +501,8 @@ object IndexBuilder {
     // from the replaced set, so a crash-replay overwrites the same dir
     val spanLo = touched.map(_.lo).min
     val spanHi = touched.map(_.hi).max
+    require(untouched.forall(!_.overlaps(spanLo, spanHi)),
+      s"touched run [$spanLo,$spanHi) not contiguous — would orphan an untouched segment")
     val merged = Segment(spanLo, spanHi, touched.map(_.v).max + 1)
     val mergedDir = segmentDir(indexDir, merged)
 
@@ -559,12 +576,16 @@ object IndexBuilder {
     * (size-tiered selection — folding the small append segments first
     * minimizes write amplification; the big base segments are only ever
     * rewritten when they themselves become the smallest candidates) via
-    * [[compactRange]] on the run's bucket span. Merge I/O per round is
-    * bounded by the chosen run; every other segment's files stay physically
-    * untouched, and each merge is its own crash-safe snapshot commit
-    * (interrupt → resume composes). Candidate sizing reads file METADATA
-    * only (`Store.sizeOf`), no data scan. Tombstones inside a merged span
-    * are dropped for free; replaced directories await [[vacuum]].
+    * the compaction core on EXACTLY that run (segment boundaries are not
+    * bucket-aligned — appends start at maxDocId + 1 — so a bucket-span
+    * slice would drag neighbors into the merge; the exact-set core keeps
+    * the fanIn bound and the no-rewrite guarantee honest). Merge I/O per
+    * round is bounded by the chosen run; every other segment's files stay
+    * physically untouched, and each merge is its own crash-safe snapshot
+    * commit (interrupt → resume composes). Candidate sizing reads file
+    * METADATA only (`Store.sizeOf`), no data scan. Tombstones inside a
+    * merged span are dropped for free; replaced directories await
+    * [[vacuum]].
     *
     * `fanIn` caps how many segments one merge folds (merge cost bound). A
     * call on an index already within budget is a pure no-op (no snapshot
@@ -582,11 +603,11 @@ object IndexBuilder {
       val runLen = math.max(2, math.min(fanIn, segs.length - maxSegments + 1))
       val best = (0 to segs.length - runLen)
         .minBy(i => sizes.slice(i, i + runLen).sum)
-      val lo = segs(best).lo / m.bucketRange
-      val hi = (segs(best + runLen - 1).hi + m.bucketRange - 1) / m.bucketRange
-      val next = compactRange(spark, indexDir, Some((lo, hi)))
-      require(next.segments.length < m.segments.length,
-        s"maintain made no progress at run [$best, ${best + runLen}) — segment overlap bug")
+      val next = compactSegments(spark, indexDir, m,
+        touched = segs.slice(best, best + runLen),
+        untouched = segs.take(best) ++ segs.drop(best + runLen))
+      require(next.segments.length == m.segments.length - runLen + 1,
+        s"maintain folded a different count than its chosen run [$best, ${best + runLen})")
       m = next
     }
     m
@@ -624,7 +645,7 @@ object IndexBuilder {
     val tombGarbage = Store.list(s"$indexDir/tombstones")
       .filterNot(liveTombs.contains).map(n => s"tombstones/$n")
     val snapGarbage = Store.list(Manifest.snapshotDir(indexDir))
-      .filter(_.matches("v\\d{5}\\.json")).filterNot(liveSnaps.contains)
+      .filter(_.matches("v\\d{5,}\\.json")).filterNot(liveSnaps.contains)
       .map(n => s"snapshots/$n")
     val garbage = segGarbage ++ dictGarbage ++ tombGarbage ++ snapGarbage
     garbage.foreach(rel => Store.delete(s"$indexDir/$rel"))
@@ -771,7 +792,7 @@ object IndexBuilder {
       blockSize = cfg.blockSize, bucketRange = cfg.bucketRange, maxDocId = maxDocId,
       maxDocLen = agg.getInt(2), postingsBuckets = cfg.postingsBuckets,
       metaComputerNames = BlockMetaComputers.names(cfg.metaComputers),
-      segments = segments)
+      segments = segments, analyzer = cfg.analyzerId)
     Manifest.commit(indexDir, manifest)
     if (cfg.cacheTermDocs) tdCached.unpersist()
     cleaned.unpersist()
@@ -820,6 +841,11 @@ object IndexBuilder {
     if (batchId.exists(_ <= old.lastBatchId)) return old // committed-batch replay: no-op
     require(cfg.blockSize == old.blockSize && cfg.bucketRange == old.bucketRange,
       s"append config (${cfg.blockSize},${cfg.bucketRange}) != index geometry (${old.blockSize},${old.bucketRange})")
+    require(cfg.analyzerId == old.analyzer,
+      s"append analyzer '${cfg.analyzerId}' != index analyzer '${old.analyzer}' — " +
+        "appends must tokenize and clean exactly like the build (pass the build's " +
+        "tokenizer config and language allowlist); mixing token streams would corrupt " +
+        "the shared dictionary (no side effects were taken)")
     val tok = Tokenizers(cfg.tokenizer)
     // layout authority is the MANIFEST: bucket count and block-metadata
     // computers were persisted at build time, so appends keep them even if
@@ -1007,6 +1033,8 @@ object Manifest {
       s"metaComputerNames '${m.metaComputerNames}' outside the manifest-safe alphabet")
     require(m.operation.matches("[a-z]+"),
       s"operation '${m.operation}' outside the manifest-safe alphabet")
+    require(m.analyzer.matches("[a-z0-9.|]*"),
+      s"analyzer '${m.analyzer}' outside the manifest-safe alphabet")
     val segStr = Segment.encode(m.segments)
     val json =
       s"""{"nDocs":${m.nDocs},"totalLen":${m.totalLen},"vocabSize":${m.vocabSize},""" +
@@ -1016,7 +1044,8 @@ object Manifest {
         s""""tombVersion":${m.tombVersion},""" +
         s""""maxDocLen":${m.maxDocLen},"postingsBuckets":${m.postingsBuckets},""" +
         s""""snapshotId":${m.snapshotId},"operation":"${m.operation}",""" +
-        s""""metaComputerNames":"${m.metaComputerNames}","segments":"$segStr"}"""
+        s""""metaComputerNames":"${m.metaComputerNames}","segments":"$segStr",""" +
+        s""""analyzer":"${m.analyzer}"}"""
     Store.writeString(path, json)
   }
 
@@ -1048,10 +1077,20 @@ object Manifest {
     read(p)
   }
 
-  /** All retained snapshots, ascending by snapshotId (commit order). */
+  /** All retained snapshots, ascending by snapshotId (commit order).
+    * Unparseable snapshot files are skipped, not fatal: committed snapshots
+    * are immutable, so a torn file can only be the one a crashed
+    * [[commit]] was writing when it died — the replayed verb overwrites
+    * it, and [[IndexBuilder.vacuum]] collects it as garbage (it is never
+    * in the retained set); dying on it here would wedge vacuum, loadAt's
+    * error path and history itself until someone hand-deleted the file.
+    * The name filter is `v\d{5,}`: ids are %05d-padded but GROW past five
+    * digits (one snapshot per commit; a streaming crawl loop commits one
+    * per micro-batch), and numeric sort keys off the parsed manifest. */
   def history(indexDir: String): Seq[IndexManifest] =
-    Store.list(snapshotDir(indexDir)).filter(_.matches("v\\d{5}\\.json"))
-      .map(n => read(s"${snapshotDir(indexDir)}/$n")).sortBy(_.snapshotId)
+    Store.list(snapshotDir(indexDir)).filter(_.matches("v\\d{5,}\\.json"))
+      .flatMap(n => scala.util.Try(read(s"${snapshotDir(indexDir)}/$n")).toOption)
+      .sortBy(_.snapshotId)
 
   def read(path: String): IndexManifest = {
     val s = Store.readString(path)
@@ -1073,6 +1112,7 @@ object Manifest {
       snapshotId = f("snapshotId").toInt,
       operation = str("operation", "[a-z]"),
       metaComputerNames = str("metaComputerNames", "[A-Za-z0-9,]"),
-      segments = Segment.decode(str("segments", "[0-9_,]")))
+      segments = Segment.decode(str("segments", "[0-9_,]")),
+      analyzer = str("analyzer", "[a-z0-9.|]"))
   }
 }

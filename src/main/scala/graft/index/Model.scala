@@ -244,6 +244,24 @@ final case class IndexConfig(
 ) {
   require(bucketRange % blockSize == 0, "bucketRange must be a multiple of blockSize")
   def blocksPerBucket: Long = bucketRange / blockSize
+
+  /** Canonical manifest encoding of everything that determines the token
+    * stream and document set an append must reproduce: the full tokenizer
+    * config plus the cleaning language allowlist. Persisted at build time
+    * and REQUIRED to match on append — two batches tokenized differently
+    * (or cleaned under different allowlists) silently corrupt one shared
+    * dictionary otherwise (the reference likewise persists its tokenizer
+    * config JSON and validates on load, midi_tokenizer.py:3510-3540).
+    * Alphabet `[a-z0-9.|]` (manifest-regex-safe; enforced here). */
+  def analyzerId: String = {
+    val t = tokenizer
+    def b(x: Boolean) = if (x) "1" else "0"
+    val id = s"${t.strategy}.${b(t.lowercase)}.${t.minTermLen}.${b(t.stripPunct)}." +
+      s"${t.ngram}.${t.langs.toSeq.sorted.mkString("|")}.${langs.toSeq.sorted.mkString("|")}"
+    require(id.matches("[a-z0-9.|]*"),
+      s"analyzer id '$id' outside the manifest-safe alphabet [a-z0-9.|]")
+    id
+  }
 }
 
 /** Global index stats + config — the persisted manifest (the analog of
@@ -315,7 +333,12 @@ final case class IndexManifest(
       * merged higher-`v` segment and touches no other segment's files.
       * Replaced directories become unreferenced garbage until
       * [[IndexBuilder.vacuum]]. */
-    segments: Seq[Segment] = Seq.empty
+    segments: Seq[Segment] = Seq.empty,
+    /** [[IndexConfig.analyzerId]] the index was built with — appends must
+      * tokenize and clean EXACTLY like the build (checked loudly), since a
+      * second tokenization of the same text under a different config would
+      * merge incompatible term streams into one dictionary. */
+    analyzer: String = IndexConfig().analyzerId
 ) {
   /** resumable-build chunk count of the live layout (= segment count). */
   def nChunks: Int = segments.length

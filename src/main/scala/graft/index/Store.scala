@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Thin storage-layer helper: every directory mutation an admin verb makes
-  * (replaced-segment cleanup, cache resets, two-phase table swaps) goes
+  * (replaced-segment cleanup, cache resets, export copies) goes
   * through the Hadoop FileSystem API instead of `java.io.File`, so the verbs
   * behave identically on local disk and on an object store / HDFS (where
   * `java.io.File` silently sees nothing). Reads of small control files
@@ -75,12 +75,6 @@ object Store {
     val (dfs, dp) = fsOf(dst)
     org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp, false, true, conf)
     ()
-  }
-
-  /** Atomic-within-one-FS rename (the two-phase swap primitive). */
-  def rename(src: String, dst: String): Boolean = {
-    val (fs, s) = fsOf(src)
-    fs.rename(s, new Path(dst))
   }
 
   /** Read a small control file (manifest-sized) fully as UTF-8. */

@@ -117,9 +117,17 @@ object SubstringDedup {
   }
 
   /** Stages 2-4: duplicated windows `(doc_id, start)` — every window whose
-    * exact `w`-token content occurs more than once in the corpus. */
+    * exact `w`-token content occurs more than once in the corpus.
+    *
+    * Caching discipline (the "ONE pass" claim made real): `tokenArrs` feeds
+    * the window pass AND the content re-join (and the caller's later
+    * stages), and the window rows feed both the hash count and the
+    * candidate join — callers ([[duplicatedSpans]], [[scrub]]) persist the
+    * token arrays around the whole derivation, and the window pass is
+    * eagerly checkpointed here, so the corpus is tokenized and
+    * rolling-hashed exactly once per query instead of once per consumer. */
   def duplicatedWindows(tokenArrs: DataFrame, w: Int): DataFrame = {
-    val wins = windowHashes(tokenArrs, w)
+    val wins = windowHashes(tokenArrs, w).localCheckpoint(true)
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("h")
     val cand = wins.join(dupHashes, Seq("h"))
@@ -138,6 +146,12 @@ object SubstringDedup {
     * inclusive. Two duplicated windows starting at p ≤ p' merge iff
     * p' ≤ p + w (their covered token ranges overlap or touch). */
   def duplicatedSpans(tokenArrs: DataFrame, w: Int): DataFrame = {
+    val ta = tokenArrs.persist()
+    try spansOf(ta, w).localCheckpoint(true) // eager: span rows only (small)
+    finally { ta.unpersist(); () }
+  }
+
+  private def spansOf(tokenArrs: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
     duplicatedWindows(tokenArrs, w)
       .withColumn("pstart", lag("start", 1).over(byDoc))
@@ -160,9 +174,22 @@ object SubstringDedup {
     * One row per input doc: `(doc_id, kept_len, removed_len, clean_text)`
     * where `clean_text` re-joins the surviving tokens — the scrub operates
     * on the NORMALIZED token stream (the same stream the index ingests),
-    * not the raw bytes. */
+    * not the raw bytes.
+    *
+    * The token arrays are persisted around the whole derivation (they feed
+    * the span derivation plus the keep-filter and length stages) and the
+    * scrubbed output is eagerly checkpointed before they unpersist — one
+    * tokenize pass total, at the cost of materializing the cleaned corpus
+    * once in executor block storage (the caller's sink write was going to
+    * materialize it anyway). */
   def scrub(tokenArrs: DataFrame, w: Int): DataFrame = {
-    val spans = duplicatedSpans(tokenArrs, w)
+    val ta = tokenArrs.persist()
+    try scrubOf(ta, w).localCheckpoint(true)
+    finally { ta.unpersist(); () }
+  }
+
+  private def scrubOf(tokenArrs: DataFrame, w: Int): DataFrame = {
+    val spans = spansOf(tokenArrs, w).localCheckpoint(true) // small; reused per stage
     val toks = tokenArrs
       .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "term")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))

@@ -227,10 +227,19 @@ object DedupIngest {
 
   /** The dedup index's manifest, auto-initializing an EMPTY index when none
     * exists (the legitimate crawl-from-zero case) — first batches against a
-    * fresh directory work without an explicit bootstrap call. */
+    * fresh directory work without an explicit bootstrap call. A NON-EMPTY
+    * directory without a manifest is refused loudly: silently bootstrapping
+    * over it (a pre-manifest layout, a torn hand-copy, or a mistyped path
+    * that happens to hold data) would ignore every existing signature and
+    * tombstone — purges would "succeed" against nothing and previously
+    * crawled content would stop vetoing admission. */
   private def ensureInit(spark: SparkSession, dedupDir: String, buckets: Int = 8): DedupManifest =
     if (Store.exists(manifestPath(dedupDir))) readManifest(dedupDir)
     else {
+      require(Store.list(dedupDir).isEmpty,
+        s"$dedupDir is non-empty but has no manifest.json — not a dedup index this " +
+          "engine version can read (pre-manifest layout, torn copy, or wrong path); " +
+          "point at the real dedup index, remove the directory, or bootstrap() a fresh one")
       import spark.implicits._
       bootstrap(spark, spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
         .withColumn("url", lit(null).cast("string"))
@@ -258,6 +267,12 @@ object DedupIngest {
     claimMode(indexDir, "dedup")
     val old = Manifest.read(s"$indexDir/manifest.json")
     if (batchId <= old.lastBatchId) return old // committed-batch replay: no-op
+    // append would also check this, but only after the dedup-index writes —
+    // validate the analyzer contract BEFORE any side effect, like the
+    // docId-order precondition below
+    require(cfg.analyzerId == old.analyzer,
+      s"dedup-ingest analyzer '${cfg.analyzerId}' != index analyzer '${old.analyzer}' — " +
+        "batches must tokenize and clean exactly like the build (no side effects were taken)")
     val dm = ensureInit(spark, dedupDir, buckets)
 
     val cleaned = Pages.cleaned(batch, cfg.langs).persist()
@@ -431,10 +446,35 @@ object DedupIngest {
     * (and pair-log edges touching them), clears the tombstone table, and
     * flips `baseVersion` LAST — crash-safe and replay-idempotent like
     * every other verb here. Bounded file count afterwards: `buckets`
-    * files per table, regardless of how many batches accumulated. */
-  def compactIndex(spark: SparkSession, dedupDir: String): DedupManifest = {
+    * files per table, regardless of how many batches accumulated.
+    * `indexDir` is the companion inverted index: its `lastBatchId` cursor
+    * tells compaction which batch partitions are committed — partitions of
+    * an IN-FLIGHT batch (crashed before its append, awaiting replay) pass
+    * through by name instead of folding, preserving applyBatch's
+    * exclude-own-partitions replay guarantee across compactions. */
+  def compactIndex(spark: SparkSession, dedupDir: String, indexDir: String): DedupManifest = {
     val dm = readManifest(dedupDir)
+    val lastBatch = Manifest.read(s"$indexDir/manifest.json").lastBatchId
     val next = DedupManifest(dm.baseVersion + 1, -1, -1, dm.buckets)
+    // a batch partition is COMMITTED iff its batchId is at or below the
+    // inverted index's cursor. An IN-FLIGHT partition (written by a crashed
+    // applyBatch whose append never committed) must NOT fold into base:
+    // the replay excludes its own partitions BY NAME, so folding them away
+    // would make the replayed batch estimator-match its own partial write
+    // at similarity 1.0 and silently drop itself. In-flight partitions are
+    // carried into the new generation unchanged (pure file copy, no
+    // compute, no tombstone filtering — the replay overwrites them whole).
+    val committedPart = col("part") === "base" || col("part") === "shadow" ||
+      regexp_extract(col("part"), "^[bs](\\d+)$", 1).cast("long") <= lastBatch
+    def carryInFlight(tableDir: Int => String): Unit =
+      Store.list(tableDir(dm.baseVersion))
+        .filter(n => "^part=[bs](\\d+)$".r.findFirstMatchIn(n)
+          .exists(_.group(1).toLong > lastBatch))
+        .foreach { n =>
+          val dst = s"${tableDir(next.baseVersion)}/$n"
+          Store.delete(dst) // replay of a crashed compaction: overwrite
+          Store.copy(s"${tableDir(dm.baseVersion)}/$n", dst)
+        }
     def dropTombed(df: DataFrame, cols: Seq[String]): DataFrame =
       if (dm.tombVersion < 0) df
       else {
@@ -461,21 +501,27 @@ object DedupIngest {
         }
       }
       dropTombed(side(spark.read.parquet(bandsDir(dedupDir, dm.baseVersion))
+          .filter(committedPart)
           .select("doc_id", "band", "key", "part")), Seq("doc_id"))
         .select("doc_id", "band", "key")
         .repartition(dm.buckets, col("band"), col("key"))
         .sortWithinPartitions(col("band"), col("key"))
         .write.mode("overwrite").parquet(s"${bandsDir(dedupDir, next.baseVersion)}/part=$part")
       dropTombed(side(spark.read.parquet(sigsDir(dedupDir, dm.baseVersion))
+          .filter(committedPart)
           .select("doc_id", "sig", "part")), Seq("doc_id"))
         .select("doc_id", "sig")
         .repartition(dm.buckets, col("doc_id"))
         .write.mode("overwrite").parquet(s"${sigsDir(dedupDir, next.baseVersion)}/part=$part")
     }
-    dropTombed(spark.read.parquet(pairsDir(dedupDir, dm.baseVersion)), Seq("doc_a", "doc_b"))
+    dropTombed(spark.read.parquet(pairsDir(dedupDir, dm.baseVersion))
+        .filter(committedPart), Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b")
       .repartition(dm.buckets, col("doc_a"))
       .write.mode("overwrite").parquet(s"${pairsDir(dedupDir, next.baseVersion)}/part=base")
+    carryInFlight(bandsDir(dedupDir, _))
+    carryInFlight(sigsDir(dedupDir, _))
+    carryInFlight(pairsDir(dedupDir, _))
     writeManifest(dedupDir, next)
     next
   }

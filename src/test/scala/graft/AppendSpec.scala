@@ -92,4 +92,23 @@ class AppendSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("append with a different analyzer (tokenizer config or cleaning allowlist) " +
+    "fails loudly BEFORE any side effect — mixed token streams would corrupt the dictionary") {
+    val (appended, _) = dirs
+    val delta = Pages.withInjections(spark, sfDir)
+      .filter(col("doc_id") >= 900) // beyond maxDocId, so only the analyzer check can fire
+    val snapBefore = Manifest.read(s"$appended/manifest.json")
+    val eTok = intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark, delta, appended,
+        cfg.copy(tokenizer = cfg.tokenizer.copy(lowercase = false)))
+    }
+    assert(eTok.getMessage.contains("analyzer"), s"unexpected: ${eTok.getMessage}")
+    val eLang = intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark, delta, appended, cfg.copy(langs = Set("en")))
+    }
+    assert(eLang.getMessage.contains("analyzer"), s"unexpected: ${eLang.getMessage}")
+    assert(Manifest.read(s"$appended/manifest.json") == snapBefore,
+      "a refused append must leave the manifest untouched")
+  }
 }

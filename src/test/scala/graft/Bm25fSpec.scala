@@ -247,6 +247,27 @@ class Bm25fSpec extends AnyFunSuite {
     // and the loaded pair is queryable end-to-end
     val res = Bm25f.topK(loaded, Seq(QuerySpec(1, Seq("common"))), 5)(1)
     assert(res.nonEmpty, "fielded query over the API-built pair returned nothing")
+
+    // re-build over the committed dir: identical spec = idempotent no-op;
+    // a CHANGED spec must fail loudly (buildFrom's idempotent skip would
+    // silently keep the old sub-indexes while the manifest claimed the new
+    // spec was applied)
+    FieldedIndex.build(spark, pages, base, Seq(
+      FieldSpec("title", 3.0, "title_text"),
+      FieldSpec("body", 1.0, "body_text", IndexConfig(vocabCap = Some(4)))))
+    assert(FieldedIndex.load(spark, base).map(_._2) == Seq(3.0, 1.0))
+    val eW = intercept[IllegalArgumentException] {
+      FieldedIndex.build(spark, pages, base, Seq(
+        FieldSpec("title", 5.0, "title_text"),
+        FieldSpec("body", 1.0, "body_text", IndexConfig(vocabCap = Some(4)))))
+    }
+    assert(eW.getMessage.contains("different field spec"), eW.getMessage)
+    val eCfg = intercept[IllegalArgumentException] {
+      FieldedIndex.build(spark, pages, base, Seq(
+        FieldSpec("title", 3.0, "title_text"),
+        FieldSpec("body", 1.0, "body_text", IndexConfig(vocabCap = Some(7)))))
+    }
+    assert(eCfg.getMessage.contains("different field spec"), eCfg.getMessage)
   }
 
   test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {

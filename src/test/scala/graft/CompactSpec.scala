@@ -15,19 +15,7 @@ class CompactSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def decodedContent(h: graft.query.IndexHandle): Map[String, Seq[(Long, Int, Seq[Int])]] = {
-    import spark.implicits._
-    val terms = h.dictionary.collect().map(e => e.termId -> e.term).toMap
-    h.postings.collect()
-      .flatMap { b =>
-        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
-        val tfs = graft.codec.VByte.decodeInts(b.tfs)
-        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
-        ids.indices.map(j => (terms(b.termId), ids(j), tfs(j), poss(j).toSeq))
-      }
-      .groupBy(_._1)
-      .map { case (t, rows) => t -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
-  }
+  import IndexTestUtil.decodedContent
 
   private lazy val (compHandle, rebuiltHandle, deletedIds) = {
     val dir = "/tmp/graft_compact_spec/compacted"
@@ -105,16 +93,9 @@ class CompactSpec extends AnyFunSuite {
     assert(after == before, "compaction without tombstones must be a no-op")
   }
 
-  /** Recursive (relative path → size) listing — the byte-identity probe for
-    * the slice-locality assertion. */
-  private def fileSizes(root: java.nio.file.Path): Map[String, Long] = {
-    val out = scala.collection.mutable.Map[String, Long]()
-    java.nio.file.Files.walk(root).forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p))
-        out(root.relativize(p).toString) = java.nio.file.Files.size(p)
-    }
-    out.toMap
-  }
+  // byte-identity probe for the slice-locality assertion
+  private def fileSizes(root: java.nio.file.Path): Map[String, Long] =
+    IndexTestUtil.fileSizes(root.toString)
 
   test("PARTIAL (bucket-range) compaction: touched segments drop their tombstones " +
     "physically, untouched segments' FILES are byte-identical (slice-local write I/O); " +

@@ -6,16 +6,22 @@ import graft.query.{IndexReader, Wand}
 import graft.queries.{IndexCache, QuerySet}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import IndexTestUtil.{decodedContent, fileSizes}
 
 /** LSM maintenance policy ([[IndexBuilder.maintain]]): the segment count is
-  * bounded by size-tiered adjacent merges, each a slice-local compactRange —
+  * bounded by size-tiered adjacent merges, each an exact-run compaction —
   * content, docstats and WAND results must be IDENTICAL to a fresh build,
-  * untouched segments' files must stay physically untouched, and the verb
-  * must be a pure no-op when the index is already within budget. */
+  * the merge must fold EXACTLY the chosen run (even though segment
+  * boundaries are not bucket-aligned), untouched segments' files must stay
+  * physically untouched, and the verb must be a pure no-op when the index
+  * is already within budget. */
 class MaintainSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = "/root/testdata/sf0.001"
-  // multi-bucket geometry: docIds < 480 span buckets 0..7 at range 64
+  // multi-bucket geometry: docIds < 480 span buckets 0..7 at range 64; the
+  // chunk boundary (~80) and append boundaries (160, 320) sit MID-bucket,
+  // so a bucket-rounded merge span would drag neighbors in — the fanIn
+  // honesty this spec pins
   private def cfg = IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 2,
     postingsBuckets = 2)
 
@@ -28,33 +34,6 @@ class MaintainSpec extends AnyFunSuite {
     IndexBuilder.append(spark, pages.filter(col("doc_id") >= 320 && col("doc_id") < 480), dir, cfg)
   }
 
-  private def decodedContent(h: graft.query.IndexHandle): Map[String, Seq[(Long, Int, Seq[Int])]] = {
-    val terms = h.dictionary.collect().map(e => e.termId -> e.term).toMap
-    h.postings.collect()
-      .flatMap { b =>
-        val ids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
-        val tfs = graft.codec.VByte.decodeInts(b.tfs)
-        val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
-        ids.indices.map(j => (terms(b.termId), ids(j), tfs(j), poss(j).toSeq))
-      }
-      .groupBy(_._1)
-      .map { case (t, rows) => t -> rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
-  }
-
-  /** relative path → size under a segment dir (the byte-identity probe). */
-  private def fileSizes(root: String): Map[String, Long] = {
-    val base = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.exists(base)) Map.empty
-    else {
-      val out = scala.collection.mutable.Map.empty[String, Long]
-      java.nio.file.Files.walk(base).forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p))
-          out(base.relativize(p).toString) = java.nio.file.Files.size(p)
-      }
-      out.toMap
-    }
-  }
-
   private lazy val freshHandle = {
     val d = "/tmp/graft_maintain_spec/fresh"
     IndexCache.deleteRecursively(new java.io.File(d))
@@ -63,7 +42,7 @@ class MaintainSpec extends AnyFunSuite {
     IndexReader.load(spark, d)
   }
 
-  test("partial maintain folds only the cheapest run; other segments' files untouched") {
+  test("partial maintain folds EXACTLY the chosen run; other segments' files untouched") {
     val dir = "/tmp/graft_maintain_spec/partial"
     buildCrawl(dir)
     val before = Manifest.read(s"$dir/manifest.json")
@@ -72,10 +51,19 @@ class MaintainSpec extends AnyFunSuite {
       .map(s => s.name -> fileSizes(IndexBuilder.segmentDir(dir, s))).toMap
 
     val after = IndexBuilder.maintain(spark, dir, maxSegments = 3, fanIn = 2)
-    assert(after.segments.length <= 3 && after.segments.length < before.segments.length)
-    // segments surviving the merge are byte-identical on disk
+    // fanIn = 2 must fold exactly two segments into one — never a third,
+    // even when the run's boundaries share a bucket with a neighbor
+    assert(after.segments.length == 3, s"fanIn=2 folded ${4 - after.segments.length + 1}")
     val survivors = after.segments.toSet.intersect(before.segments.toSet)
-    assert(survivors.nonEmpty, "a partial maintain must leave some segment untouched")
+    val replaced = before.segments.toSet -- after.segments.toSet
+    val merged = (after.segments.toSet -- before.segments.toSet).toSeq
+    assert(survivors.size == 2 && replaced.size == 2 && merged.length == 1)
+    // the replaced pair is adjacent and the merged segment spans exactly it
+    val rs = replaced.toSeq.sortBy(_.lo)
+    assert(before.segments.indexOf(rs(1)) == before.segments.indexOf(rs(0)) + 1,
+      s"replaced run not adjacent: $rs")
+    assert(merged.head.lo == rs.map(_.lo).min && merged.head.hi == rs.map(_.hi).max)
+    // segments surviving the merge are byte-identical on disk
     survivors.foreach { s =>
       assert(fileSizes(IndexBuilder.segmentDir(dir, s)) == sizesBefore(s.name),
         s"segment ${s.name} files changed across an unrelated merge")
@@ -140,7 +128,8 @@ class MaintainSpec extends AnyFunSuite {
   }
 
   test("Store.sizeOf sums segment bytes (the policy's metadata-only probe)") {
-    val dir = "/tmp/graft_maintain_spec/partial" // built by the first test
+    val dir = "/tmp/graft_maintain_spec/sizeof"
+    buildCrawl(dir)
     val m = Manifest.read(s"$dir/manifest.json")
     m.segments.foreach { s =>
       val d = IndexBuilder.segmentDir(dir, s)

@@ -182,7 +182,7 @@ class StreamingDedupSpec extends AnyFunSuite {
     val clone = s"${root}_clone"
     graft.queries.IndexCache.deleteRecursively(new java.io.File(clone))
     copyDir(root, clone)
-    val dmC = DedupIngest.compactIndex(spark, dedupDir)
+    val dmC = DedupIngest.compactIndex(spark, dedupDir, indexDir)
     assert(dmC.baseVersion == 1 && dmC.tombVersion == -1)
     val removed = DedupIngest.vacuum(spark, dedupDir)
     assert(removed.nonEmpty, "expected replaced dedup generations to vacuum")
@@ -317,5 +317,72 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(m2 == m1, "replayed batch changed the manifest")
     assert(DedupIngest.liveBands(spark, dedupDir).count() == bandsBefore,
       "replayed batch grew the dedup index")
+  }
+
+  test("compactIndex between a crashed batch and its replay: the in-flight partitions " +
+    "pass through by name, so the replay cannot estimator-match its own partial write") {
+    val root = "/tmp/graft_test_index/dedup_crash_compact"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val dedupDir = s"$root/dedup"
+    val bootstrapPages = Pages.withInjections(spark, sfDir).filter(col("doc_id") < 192)
+    IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
+    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
+    val base = Pages.base(spark, sfDir)
+    def batch1 = base.filter(col("doc_id") >= 200 && col("doc_id") < 210)
+      .unionByName(copyOf(5L, 260L)) // fresh docs + one cross dup
+
+    // simulate applyBatch(1) crashing AFTER its dedup-index partition
+    // writes but BEFORE the inverted-index append committed the cursor:
+    // run the full batch against a scratch twin and copy only the dedup
+    // partitions (part=b1 / part=s1) into the main dedup index
+    val scratch = s"$root/scratch"
+    IndexBuilder.buildFrom(spark, bootstrapPages, s"$scratch/index", cfg)
+    DedupIngest.bootstrap(spark, bootstrapPages, s"$scratch/dedup", cfg)
+    DedupIngest.applyBatch(spark, batch1, s"$scratch/index", s"$scratch/dedup", cfg, batchId = 1L)
+    for (table <- Seq("bands", "sigs", "pairs"); part <- Seq("part=b1", "part=s1")) {
+      val src = s"$scratch/dedup/$table/v00000/$part"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(src)))
+        copyDir(src, s"$dedupDir/$table/v00000/$part")
+    }
+    assert(Manifest.read(s"$indexDir/manifest.json").lastBatchId == -1L,
+      "fixture: the crashed batch must not have committed the cursor")
+
+    // maintenance runs before the replay arrives
+    val dmC = DedupIngest.compactIndex(spark, dedupDir, indexDir)
+    val partsAfter = graft.index.Store.list(DedupIngest.bandsDir(dedupDir, dmC.baseVersion))
+    assert(partsAfter.contains("part=b1"),
+      s"in-flight batch partition folded away by compaction: $partsAfter")
+
+    // the replay must now admit the batch exactly as a crash-free run would
+    // (claim the dedup mode first — the scratch run stamped its own marker,
+    // the main index never got one because the 'crash' preceded append)
+    val m = DedupIngest.applyBatch(spark, batch1, indexDir, dedupDir, cfg, batchId = 1L)
+    val live = IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+    assert((200L until 210L).forall(live.contains),
+      s"replayed batch dropped itself after compaction: $live")
+    assert(!live.contains(260L), "cross dup admitted")
+    assert(m.lastBatchId == 1L)
+    // a second compaction (everything now committed) folds the partitions in
+    val dmC2 = DedupIngest.compactIndex(spark, dedupDir, indexDir)
+    val partsFinal = graft.index.Store.list(DedupIngest.bandsDir(dedupDir, dmC2.baseVersion))
+    assert(!partsFinal.exists(_.startsWith("part=b1")),
+      s"committed batch partition not folded: $partsFinal")
+    // and the folded index still vetoes correctly
+    val m2 = DedupIngest.applyBatch(spark, copyOf(200L, 270L), indexDir, dedupDir, cfg,
+      batchId = 2L)
+    assert(m2.nDocs == m.nDocs, "post-fold probe admitted a near-dup of a live doc")
+  }
+
+  test("a non-empty directory without a dedup manifest is refused, not silently " +
+    "re-bootstrapped as an empty index") {
+    import spark.implicits._
+    val dedupDir = "/tmp/graft_test_index/dedup_not_an_index"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(dedupDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dedupDir/bands"))
+    val e = intercept[IllegalArgumentException] {
+      DedupIngest.purge(spark, dedupDir, Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("manifest"), s"unexpected error: ${e.getMessage}")
   }
 }

@@ -150,4 +150,38 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(graft.index.Store.readString(Manifest.snapshotPath(d3, 1)) == v1)
     assert(Manifest.read(s"$d3/manifest.json") == Manifest.readAt(d3, 1))
   }
+
+  test("a TORN snapshot file (crash mid-archive) is skipped by history and collected " +
+    "by vacuum instead of wedging both until hand-deleted") {
+    val d4 = "/tmp/graft_tt_spec/torn"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(d4))
+    val pages = Pages.withInjections(spark, sfDir)
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < SplitAt), d4, cfg)
+    // a commit that died mid-write of its snapshot file: partial JSON,
+    // newer than the live pointer
+    graft.index.Store.writeString(Manifest.snapshotPath(d4, 1), """{"nDocs":12,"tot""")
+    assert(Manifest.history(d4).map(_.snapshotId) == Seq(0),
+      "history must skip the unparseable orphan, not die on it")
+    val removed = IndexBuilder.vacuum(spark, d4)
+    assert(removed.contains("snapshots/v00001.json"),
+      s"vacuum must collect the torn snapshot file, removed only: $removed")
+    assert(!graft.index.Store.exists(Manifest.snapshotPath(d4, 1)))
+  }
+
+  test("snapshot ids format/parse consistently past five digits (long-lived crawl loops)") {
+    val d5 = "/tmp/graft_tt_spec/bigid"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(d5))
+    val pages = Pages.withInjections(spark, sfDir)
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < SplitAt), d5, cfg)
+    // fabricate a six-digit-id snapshot the way a 100k-commit index would
+    val m = Manifest.read(s"$d5/manifest.json").copy(snapshotId = 123456)
+    Manifest.commit(d5, m)
+    assert(Manifest.history(d5).map(_.snapshotId) == Seq(0, 123456),
+      "six-digit snapshot ids must be listed")
+    assert(Manifest.readAt(d5, 123456) == m)
+    // retention must expire the old snapshot and keep the six-digit live one
+    val removed = IndexBuilder.vacuum(spark, d5, retainSnapshots = 1)
+    assert(removed.contains("snapshots/v00000.json") &&
+      !removed.exists(_.contains("123456")), s"wrong retention set: $removed")
+  }
 }
