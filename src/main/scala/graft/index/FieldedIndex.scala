@@ -81,6 +81,29 @@ object FieldedIndex {
       s""""blockSize":${f.cfg.blockSize},"bucketRange":${f.cfg.bucketRange}}""")
     .mkString("""{"fields":[""", ",", "]}")
 
+  /** Merge an independently built fielded index into this one — the
+    * fielded composition of [[IndexBuilder.merge]]: both pairs must carry
+    * the IDENTICAL committed field spec (names, weights, source columns,
+    * per-field analyzer/cap/geometry — the full `fielded.json`
+    * fingerprint), and then each field's sub-index folds in under the
+    * plain merge verb's contract (source docId span beyond the
+    * destination's, dictionary union, encoded blocks travel verbatim).
+    * Each sub-merge is its own crash-safe commit; a replay after a partial
+    * crash no-ops the already-merged fields (containment detection) and
+    * completes the rest, and `fielded.json` itself never changes — the
+    * spec is merge-invariant. */
+  def merge(spark: SparkSession, baseDir: String, otherDir: String): Unit = {
+    val dst = Store.readString(manifestPath(baseDir))
+    val src = Store.readString(manifestPath(otherDir))
+    require(dst == src,
+      s"fielded merge requires identical field specs; destination $dst != source $src " +
+        "(no side effects were taken)")
+    val re = """"name":"([A-Za-z0-9_]+)"""".r
+    re.findAllMatchIn(dst).map(_.group(1)).foreach { name =>
+      IndexBuilder.merge(spark, fieldDir(baseDir, name), fieldDir(otherDir, name))
+    }
+  }
+
   /** Load the fielded index as [[graft.query.Bm25f.topK]]'s input: one
     * (handle, weight) per field, in build order. */
   def load(spark: SparkSession, baseDir: String): Seq[(graft.query.IndexHandle, Double)] = {

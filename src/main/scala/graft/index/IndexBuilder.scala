@@ -950,6 +950,203 @@ object IndexBuilder {
     td.unpersist(); stats.unpersist(); cleaned.unpersist()
     manifest
   }
+
+  // ---------------------------------------------------------------- merge
+
+  /** Merge an independently BUILT index into this one — the distributed
+    * form of Lucene's `addIndexes` and the engine analog of combining two
+    * separately tokenized dataset chunks into one training corpus without
+    * re-tokenizing either (the reference's per-chunk outputs are likewise
+    * combined by manifest, not by re-running the tokenizer,
+    * midi_tokenizer.py:3084-3198). The source at `otherDir` is READ-ONLY
+    * and untouched; the destination gains the source's documents with
+    *
+    *  - ZERO re-tokenization (no text is ever read),
+    *  - ZERO posting-block re-encoding (the VByte-compressed docIdGaps/
+    *    tfs/positions byte arrays travel verbatim; only the termId COLUMN
+    *    is remapped through the merged dictionary), and
+    *  - ZERO rewrite of the destination's own files (its segments and
+    *    docstats are not touched; only a new dictionary version, an
+    *    optional tombstone union, and the source's re-keyed segments are
+    *    written).
+    *
+    * Cost at 100 TB: one dictionary full-outer join (vocab-sized), one
+    * remap join + re-cluster exchange over the SOURCE's compressed blocks
+    * (broadcast map-side when the source vocabulary fits
+    * `broadcastVocabMax`), and a server-side file copy of the source's
+    * docstats — merge the smaller index into the larger one.
+    *
+    * Contract (the append contract, lifted to whole indexes): the source's
+    * PHYSICAL docId span must lie strictly beyond the destination's
+    * `maxDocId` — physical, not live, because tombstoned postings stay in
+    * blocks until compaction and an interleaved bucket would corrupt the
+    * query path's firstDocId-ordered in-bucket block concatenation.
+    * Sharded crawls that partition the docId space merge in id order.
+    * Geometry (blockSize, bucketRange), the block-metadata computer set
+    * and the ANALYZER fingerprint must match exactly; `postingsBuckets`
+    * may differ (the source's blocks are re-clustered into the
+    * destination's layout).
+    *
+    * Id stability mirrors [[append]]: destination termIds never change;
+    * source-only terms get ids after the destination's vocabSize, ordered
+    * (df desc, term) among themselves; df/cf are summed from the two LIVE
+    * dictionaries (both already delete-decremented), so scoring over the
+    * merged index is exact with no decode. Source tombstones union into
+    * the destination's tombstone table, so a partially deleted source
+    * merges with its deletes intact.
+    *
+    * Crash/replay: every write targets a destination derived from the two
+    * UNTOUCHED inputs (dictionary v(N+1), tombstones v(N+1), source
+    * segments re-keyed as `v + maxV(dest) + 1`) and the manifest commits
+    * LAST — a replay after a mid-merge crash regenerates identical state.
+    * A replay after the commit is a detected no-op: the source's docIds now
+    * sit inside the destination's span, and if every live source doc is
+    * already live in the destination the verb returns the current manifest
+    * (a partial overlap — a genuine id-space collision — fails loudly with
+    * no side effects). */
+  def merge(spark: SparkSession, indexDir: String, otherDir: String,
+      broadcastVocabMax: Long = IndexConfig().broadcastVocabMax): IndexManifest = {
+    import spark.implicits._
+    val old = Manifest.read(s"$indexDir/manifest.json")
+    val src = Manifest.read(s"$otherDir/manifest.json")
+    require(src.blockSize == old.blockSize && src.bucketRange == old.bucketRange,
+      s"merge source geometry (${src.blockSize},${src.bucketRange}) != destination " +
+        s"(${old.blockSize},${old.bucketRange}) — blocks are immutable I/O units and " +
+        "cannot be re-split without a rebuild")
+    require(src.metaComputerNames == old.metaComputerNames,
+      s"merge source block-metadata computers '${src.metaComputerNames}' != destination " +
+        s"'${old.metaComputerNames}' — pruning bounds would be missing from merged blocks")
+    require(src.analyzer == old.analyzer,
+      s"merge source analyzer '${src.analyzer}' != destination '${old.analyzer}' — " +
+        "both indexes must tokenize and clean identically to share one dictionary")
+
+    // physical span check (tombstoned rows included — they stay in blocks
+    // until compaction, so they too must sit beyond the destination's span)
+    val srcStats = readDocstats(spark, otherDir, src)
+    val sAgg = srcStats.agg(coalesce(min(col("docId")), lit(Long.MaxValue)),
+      count(lit(1))).head()
+    val (minPhys, nPhys) = (sAgg.getLong(0), sAgg.getLong(1))
+    if (nPhys == 0L) return old // physically empty source: nothing to fold
+    if (minPhys <= old.maxDocId) {
+      // committed replay vs genuine id-space collision: a replay's live
+      // source docs are ALL already live here (bounded by the source size)
+      val srcTombs =
+        if (src.tombVersion < 0) spark.range(0).select(col("id").as("docId"))
+        else spark.read.parquet(tombDirFor(otherDir, src.tombVersion)).toDF("docId")
+      val srcLive = srcStats.select("docId").join(srcTombs, Seq("docId"), "left_anti")
+      val destTombs =
+        if (old.tombVersion < 0) spark.range(0).select(col("id").as("docId"))
+        else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
+      val destLive = readDocstats(spark, indexDir, old).select("docId")
+        .join(destTombs, Seq("docId"), "left_anti")
+      val fullyContained = srcLive.join(destLive, Seq("docId"), "left_anti").isEmpty
+      require(fullyContained,
+        s"merge source docIds must lie beyond the destination's maxDocId=${old.maxDocId}, " +
+          s"got min=$minPhys — id-space collision (shard the docId space before building, " +
+          "like append batches; no side effects were taken)")
+      return old // committed-merge replay: no-op
+    }
+
+    // dictionary v(N+1): df/cf summed from the two LIVE dictionaries,
+    // source-only terms appended after vocabSize — the append discipline
+    // with the delta stats read from the source dictionary instead of
+    // re-tokenized
+    val dictA = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
+    val dictB = spark.read.parquet(dictDirFor(otherDir, src.dictVersion))
+      .select(col("term"), col("termId").as("srcTermId"),
+        col("df").as("s_df"), col("cf").as("s_cf"))
+    val joined = dictA.select(col("termId"), col("term"), col("df"), col("cf"))
+      .join(dictB, Seq("term"), "full_outer").persist()
+    val updated = joined.filter(col("termId").isNotNull)
+      .select(col("termId"), col("term"),
+        (col("df") + coalesce(col("s_df"), lit(0L))).cast("long").as("df"),
+        (col("cf") + coalesce(col("s_cf"), lit(0L))).cast("long").as("cf"))
+    val fresh = joined.filter(col("termId").isNull)
+      .select(col("term"), col("srcTermId"), col("s_df").as("df"), col("s_cf").as("cf"))
+    val freshRanked = graft.plans.GlobalRank.withRowNumber(
+      fresh, Seq(col("df").desc, col("term").asc), "rn",
+      spark.sessionState.conf.numShufflePartitions)
+    val freshDict = freshRanked.df.select(
+      (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
+      col("term"), col("df").cast("long"), col("cf").cast("long"), col("srcTermId"))
+    val vocabSize = old.vocabSize + freshRanked.total
+    // written UNCONDITIONALLY (mode overwrite, like append/delete): the
+    // v(N+1) path is shared across verb types, so a _SUCCESS left by a
+    // DIFFERENT crashed verb (an uncommitted delete) must not be trusted
+    val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
+    val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
+    updated.unionByName(freshDict.drop("srcTermId"))
+      .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
+      .sortWithinPartitions(col("termId"))
+      .write.mode("overwrite").parquet(newDictDir)
+    // srcTermId → merged termId, covering the WHOLE source vocabulary
+    // (df-0 rows included — dead terms still sit in uncompacted blocks);
+    // materialized once, consumed by every segment rewrite
+    val remap = joined
+      .filter(col("termId").isNotNull && col("srcTermId").isNotNull)
+      .select(col("srcTermId"), col("termId").as("newTermId"))
+      .unionByName(freshDict.select(col("srcTermId"), col("termId").as("newTermId")))
+      .localCheckpoint(true)
+    freshRanked.release()
+    joined.unpersist()
+
+    // source segments, re-keyed into the destination: lo clamped to the
+    // destination's span end (truthful — no source doc is below minPhys >
+    // maxDocId), version bumped past every existing segment so names never
+    // collide; segments wholly below the span end are provably empty and
+    // dropped. Postings travel ENCODED — only the termId column changes —
+    // through one remap join (broadcast map-side under the vocab ceiling)
+    // and one re-cluster exchange into the destination's bucket layout.
+    val maxVA = old.segments.map(_.v).foldLeft(-1)(math.max)
+    val kept = src.segments.filter(_.hi > old.maxDocId + 1)
+    val newSegs = kept.map(s => Segment(math.max(s.lo, old.maxDocId + 1), s.hi, s.v + maxVA + 1))
+    val remapRel = if (src.vocabSize <= broadcastVocabMax) broadcast(remap) else remap
+    kept.zip(newSegs).foreach { case (s, ns) =>
+      val srcSeg = segmentDir(otherDir, s)
+      val dstSeg = segmentDir(indexDir, ns)
+      val blocks = spark.read.parquet(s"$srcSeg/postings")
+      blocks.join(remapRel, blocks("termId") === remapRel("srcTermId"))
+        .select(col("newTermId").as("termId"), col("blockId"), col("firstDocId"),
+          col("nDocs"), col("docIdGaps"), col("tfs"), col("positions"),
+          col("maxTf"), col("minDocLen"), col("meta"))
+        .repartition(old.postingsBuckets, col("termId"))
+        .sortWithinPartitions(col("termId"), col("blockId"))
+        .write.mode("overwrite").parquet(s"$dstSeg/postings")
+      // docstats carry no termIds: a pure (server-side) file copy
+      Store.delete(s"$dstSeg/docstats")
+      Store.copy(s"$srcSeg/docstats", s"$dstSeg/docstats")
+    }
+
+    // source tombstones union into the destination's table (a partially
+    // deleted source merges with its deletes intact)
+    val newTombVersion =
+      if (src.tombVersion < 0) old.tombVersion
+      else {
+        val srcTombs = spark.read.parquet(tombDirFor(otherDir, src.tombVersion)).toDF("docId")
+        val destTombs =
+          if (old.tombVersion < 0) spark.range(0).select(col("id").as("docId"))
+          else spark.read.parquet(tombDirFor(indexDir, old.tombVersion)).toDF("docId")
+        destTombs.unionByName(srcTombs)
+          .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+          .sortWithinPartitions(col("docId"))
+          .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
+        old.tombVersion + 1
+      }
+
+    Lineage.append(spark, indexDir,
+      LineageRow(old.nChunks, "merge", src.nDocs, System.currentTimeMillis(), "committed"))
+    val manifest = old.copy(nDocs = old.nDocs + src.nDocs,
+      totalLen = old.totalLen + src.totalLen,
+      vocabSize = vocabSize,
+      skippedCorrupt = old.skippedCorrupt + src.skippedCorrupt,
+      maxDocId = math.max(old.maxDocId, src.maxDocId),
+      maxDocLen = math.max(old.maxDocLen, src.maxDocLen),
+      dictVersion = old.dictVersion + 1, tombVersion = newTombVersion,
+      segments = old.segments ++ newSegs,
+      snapshotId = old.snapshotId + 1, operation = "merge")
+    Manifest.commit(indexDir, manifest)
+    manifest
+  }
 }
 
 /** Per-stage lineage rows (FIXTURES.md §5), appended to ONE JSON-lines log

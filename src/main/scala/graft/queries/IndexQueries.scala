@@ -25,6 +25,24 @@ object IndexCache {
   def deleteRecursively(f: java.io.File): Unit = graft.index.Store.delete(f.getPath)
 }
 
+/** Two shard indexes over the docId-space halves — the federated-search
+  * fixture (built once per JVM per sfDir; same corpus as IndexCache's
+  * single index, so q_bm25_sharded shares q_bm25_topk's oracle). */
+object ShardedIndexCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[IndexHandle]]()
+
+  def shards(spark: SparkSession, sfDir: String): Seq[IndexHandle] =
+    cache.computeIfAbsent(sfDir, { _ =>
+      val base = s"/tmp/graft_shard_index/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(base))
+      val pages = Pages.withInjections(spark, sfDir)
+      val mid = pages.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) / 2
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", IndexConfig())
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", IndexConfig())
+      Seq(IndexReader.load(spark, s"$base/low"), IndexReader.load(spark, s"$base/high"))
+    })
+}
+
 /** Dedicated index copy with docIds [DelLo, DelHi) tombstone-deleted —
   * shared by the q_delete_* queries (one build + one delete per JVM); the
   * compacted stage (tombstones physically dropped, generation 1) backs
@@ -375,6 +393,27 @@ object IndexQueries {
         .orderBy("term")
     }),
 
+    // Index MERGE, oracle-checked: build two INDEPENDENT indexes over the
+    // two halves of the docId space (each with its own dictionary and
+    // termId assignment), merge the high one into the low one — no text
+    // re-read, no block re-encode, only a termId remap — and report the
+    // merged dictionary as (term, df, cf), which must equal the
+    // full-corpus statistics (termIds are merge-order-dependent by
+    // design, exactly like append's, so keyed by term).
+    "q_merge_dict" -> ((spark, sfDir) => {
+      val base = s"/tmp/graft_merge_q/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      IndexCache.deleteRecursively(new java.io.File(base))
+      val pages = Pages.withInjections(spark, sfDir)
+      val mid = pages.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val cfg = graft.index.IndexConfig()
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", cfg)
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", cfg)
+      IndexBuilder.merge(spark, s"$base/low", s"$base/high")
+      graft.query.IndexReader.load(spark, s"$base/low").dictionary.toDF()
+        .select(col("term"), col("df"), col("cf"))
+        .orderBy("term")
+    }),
+
     // Tombstone delete, dictionary side: build a dedicated index copy,
     // DELETE docIds [DelLo, DelHi), and report the live dictionary —
     // df/cf must equal the statistics of the corpus minus the deleted
@@ -474,6 +513,19 @@ object IndexQueries {
 
     // The flagship: block-max WAND top-10 BM25 over the on-disk index
     "q_bm25_topk" -> ((spark, sfDir) => bm25TopK(spark, sfDir, useWand = true)),
+
+    // FEDERATED ranked retrieval: the SAME query set over two UNMERGED
+    // shard indexes built independently over the docId-space halves (each
+    // with its own dictionary and termIds). Global statistics — nDocs,
+    // avgdl, per-term df — derive from the shards' manifests + live
+    // dictionaries at query time, so the federated ranking equals the
+    // single-index BM25 oracle exactly (identical idf/avgdl doubles;
+    // per-doc addend sums are shard-local). The query-side dual of
+    // q_merge_dict: search the shards without ever merging them.
+    "q_bm25_sharded" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Wand.topKSharded(ShardedIndexCache.shards(spark, sfDir), QuerySet.queries, k = 40),
+        kWand = 40)),
 
     // FILTERED ranked retrieval: BM25 top-10 restricted to a document
     // metadata predicate (doc_id % 3 = 0 here, standing in for the
@@ -1201,6 +1253,9 @@ object IndexQueries {
       "q_append_dict" ->
         s"""WITH $corpusCte
            |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
+      "q_merge_dict" ->
+        s"""WITH $corpusCte
+           |SELECT term, df, cf FROM dft ORDER BY term""".stripMargin,
       "q_vocab_cap" ->
         s"""WITH $corpusCte,
            |head AS (SELECT term, df FROM dft ORDER BY df DESC, term LIMIT 10)
@@ -1263,6 +1318,8 @@ object IndexQueries {
            |       CAST(0 AS BIGINT) AS n_violations
            |FROM per_bucket""".stripMargin,
       "q_bm25_topk" -> bm25TopSql(corpusCte),
+      // federated shards score with GLOBAL stats == the single-index oracle
+      "q_bm25_sharded" -> bm25TopSql(corpusCte),
       "q_bm25_brute" -> bm25TopSql(corpusCte),
       // filter narrows the SCORED docs only; idf/avgdl stay corpus-global
       "q_bm25_filtered" -> bm25TopSql(corpusCte, "\n  WHERE tf.doc_id % 3 = 0"),

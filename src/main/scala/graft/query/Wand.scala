@@ -614,6 +614,36 @@ object Wand {
       metrics: Option[WandMetrics], boundKey: Option[String]): Map[Int, Array[(Double, Long)]] =
     runFields(Seq(index -> 1.0), queries, k, metrics, boundKey)
 
+  /** FEDERATED exact top-k over DISJOINT shard indexes — search without
+    * merging, the query-side dual of [[graft.index.IndexBuilder.merge]].
+    * Shards are independently built indexes over disjoint docId spaces
+    * (the merge verb's contract); scoring statistics become corpus-GLOBAL:
+    * nDocs and avgdl from the summed manifests, per-term df summed across
+    * the shards' LIVE dictionaries — so a federated query ranks exactly
+    * like the merged index would (same idf/avgdl doubles; per-doc addend
+    * order is shard-local, so scores agree to rounding). Machinery: the
+    * shards enter the ONE fielded driver as weight-1.0 fields — disjoint
+    * docId spaces make each doc's cross-field sum degenerate to its own
+    * shard's BM25 — so bucket cogrouping, block-max pruning, tombstone
+    * sentinels and the bounded-heap reduce are all unchanged, and the only
+    * extra cost over single-index WAND is one query-term-pruned dictionary
+    * lookup per shard (driver-tiny). Reference analog: querying a corpus
+    * tokenized in independent chunks without first concatenating them
+    * (midi_tokenizer.py:3084-3198's per-chunk outputs). */
+  def topKSharded(shards: Seq[IndexHandle], queries: Seq[QuerySpec], k: Int,
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
+    require(shards.nonEmpty, "at least one shard")
+    val gN = shards.map(_.manifest.nDocs).sum
+    val gLen = shards.map(_.manifest.totalLen).sum
+    val gAvgdl = gLen.toDouble / gN.toDouble // == merged manifest's avgdl
+    val allTerms = queries.flatMap(_.terms).distinct
+    val gDf: Map[String, Long] = shards
+      .flatMap(_.lookupTerms(allTerms).map { case (t, e) => t -> e.df })
+      .groupBy(_._1).map { case (t, xs) => t -> xs.iterator.map(_._2).sum }
+    runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
+      globalStats = Some((gN, gAvgdl, gDf)))
+  }
+
   /** The ONE ranked-retrieval driver, generalized over weighted FIELDS —
     * plain BM25 is the single-field instance (weight 1.0), BM25F the
     * multi-field one ([[Bm25f.topK]] delegates here). Per field: its own
@@ -637,7 +667,8 @@ object Wand {
     * for the logical document); the kernel skips them before scoring. */
   private[query] def runFields(fields: Seq[(IndexHandle, Double)], queries: Seq[QuerySpec],
       k: Int, metrics: Option[WandMetrics], boundKey: Option[String],
-      docFilter: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] = {
+      docFilter: Option[org.apache.spark.sql.Column] = None,
+      globalStats: Option[(Long, Double, Map[String, Long])] = None): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
     val spark = fields.head._1.spark
     import spark.implicits._
@@ -652,7 +683,16 @@ object Wand {
     // full-dictionary collect on the query path)
     val allTerms = queries.flatMap(_.terms)
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
-    val avgdls = fields.map(_._1.manifest.avgdl).toArray
+    // a federated (sharded) run overrides the per-field stats with the
+    // summed corpus-global ones; fielded/plain runs keep per-field stats
+    val avgdls = globalStats match {
+      case Some((_, gAvgdl, _)) => Array.fill(nF)(gAvgdl)
+      case None                 => fields.map(_._1.manifest.avgdl).toArray
+    }
+    def idfOf(f: Int, term: String, localDf: Long): Double = globalStats match {
+      case Some((gN, _, gDf)) => Bm25.idf(gN, gDf(term))
+      case None               => Bm25.idf(fields(f)._1.manifest.nDocs, localDf)
+    }
 
     // per query: cursor specs (field, termId, effIdf), sorted (field,
     // termId) — the kernel's deterministic accumulation order
@@ -661,8 +701,7 @@ object Wand {
         f <- 0 until nF
         t <- q.terms.distinct
         e <- dicts(f).get(t)
-      } yield (f, e.termId,
-          q.boost(t) * fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df)))
+      } yield (f, e.termId, q.boost(t) * fields(f)._2 * idfOf(f, t, e.df)))
         .sortBy(x => (x._1, x._2)).toArray
     }.toMap
     if (qSpecs.values.forall(_.isEmpty)) return empty
@@ -679,7 +718,7 @@ object Wand {
           e <- dicts(f).get(t)
           if e.df >= kk
         } yield Bm25.scoreWithIdf(
-          q.boost(t) * fields(f)._2 * Bm25.idf(fields(f)._1.manifest.nDocs, e.df),
+          q.boost(t) * fields(f)._2 * idfOf(f, t, e.df),
           1, fields(f)._1.manifest.maxDocLen, avgdls(f))
         // nextDown() guards exact-tie boundaries at the threshold
         if (bounds.isEmpty) None else Some(q.queryId -> math.nextDown(bounds.max))

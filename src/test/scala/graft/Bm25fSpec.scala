@@ -270,6 +270,39 @@ class Bm25fSpec extends AnyFunSuite {
     assert(eCfg.getMessage.contains("different field spec"), eCfg.getMessage)
   }
 
+  test("fielded MERGE: two independently built pairs fold per field; BM25F over the " +
+    "merged pair is exact on the union corpus; mismatched field specs refused") {
+    import spark.implicits._
+    import graft.index.{FieldSpec, FieldedIndex}
+    val root = "/tmp/graft_bm25f_spec_merge"
+    graft.index.Store.delete(root)
+    val cleaned = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    FieldedIndexCache.buildPair(spark, cleaned.filter(col("doc_id") < 250), s"$root/low")
+    FieldedIndexCache.buildPair(spark, cleaned.filter(col("doc_id") >= 250), s"$root/high")
+    FieldedIndex.merge(spark, s"$root/low", s"$root/high")
+    val merged = FieldedIndex.load(spark, s"$root/low")
+    assert(merged.map(_._2) ==
+      Seq(FieldedIndexCache.TitleWeight, FieldedIndexCache.BodyWeight),
+      "fielded spec must be merge-invariant")
+    val queries = graft.queries.QuerySet.queries
+    assertExact(Bm25f.topK(merged, queries, 10),
+      brute(merged, titleBodySplit(corpus), queries, 10), queries)
+
+    // a pair with a DIFFERENT committed spec (weights) must be refused
+    val other = (500L until 505L).map(id => (id, s"t$id title words here",
+      s"body content $id repeated terms"))
+      .toDF("doc_id", "title_text", "body_text")
+      .select(col("doc_id"), concat(lit("m://"), col("doc_id")).as("url"),
+        timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
+        col("title_text"), col("body_text"), lit("en").as("lang"))
+    val otherDir = s"$root/otherspec"
+    FieldedIndex.build(spark, other, otherDir, Seq(
+      FieldSpec("title", 5.0, "title_text"), FieldSpec("body", 1.0, "body_text")))
+    val e = intercept[IllegalArgumentException](
+      FieldedIndex.merge(spark, s"$root/low", otherDir))
+    assert(e.getMessage.contains("identical field spec"), e.getMessage)
+  }
+
   test("fixture shape: both fields populated, per-field vocabularies differ, weights asymmetric") {
     assert(fields(0)._2 > fields(1)._2, "title must outweigh body")
     assert(fields(0)._1.manifest.nDocs > 0 && fields(1)._1.manifest.nDocs > 0,

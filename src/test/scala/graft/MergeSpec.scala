@@ -1,0 +1,226 @@
+package graft
+
+import graft.corpus.Pages
+import graft.index.{IndexBuilder, IndexConfig, IndexValidator, Manifest}
+import graft.query.{IndexReader, Wand}
+import graft.queries.{IndexCache, QuerySet}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import IndexTestUtil.{decodedContent, fileSizes}
+
+/** Index merge ([[IndexBuilder.merge]] — the `addIndexes` analog): folding
+  * an independently built index into another must equal a fresh build over
+  * the union corpus on dictionary stats, decoded content and scoring;
+  * must rewrite NOTHING in the destination, leave the source read-only,
+  * and move the source's compressed block payloads verbatim (termId remap
+  * only — no re-encode); must carry source tombstones; and must refuse
+  * id-space collisions and geometry/analyzer mismatches with no side
+  * effects while treating a committed replay as a no-op. */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  // multi-bucket geometry; the 250 split sits MID-bucket (250/64 = 3.9),
+  // so the merged indexes share bucket 3 — exercising the in-bucket
+  // firstDocId-ordered block concatenation the contract is built around
+  private def cfg = IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 2,
+    postingsBuckets = 2)
+  private val Split = 250L
+  private val Hi = 480L
+
+  private def pages = Pages.withInjections(spark, sfDir)
+
+  private def buildPair(root: String): (String, String) = {
+    IndexCache.deleteRecursively(new java.io.File(root))
+    val (low, high) = (s"$root/low", s"$root/high")
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < Split), low, cfg)
+    IndexBuilder.buildFrom(spark,
+      pages.filter(col("doc_id") >= Split && col("doc_id") < Hi), high, cfg)
+    (low, high)
+  }
+
+  private lazy val freshHandle = {
+    val d = "/tmp/graft_merge_spec/fresh"
+    IndexCache.deleteRecursively(new java.io.File(d))
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < Hi), d, cfg)
+    IndexReader.load(spark, d)
+  }
+
+  private def dictStats(h: graft.query.IndexHandle): Map[String, (Long, Long)] =
+    h.dictionary.collect().map(e => e.term -> (e.df, e.cf)).toMap
+
+  test("merged == fresh union build on dictionary stats, decoded content, live docstats, " +
+    "manifest stats; WAND matches the from-the-definition oracle; validator green") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/main")
+    val mLow = Manifest.read(s"$low/manifest.json")
+    val mHigh = Manifest.read(s"$high/manifest.json")
+    val m = IndexBuilder.merge(spark, low, high)
+    val h = IndexReader.load(spark, low)
+    val fresh = freshHandle
+
+    assert(m.operation == "merge")
+    assert(m.nDocs == fresh.manifest.nDocs && m.totalLen == fresh.manifest.totalLen)
+    assert(m.maxDocId == fresh.manifest.maxDocId && m.maxDocLen == fresh.manifest.maxDocLen)
+    assert(m.segments.length == mLow.segments.length + mHigh.segments.length,
+      "every source segment spans live docs in this fixture — all must fold in")
+    // merged segment ranges never overlap (clamped lo) — compaction-safe
+    val sorted = m.segments.sortBy(_.lo)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi <= b.lo, s"overlapping merged segments: $a, $b")
+      case _         =>
+    }
+    // dictionary: same TERM stats as the union build (ids merge-order-local)
+    assert(m.vocabSize == fresh.manifest.vocabSize)
+    assert(dictStats(h) == dictStats(fresh))
+    // physical payload equality, term-keyed
+    assert(decodedContent(h) == decodedContent(fresh))
+    // live docstats identical
+    val gotDocs = h.docstats.collect().map(d => (d.docId, d.url, d.docLen)).sorted.toSeq
+    val wantDocs = fresh.docstats.collect().map(d => (d.docId, d.url, d.docLen)).sorted.toSeq
+    assert(gotDocs == wantDocs)
+
+    // scoring: merged WAND == brute-force BM25 under the merged dictionary
+    val cleaned = Pages.cleaned(pages).filter(col("doc_id") < Hi)
+    val td = IndexBuilder.termDocs(cleaned, graft.tokenize.Tokenizers.default)
+    val oracle = graft.query.OracleScorer.build(td, h.dictMap, m.nDocs, m.avgdl)
+    val got = Wand.topK(h, QuerySet.queries, 10)
+    QuerySet.queries.foreach { q =>
+      assert(got(q.queryId).toSeq == oracle.topK(q.terms, 10).toSeq, s"q=${q.terms}")
+    }
+    assert(IndexValidator.validate(h).collect().isEmpty, "merged index must validate clean")
+  }
+
+  test("merge rewrites nothing in the destination, reads the source read-only, and " +
+    "moves block payloads verbatim (no re-encode)") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/phys")
+    val mLow = Manifest.read(s"$low/manifest.json")
+    val lowSegSizes = mLow.segments
+      .map(s => s.name -> fileSizes(IndexBuilder.segmentDir(low, s))).toMap
+    val highSizes = fileSizes(high)
+
+    def payloads(dirs: Seq[String]): Map[(Long, Seq[Byte]), Int] = {
+      import spark.implicits._
+      spark.read.parquet(dirs: _*).as[graft.index.PostingBlock].collect()
+        .map(b => (b.firstDocId, b.docIdGaps.toSeq))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+    }
+    val before =
+      payloads(IndexBuilder.postingsDirs(low, mLow) ++
+        IndexBuilder.postingsDirs(high, Manifest.read(s"$high/manifest.json")))
+
+    val m = IndexBuilder.merge(spark, low, high)
+
+    // destination's pre-merge segment files byte-identical
+    mLow.segments.foreach { s =>
+      assert(fileSizes(IndexBuilder.segmentDir(low, s)) == lowSegSizes(s.name),
+        s"destination segment ${s.name} files changed across a merge")
+    }
+    // source directory byte-identical (read-only input)
+    assert(fileSizes(high) == highSizes, "merge mutated its read-only source")
+    // every (firstDocId, docIdGaps) payload survives VERBATIM — the merge
+    // never decodes or re-encodes a block
+    assert(payloads(IndexBuilder.postingsDirs(low, m)) == before,
+      "merged block payloads differ from the two inputs' — a block was re-encoded")
+  }
+
+  test("source tombstones carry through the merge; compaction composes on the merged " +
+    "index (merged-then-compacted == fresh-deleted-then-compacted)") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/tombed")
+    val delIds = (300L until 310L)
+    IndexBuilder.delete(spark, high, delIds)
+    IndexBuilder.merge(spark, low, high)
+    val h = IndexReader.load(spark, low)
+    val live = h.docstats.collect().map(_.docId).toSet
+    assert(delIds.forall(!live.contains(_)), "source tombstones lost in the merge")
+
+    val freshDel = {
+      val d = "/tmp/graft_merge_spec/fresh_del"
+      IndexCache.deleteRecursively(new java.io.File(d))
+      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") < Hi), d, cfg)
+      IndexBuilder.delete(spark, d, delIds)
+      d
+    }
+    val want = IndexReader.load(spark, freshDel)
+    assert(dictStats(h) == dictStats(want), "live df/cf after merged-in deletes diverged")
+    assert(h.docstats.collect().map(_.docId).toSet ==
+      want.docstats.collect().map(_.docId).toSet)
+
+    // full compaction drops the merged-in tombstones physically
+    IndexBuilder.compact(spark, low)
+    IndexBuilder.compact(spark, freshDel)
+    val hc = IndexReader.load(spark, low)
+    val wc = IndexReader.load(spark, freshDel)
+    assert(decodedContent(hc) == decodedContent(wc),
+      "compaction over a merged index diverged from the fresh-built equivalent")
+    assert(IndexValidator.validate(hc).collect().isEmpty)
+  }
+
+  test("FEDERATED search (topKSharded) over the UNMERGED shards ranks exactly like the " +
+    "merged index — global nDocs/avgdl/df from manifests + live dictionaries — " +
+    "including after a shard-side delete") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/fed")
+    val (low2, high2) = buildPair("/tmp/graft_merge_spec/fed_merged")
+    IndexBuilder.merge(spark, low2, high2)
+
+    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // k=40 headroom, re-rank by the rounded score (rankedReport's oracle
+    // key): shard-local addend order may differ from the merged index's
+    // by last-ulp, never by rank
+    def top10(res: Map[Int, Array[(Double, Long)]], qid: Int): Seq[(Double, Long)] =
+      res(qid).toSeq.sortBy { case (s, d) => (-r6(s), d) }.take(10)
+    def compare(shards: Seq[graft.query.IndexHandle], mergedDir: String): Unit = {
+      val fed = Wand.topKSharded(shards, QuerySet.queries, 40)
+      val want = Wand.topK(IndexReader.load(spark, mergedDir), QuerySet.queries, 40)
+      QuerySet.queries.foreach { q =>
+        val (g, w) = (top10(fed, q.queryId), top10(want, q.queryId))
+        assert(g.map(_._2) == w.map(_._2),
+          s"q=${q.terms}: federated docs ${g.map(_._2)} != merged ${w.map(_._2)}")
+        g.zip(w).foreach { case ((gs, d), (ws, _)) =>
+          assert(math.abs(gs - ws) < 1e-9, s"q=${q.terms} doc $d: $gs vs $ws")
+        }
+      }
+    }
+    compare(Seq(IndexReader.load(spark, low), IndexReader.load(spark, high)), low2)
+
+    // a delete in ONE shard refreshes the GLOBAL stats (live df/nDocs)
+    val delIds = (300L until 320L)
+    IndexBuilder.delete(spark, high, delIds)
+    IndexBuilder.delete(spark, low2, delIds)
+    compare(Seq(IndexReader.load(spark, low), IndexReader.load(spark, high)), low2)
+  }
+
+  test("a committed replay is a detected no-op; a genuine id-space collision is refused " +
+    "with no side effects; geometry and analyzer mismatches are refused") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/replay")
+    val m1 = IndexBuilder.merge(spark, low, high)
+    assert(IndexBuilder.merge(spark, low, high) == m1,
+      "replaying a committed merge must be a no-op")
+
+    // collision: an index overlapping the destination's span, not contained
+    val clash = "/tmp/graft_merge_spec/clash"
+    IndexCache.deleteRecursively(new java.io.File(clash))
+    IndexBuilder.buildFrom(spark,
+      pages.filter(col("doc_id") >= 100 && col("doc_id") < 600), clash, cfg)
+    val before = Manifest.read(s"$low/manifest.json")
+    val e = intercept[IllegalArgumentException](IndexBuilder.merge(spark, low, clash))
+    assert(e.getMessage.contains("collision"), e.getMessage)
+    assert(Manifest.read(s"$low/manifest.json") == before,
+      "a refused merge must leave the destination untouched")
+
+    // geometry mismatch
+    val geo = "/tmp/graft_merge_spec/geo"
+    IndexCache.deleteRecursively(new java.io.File(geo))
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") >= Hi), geo,
+      cfg.copy(blockSize = 32, bucketRange = 128))
+    val eGeo = intercept[IllegalArgumentException](IndexBuilder.merge(spark, low, geo))
+    assert(eGeo.getMessage.contains("geometry"), eGeo.getMessage)
+
+    // analyzer mismatch
+    val ana = "/tmp/graft_merge_spec/ana"
+    IndexCache.deleteRecursively(new java.io.File(ana))
+    IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") >= Hi), ana,
+      cfg.copy(tokenizer = cfg.tokenizer.copy(lowercase = false)))
+    val eAna = intercept[IllegalArgumentException](IndexBuilder.merge(spark, low, ana))
+    assert(eAna.getMessage.contains("analyzer"), eAna.getMessage)
+    assert(Manifest.read(s"$low/manifest.json") == before)
+  }
+}
