@@ -631,7 +631,26 @@ object Wand {
     * tokenized in independent chunks without first concatenating them
     * (midi_tokenizer.py:3084-3198's per-chunk outputs). */
   def topKSharded(shards: Seq[IndexHandle], queries: Seq[QuerySpec], k: Int,
-      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
+      globalStats = Some(shardStats(shards, queries)))
+
+  /** Filtered federation: [[topKSharded]] restricted to documents
+    * satisfying a metadata predicate over the docstats row — global
+    * scoring statistics, shard-local evaluation, the same docLen = -1
+    * skip-sentinel mechanism as [[topKFiltered]] (stats stay corpus-global:
+    * a filter narrows the result set, it does not re-weight terms). */
+  def topKShardedFiltered(shards: Seq[IndexHandle], queries: Seq[QuerySpec], k: Int,
+      filter: org.apache.spark.sql.Column,
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
+      docFilter = Some(filter), globalStats = Some(shardStats(shards, queries)))
+
+  /** Corpus-global (nDocs, avgdl, per-term df) summed across the shards'
+    * manifests and LIVE dictionaries — identical doubles to the merged
+    * index's own stats. */
+  private def shardStats(shards: Seq[IndexHandle],
+      queries: Seq[QuerySpec]): (Long, Double, Map[String, Long]) = {
     require(shards.nonEmpty, "at least one shard")
     val gN = shards.map(_.manifest.nDocs).sum
     val gLen = shards.map(_.manifest.totalLen).sum
@@ -640,8 +659,7 @@ object Wand {
     val gDf: Map[String, Long] = shards
       .flatMap(_.lookupTerms(allTerms).map { case (t, e) => t -> e.df })
       .groupBy(_._1).map { case (t, xs) => t -> xs.iterator.map(_._2).sum }
-    runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
-      globalStats = Some((gN, gAvgdl, gDf)))
+    (gN, gAvgdl, gDf)
   }
 
   /** The ONE ranked-retrieval driver, generalized over weighted FIELDS —

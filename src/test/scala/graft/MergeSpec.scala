@@ -185,7 +185,22 @@ class MergeSpec extends AnyFunSuite {
     val delIds = (300L until 320L)
     IndexBuilder.delete(spark, high, delIds)
     IndexBuilder.delete(spark, low2, delIds)
-    compare(Seq(IndexReader.load(spark, low), IndexReader.load(spark, high)), low2)
+    val shards = Seq(IndexReader.load(spark, low), IndexReader.load(spark, high))
+    compare(shards, low2)
+
+    // filtered federation == filtered single-index WAND over the merged
+    // copy (global stats, metadata predicate narrows the result set only)
+    val pred = org.apache.spark.sql.functions.col("docId") % 3 === 0
+    val fedF = Wand.topKShardedFiltered(shards, QuerySet.queries, 40, pred)
+    val wantF = Wand.topKFiltered(IndexReader.load(spark, low2), QuerySet.queries, 40, pred)
+    QuerySet.queries.foreach { q =>
+      val (g, w) = (top10(fedF, q.queryId), top10(wantF, q.queryId))
+      assert(g.map(_._2) == w.map(_._2), s"filtered q=${q.terms}: ${g.map(_._2)} vs ${w.map(_._2)}")
+      assert(g.map(_._2).forall(_ % 3 == 0), s"filtered q=${q.terms} leaked a non-matching doc")
+      g.zip(w).foreach { case ((gs, d), (ws, _)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"filtered q=${q.terms} doc $d: $gs vs $ws")
+      }
+    }
   }
 
   test("a committed replay is a detected no-op; a genuine id-space collision is refused " +
