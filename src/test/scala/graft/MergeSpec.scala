@@ -203,6 +203,30 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("append composes AFTER a merge: the merged index keeps ingesting like any other " +
+    "(dictionary ids stay stable, stats == fresh build over everything)") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/compose")
+    IndexBuilder.merge(spark, low, high)
+    val beforeDict = IndexReader.load(spark, low).dictionary.collect()
+      .map(e => e.term -> e.termId).toMap
+    IndexBuilder.append(spark, pages.filter(col("doc_id") >= Hi), low, cfg)
+    val h = IndexReader.load(spark, low)
+    // pre-append termIds unchanged (id stability across merge + append)
+    h.dictionary.collect().foreach { e =>
+      beforeDict.get(e.term).foreach(old => assert(e.termId == old, s"termId moved: ${e.term}"))
+    }
+    val freshAll = {
+      val d = "/tmp/graft_merge_spec/compose_fresh"
+      IndexCache.deleteRecursively(new java.io.File(d))
+      IndexBuilder.buildFrom(spark, pages, d, cfg)
+      IndexReader.load(spark, d)
+    }
+    assert(dictStats(h) == dictStats(freshAll),
+      "merge + append diverged from the fresh union build on dictionary stats")
+    assert(decodedContent(h) == decodedContent(freshAll))
+    assert(IndexValidator.validate(h).collect().isEmpty)
+  }
+
   test("a committed replay is a detected no-op; a genuine id-space collision is refused " +
     "with no side effects; geometry and analyzer mismatches are refused") {
     val (low, high) = buildPair("/tmp/graft_merge_spec/replay")
