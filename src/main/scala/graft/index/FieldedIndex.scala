@@ -81,6 +81,44 @@ object FieldedIndex {
       s""""blockSize":${f.cfg.blockSize},"bucketRange":${f.cfg.bucketRange}}""")
     .mkString("""{"fields":[""", ",", "]}")
 
+  /** Incremental fielded append — the fielded crawl loop: one
+    * [[IndexBuilder.append]] per field from ONE pages relation (docIds
+    * strictly beyond every sub-index's maxDocId, enforced per field by the
+    * plain verb). `fields` must equal the COMMITTED spec exactly (the
+    * fielded.json fingerprint — tokenizers and caps are per-field, so a
+    * drifted spec would corrupt a sub-dictionary; the same guard as
+    * [[build]] over a committed dir). Each sub-append is its own
+    * exactly-once commit on the shared `batchId` cursor: a replay after a
+    * partial crash no-ops the already-committed fields (their cursors
+    * advanced) and completes the rest — the fielded form of the plain
+    * verb's crash contract. */
+  def append(spark: SparkSession, pages: DataFrame, baseDir: String,
+      fields: Seq[FieldSpec], batchId: Option[Long] = None): Unit = {
+    val committed = Store.readString(manifestPath(baseDir))
+    require(committed == fieldedJson(fields),
+      s"fielded append spec != committed spec $committed (no side effects were taken)")
+    fields.foreach { f =>
+      val fieldPages = pages.select(
+        col("doc_id"), col("url"), col("warc_ts"),
+        col(f.textCol).as("text"), col("lang"))
+      IndexBuilder.append(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg, batchId)
+    }
+  }
+
+  /** Fielded tombstone delete: the SAME ids tombstone in every sub-index
+    * (a doc deleted from any field is dead for the logical document — the
+    * fielded WAND already unions tombstones across fields, so deleting
+    * everywhere keeps per-field df/cf stats exact rather than relying on
+    * that union). Each sub-delete is idempotent, so replays compose. */
+  def delete(spark: SparkSession, baseDir: String, docIds: Seq[Long]): Unit = {
+    val s = Store.readString(manifestPath(baseDir))
+    val re = """"name":"([A-Za-z0-9_]+)"""".r
+    re.findAllMatchIn(s).map(_.group(1)).foreach { name =>
+      IndexBuilder.delete(spark, fieldDir(baseDir, name), docIds)
+      ()
+    }
+  }
+
   /** Merge an independently built fielded index into this one — the
     * fielded composition of [[IndexBuilder.merge]]: both pairs must carry
     * the IDENTICAL committed field spec (names, weights, source columns,

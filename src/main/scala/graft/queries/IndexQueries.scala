@@ -98,17 +98,17 @@ object FieldedIndexCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(IndexHandle, Double)]]()
 
-  /** Derive the title/body field split from cleaned pages (ONE tokenize
-    * pass emits both field columns) and build through the public
-    * [[graft.index.FieldedIndex]] API — weights are manifest-recorded and
-    * [[graft.index.FieldedIndex.load]] round-trips them (also the spec
-    * entry point, so the short-doc/missing-field shape is testable on
-    * synthetic corpora). */
-  def buildPair(spark: SparkSession, cleanedPages: DataFrame, base: String): Seq[(IndexHandle, Double)] = {
+  /** The canonical title/body field spec (shared with the specs). */
+  def fieldSpecs: Seq[graft.index.FieldSpec] = Seq(
+    graft.index.FieldSpec("title", TitleWeight, "title_text"),
+    graft.index.FieldSpec("body", BodyWeight, "body_text"))
+
+  /** Derive the title/body fielded page columns from cleaned pages — ONE
+    * tokenize pass emits both field columns. */
+  def fieldedPages(spark: SparkSession, cleanedPages: DataFrame): DataFrame = {
     import spark.implicits._
-    graft.index.Store.delete(base)
     val tok = Tokenizers.default
-    val fielded = cleanedPages
+    cleanedPages
       .select(col("doc_id").cast("long"), col("url"), col("warc_ts"),
         col("text"), col("lang"))
       .as[(Long, String, java.sql.Timestamp, String, String)]
@@ -118,9 +118,15 @@ object FieldedIndexCache {
           terms.drop(TitleLen).mkString(" "), lang)
       }
       .toDF("doc_id", "url", "warc_ts", "title_text", "body_text", "lang")
-    graft.index.FieldedIndex.build(spark, fielded, base, Seq(
-      graft.index.FieldSpec("title", TitleWeight, "title_text"),
-      graft.index.FieldSpec("body", BodyWeight, "body_text")))
+  }
+
+  /** Build the pair through the public [[graft.index.FieldedIndex]] API —
+    * weights are manifest-recorded and [[graft.index.FieldedIndex.load]]
+    * round-trips them (also the spec entry point, so the short-doc/
+    * missing-field shape is testable on synthetic corpora). */
+  def buildPair(spark: SparkSession, cleanedPages: DataFrame, base: String): Seq[(IndexHandle, Double)] = {
+    graft.index.Store.delete(base)
+    graft.index.FieldedIndex.build(spark, fieldedPages(spark, cleanedPages), base, fieldSpecs)
     graft.index.FieldedIndex.load(spark, base)
   }
 

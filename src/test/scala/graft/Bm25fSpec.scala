@@ -140,12 +140,10 @@ class Bm25fSpec extends AnyFunSuite {
         timestamp_seconds(lit(Pages.EpochSeconds)).as("warc_ts"),
         col("text"), lit("en").as("lang"))
     val pair = FieldedIndexCache.buildPair(spark, pages(texts), "/tmp/graft_bm25f_spec_del")
-    // delete every 4th doc from BOTH sub-indexes (the derived-table contract)
+    // delete every 4th doc from BOTH sub-indexes through the public fielded
+    // verb (the derived-table contract: one logical delete, every field)
     val dead = texts.map(_._1).filter(_ % 4 == 1)
-    graft.index.IndexBuilder.delete(spark,
-      graft.index.FieldedIndex.fieldDir("/tmp/graft_bm25f_spec_del", "title"), dead)
-    graft.index.IndexBuilder.delete(spark,
-      graft.index.FieldedIndex.fieldDir("/tmp/graft_bm25f_spec_del", "body"), dead)
+    graft.index.FieldedIndex.delete(spark, "/tmp/graft_bm25f_spec_del", dead)
     // reload through the PUBLIC fielded API: weights come from fielded.json
     val deletedPair = graft.index.FieldedIndex.load(spark, "/tmp/graft_bm25f_spec_del")
     assert(deletedPair.map(_._2) == Seq(FieldedIndexCache.TitleWeight, FieldedIndexCache.BodyWeight),
@@ -268,6 +266,37 @@ class Bm25fSpec extends AnyFunSuite {
         FieldSpec("body", 1.0, "body_text", IndexConfig(vocabCap = Some(7)))))
     }
     assert(eCfg.getMessage.contains("different field spec"), eCfg.getMessage)
+  }
+
+  test("fielded APPEND: incremental ingest through the public verb == pair over the " +
+    "union corpus, exact; committed-batch replay no-op; drifted spec refused") {
+    import graft.index.{FieldSpec, FieldedIndex}
+    val dir = "/tmp/graft_bm25f_spec_append"
+    graft.index.Store.delete(dir)
+    val cleaned = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    FieldedIndex.build(spark,
+      FieldedIndexCache.fieldedPages(spark, cleaned.filter(col("doc_id") < 250)),
+      dir, FieldedIndexCache.fieldSpecs)
+    val delta = FieldedIndexCache.fieldedPages(spark, cleaned.filter(col("doc_id") >= 250))
+    FieldedIndex.append(spark, delta, dir, FieldedIndexCache.fieldSpecs, batchId = Some(1L))
+    val appended = FieldedIndex.load(spark, dir)
+    val queries = graft.queries.QuerySet.queries
+    assertExact(Bm25f.topK(appended, queries, 10),
+      brute(appended, titleBodySplit(corpus), queries, 10), queries)
+
+    // committed-batch replay: every sub-index cursor already advanced
+    val nBefore = appended.map(_._1.manifest.nDocs)
+    FieldedIndex.append(spark, delta, dir, FieldedIndexCache.fieldSpecs, batchId = Some(1L))
+    assert(FieldedIndex.load(spark, dir).map(_._1.manifest.nDocs) == nBefore,
+      "replayed fielded append grew a sub-index")
+
+    // a drifted spec (weight change) must be refused before any side effect
+    val e = intercept[IllegalArgumentException] {
+      FieldedIndex.append(spark, delta, dir, Seq(
+        FieldSpec("title", 9.0, "title_text"),
+        FieldSpec("body", FieldedIndexCache.BodyWeight, "body_text")), batchId = Some(2L))
+    }
+    assert(e.getMessage.contains("spec"), e.getMessage)
   }
 
   test("fielded MERGE: two independently built pairs fold per field; BM25F over the " +
