@@ -227,6 +227,31 @@ class MergeSpec extends AnyFunSuite {
     assert(IndexValidator.validate(h).collect().isEmpty)
   }
 
+  test("time travel composes with merge: the pre-merge snapshot stays answer-identical, " +
+    "and retention vacuum collects the superseded dictionary while keeping the live state") {
+    val (low, high) = buildPair("/tmp/graft_merge_spec/tt")
+    val pre = Manifest.read(s"$low/manifest.json")
+    val preTop = Wand.topK(IndexReader.load(spark, low), QuerySet.queries, 10)
+    IndexBuilder.merge(spark, low, high)
+
+    // the pre-merge commit is still queryable through the unchanged surface
+    val gotPre = Wand.topK(IndexReader.loadAt(spark, low, pre.snapshotId), QuerySet.queries, 10)
+    QuerySet.queries.foreach { q =>
+      assert(gotPre(q.queryId).toSeq == preTop(q.queryId).toSeq,
+        s"pre-merge snapshot drifted for q=${q.terms}")
+    }
+
+    // retain only the live commit: the pre-merge dictionary version is now
+    // unreferenced garbage; the live (merged) state is untouched and still
+    // equals the fresh union build on dictionary stats
+    val removed = IndexBuilder.vacuum(spark, low, retainSnapshots = 1)
+    assert(removed.exists(_.startsWith("dictionary/v00000")),
+      s"superseded dictionary not collected: $removed")
+    assert(dictStats(IndexReader.load(spark, low)) == dictStats(freshHandle))
+    val e = intercept[RuntimeException](IndexReader.loadAt(spark, low, pre.snapshotId))
+    assert(e.getMessage.contains("expired by vacuum retention"), e.getMessage)
+  }
+
   test("a committed replay is a detected no-op; a genuine id-space collision is refused " +
     "with no side effects; geometry and analyzer mismatches are refused") {
     val (low, high) = buildPair("/tmp/graft_merge_spec/replay")
