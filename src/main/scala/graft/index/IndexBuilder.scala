@@ -973,8 +973,12 @@ object IndexBuilder {
     * Cost at 100 TB: one dictionary full-outer join (vocab-sized), one
     * remap join + re-cluster exchange over the SOURCE's compressed blocks
     * (broadcast map-side when the source vocabulary fits
-    * `broadcastVocabMax`), and a server-side file copy of the source's
-    * docstats — merge the smaller index into the larger one.
+    * `broadcastVocabMax` — plan-verified BroadcastHashJoin, blocks never
+    * decoded), and a server-side file copy of the source's docstats —
+    * merge the smaller index into the larger one. The rewrite runs one
+    * job per source SEGMENT (each lands in its own immutable dest dir),
+    * so [[maintain]] the source down to a bounded segment count before
+    * merging a long-crawled index.
     *
     * Contract (the append contract, lifted to whole indexes): the source's
     * PHYSICAL docId span must lie strictly beyond the destination's
