@@ -547,6 +547,14 @@ object IndexQueries {
         Wand.topKFiltered(IndexCache.handle(spark, sfDir), QuerySet.queries,
           k = 40, filter = col("docId") % 3 === 0), kWand = 40)),
 
+    // FILTERED FEDERATION: the same metadata predicate over the two
+    // unmerged shard indexes — global stats, shard-local skip sentinels;
+    // must equal the filtered single-index oracle exactly.
+    "q_bm25_sharded_filtered" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Wand.topKShardedFiltered(ShardedIndexCache.shards(spark, sfDir), QuerySet.queries,
+          k = 40, filter = col("docId") % 3 === 0), kWand = 40)),
+
     // BOOSTED ranked retrieval: query-time per-term weights (the `term^w`
     // search-box syntax; fixture weights 1, 1.5, 2, ... per term). BM25
     // impact is linear in idf, so a boost folds into the cursor's effective
@@ -1329,6 +1337,8 @@ object IndexQueries {
       "q_bm25_brute" -> bm25TopSql(corpusCte),
       // filter narrows the SCORED docs only; idf/avgdl stay corpus-global
       "q_bm25_filtered" -> bm25TopSql(corpusCte, "\n  WHERE tf.doc_id % 3 = 0"),
+      // filtered federation scores with GLOBAL stats == the filtered oracle
+      "q_bm25_sharded_filtered" -> bm25TopSql(corpusCte, "\n  WHERE tf.doc_id % 3 = 0"),
       // per-term boost w multiplies that term's whole BM25 impact
       "q_bm25_boosted" ->
         s"""WITH $corpusCte,
