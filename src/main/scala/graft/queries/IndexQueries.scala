@@ -166,6 +166,21 @@ object QuerySet {
   def sqlBoostedValues: String =
     boosted.flatMap(q => q.terms.distinct.map(t =>
       s"(${q.queryId},'$t',${q.boost(t)})")).mkString(", ")
+
+  /** The search-box DSL fixture (q_search_dsl) — every grammar feature of
+    * [[graft.query.QueryParser]]: bare/boosted terms, `+required`,
+    * `-excluded`, quoted phrases (incl. a repeated-term one), and OOV in
+    * every role (OOV excluded = no-op; OOV required = empty query). */
+  val dsl: Seq[(Int, String)] = Seq(
+    1 -> "spark",
+    2 -> "merge join fast",
+    3 -> "window batch^2.5 stream^0.5",
+    4 -> "merge join -batch",
+    5 -> "+key merge slow",
+    6 -> "\"merge join\" vector",
+    7 -> "+vector -zzzoov \"the fast key\" a^1.5",
+    8 -> "\"batch batch\"",
+    9 -> "+quantum spark")
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -577,6 +592,16 @@ object IndexQueries {
       rankedReport(spark,
         Map(1 -> mlt(spark, IndexCache.handle(spark, sfDir),
           MltDoc, MltTermCount, k = 40)), kWand = 40)),
+
+    // SEARCH-BOX DSL: raw query strings through QueryParser → exact
+    // constrained BM25 (required/excluded/phrase verified bucket-locally
+    // inside the one WAND driver; seeding off per constrained query). The
+    // oracle re-derives each parsed query's semantics in SQL from the SAME
+    // ParsedQuery objects — parser and engine are checked as one surface.
+    "q_search_dsl" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.dsl, k = 40,
+          Tokenizers.default), kWand = 40)),
 
     // Second ranking model over the SAME index read-path: Dirichlet-
     // smoothed query likelihood (mu=2000) — proves the scoring layer is
@@ -1362,6 +1387,53 @@ object IndexQueries {
            |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
            |       doc_id, round(score, 4) AS score
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // the parsed-DSL surface: scoring/boost/required/excluded/phrase
+      // semantics regenerated in SQL from the SAME ParsedQuery objects the
+      // engine runs — one source of truth for the grammar's meaning
+      "q_search_dsl" -> {
+        val parsed = QuerySet.dsl.map { case (qid, s) =>
+          graft.query.QueryParser.parse(qid, s, Tokenizers.default)
+        }
+        val branches = parsed.map { q =>
+          val vals = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }.mkString(", ")
+          val conds = new StringBuilder
+          q.required.foreach { t =>
+            conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term = '$t')"
+          }
+          q.excluded.foreach { t =>
+            conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term = '$t')"
+          }
+          q.phrases.foreach { ph =>
+            val joins = (1 until ph.length).map(i =>
+              s"JOIN tok p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '${ph(i)}'")
+              .mkString("\n      ")
+            conds ++= s"\n    AND EXISTS (SELECT 1 FROM tok p0\n      $joins" +
+              s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.head}')"
+          }
+          s"""  SELECT w.query_id, tf.doc_id,
+             |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
+             |  FROM (VALUES $vals) AS w(query_id, term, w)
+             |  JOIN tf ON tf.term = w.term
+             |  JOIN dft ON dft.term = w.term
+             |  JOIN doclen ON doclen.doc_id = tf.doc_id
+             |  CROSS JOIN gstats
+             |  WHERE 1=1$conds
+             |  GROUP BY w.query_id, tf.doc_id""".stripMargin
+        }
+        s"""WITH $corpusCte,
+           |scores AS (
+           |${branches.mkString("\nUNION ALL\n")}
+           |),
+           |ranked AS (
+           |  SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+           |  FROM scores
+           |)
+           |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       doc_id, round(score, 4) AS score
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
       // MLT: top-5 tf·idf terms of doc MltDoc (6 dp, term-asc ties) as the
       // query; retrieval excludes the source doc; stats corpus-global
       "q_mlt" ->

@@ -1,0 +1,162 @@
+package graft.query
+
+import graft.tokenize.TokenizerStrategy
+
+/** A parsed search-box query: the compile target of [[QueryParser]] and the
+  * input of [[Search.topK]].
+  *
+  * Semantics (the Lucene-practical subset, recast for this engine):
+  *  - `scoring` terms contribute BM25 impact (weight × idf folds into the
+  *    cursor's effective idf exactly like [[QuerySpec.boosts]]);
+  *  - a result doc MUST contain every `required` term, every `phrases`
+  *    sequence at consecutive positions, and NONE of the `excluded` terms;
+  *  - required and phrase terms also score (they are in `scoring`);
+  *    excluded terms never score.
+  *
+  * OOV discipline mirrors the boolean operators: an out-of-vocabulary
+  * required or phrase term empties the query (the constraint cannot be
+  * satisfied); an OOV excluded term is a no-op; an OOV bare term is
+  * dropped from scoring.
+  */
+final case class ParsedQuery(
+    queryId: Int,
+    scoring: Seq[(String, Double)],
+    required: Seq[String] = Seq.empty,
+    excluded: Seq[String] = Seq.empty,
+    phrases: Seq[Seq[String]] = Seq.empty) {
+  require(scoring.map(_._1).distinct.length == scoring.length,
+    s"duplicate scoring term in $scoring")
+  require(scoring.forall(_._2 > 0.0), s"non-positive weight in $scoring")
+
+  def toQuerySpec: QuerySpec =
+    QuerySpec(queryId, scoring.map(_._1),
+      scoring.filter(_._2 != 1.0).toMap)
+}
+
+/** Search-box query-string parser — the user-facing query language over the
+  * index, compiled onto the engine's existing retrieval machinery (ranked
+  * WAND + the boolean/positional constraint verifiers). Grammar, applied
+  * per whitespace-separated clause after quoted segments are carved out:
+  *
+  * {{{
+  *   query   := clause*
+  *   clause  := '+' atom        // required (must match, also scores)
+  *            | '-' atom        // excluded (must not match, never scores)
+  *            | atom
+  *   atom    := '"' text '"'    // phrase: terms at consecutive positions
+  *            | text ['^' w]    // bare term, optional boost weight w > 0
+  * }}}
+  *
+  * Every token of `text` is normalized through the INDEX's analyzer (the
+  * same [[graft.tokenize.TokenizerStrategy]] the build used) — a query can
+  * only ever probe the term space the index actually holds; a clause whose
+  * text normalizes to nothing (punctuation-only) is dropped. A bare atom
+  * normalizing to several analyzer terms (e.g. `top-k` under the
+  * punctuation-stripping analyzer) contributes each term. A quoted phrase
+  * of one term degrades to that term; `-"a b"` excludes docs containing
+  * the exact phrase is NOT supported (exclusion is term-level) — a leading
+  * `-` on a phrase is a parse error, loudly, rather than a silent
+  * reinterpretation. Duplicate scoring mentions keep the LAST boost.
+  *
+  * The parser is deterministic, driver-side, and query-sized — parse cost
+  * never touches the cluster.
+  */
+object QueryParser {
+
+  final case class ParseException(msg: String) extends IllegalArgumentException(msg)
+
+  def parse(queryId: Int, raw: String, analyzer: TokenizerStrategy): ParsedQuery = {
+    if (raw == null) throw ParseException("null query")
+    ParsedQueryBuilder.build(queryId, lex(raw), analyzer)
+  }
+
+  /** One lexed clause: (op, isPhrase, body) with op ∈ {' ', '+', '-'}. */
+  private[query] final case class Clause(op: Char, isPhrase: Boolean, body: String)
+
+  /** Whitespace-splitting lexer with quoted-segment carving. An unclosed
+    * quote is a loud error (a search UI should reject it, not guess). */
+  private[query] def lex(raw: String): Seq[Clause] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Clause]
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(raw.charAt(i))) i += 1
+      if (i < n) {
+        var op = ' '
+        val c = raw.charAt(i)
+        if (c == '+' || c == '-') { op = c; i += 1 }
+        if (i < n && raw.charAt(i) == '"') {
+          val close = raw.indexOf('"', i + 1)
+          if (close < 0) throw ParseException(s"unclosed quote in query: $raw")
+          out += Clause(op, isPhrase = true, raw.substring(i + 1, close))
+          i = close + 1
+        } else {
+          val start = i
+          while (i < n && !Character.isWhitespace(raw.charAt(i))) i += 1
+          if (i > start) out += Clause(op, isPhrase = false, raw.substring(start, i))
+        }
+      }
+    }
+    out.toSeq
+  }
+}
+
+private[query] object ParsedQueryBuilder {
+  import QueryParser._
+
+  def build(queryId: Int, clauses: Seq[Clause],
+      analyzer: TokenizerStrategy): ParsedQuery = {
+    val scoring = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val required = scala.collection.mutable.ArrayBuffer.empty[String]
+    val excluded = scala.collection.mutable.ArrayBuffer.empty[String]
+    val phrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+    def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
+
+    clauses.foreach { cl =>
+      if (cl.isPhrase) {
+        if (cl.op == '-')
+          throw ParseException(
+            s"""phrase exclusion -"${cl.body}" is not supported — exclusion is term-level""")
+        val terms = analyzer.terms(cl.body).toSeq
+        if (terms.length >= 2) {
+          phrases += terms
+          // phrase terms score at weight 1 unless another clause boosted them
+          terms.foreach(t => if (!scoring.contains(t)) addScoring(t, 1.0))
+          if (cl.op == '+') required ++= terms // redundant with the phrase, harmless
+        } else if (terms.length == 1) {
+          // single-term phrase degrades to the term
+          if (!scoring.contains(terms.head)) addScoring(terms.head, 1.0)
+          if (cl.op == '+') required += terms.head
+        } // empty after analysis → dropped
+      } else {
+        // optional ^boost suffix (applies to the whole clause's terms)
+        val (body, w) = cl.body.lastIndexOf('^') match {
+          case -1 => (cl.body, 1.0)
+          case ix =>
+            val ws = cl.body.substring(ix + 1)
+            val parsed =
+              try ws.toDouble
+              catch { case _: NumberFormatException =>
+                throw ParseException(s"bad boost '$ws' in clause '${cl.body}'") }
+            if (parsed <= 0.0 || parsed.isNaN || parsed.isInfinite)
+              throw ParseException(s"boost must be a positive finite number: '${cl.body}'")
+            (cl.body.substring(0, ix), parsed)
+        }
+        val terms = analyzer.terms(body).toSeq
+        cl.op match {
+          case '-' => excluded ++= terms // excluded terms never score
+          case '+' => terms.foreach { t => addScoring(t, w); required += t }
+          case _   => terms.foreach(addScoring(_, w))
+        }
+      }
+    }
+    // a term both excluded and scoring/required is contradictory — loud
+    val exSet = excluded.toSet
+    val clash = scoring.keysIterator.find(exSet.contains)
+    clash.foreach(t => throw ParseException(
+      s"term '$t' is both excluded and positive in the same query"))
+    ParsedQuery(queryId, scoring.toSeq,
+      required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq)
+  }
+}

@@ -206,6 +206,50 @@ object IndexReader {
   */
 object Wand {
 
+  /** Per-query match constraints of the parsed-query (search-box) surface —
+    * raw analyzer terms, resolved against the dictionary inside the one
+    * ranked driver. A result doc must contain every `required` term and
+    * every `phrases` sequence at consecutive positions, and none of the
+    * `excluded` terms. Constraint verification is bucket-local (a doc and
+    * all its postings share a bucket) and runs only on docs that survive
+    * the WAND pivot + block-max gates. */
+  final case class Constraints(required: Seq[String], excluded: Seq[String],
+      phrases: Seq[Seq[String]]) {
+    def isEmpty: Boolean = required.isEmpty && excluded.isEmpty && phrases.isEmpty
+    def nonEmpty: Boolean = !isEmpty
+  }
+
+  /** Dictionary-resolved constraints (termIds, field 0). */
+  private[query] final case class ResolvedConstraints(
+      required: Array[Int], excluded: Array[Int], phrases: Array[Array[Int]])
+
+  /** docId membership across one term's bucket-local decoded blocks
+    * (ascending disjoint runs): binary search for the covering block, then
+    * binary search its ids. */
+  private[query] def containsDoc(blocks: Array[DecodedBlock], doc: Long): Boolean = {
+    var lo = 0
+    var hi = blocks.length - 1
+    var bi = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (blocks(mid).firstDocId <= doc) { bi = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    bi >= 0 && java.util.Arrays.binarySearch(blocks(bi).ids, doc) >= 0
+  }
+
+  /** {p ∈ a : p + off ∈ b} — both ascending; linear two-pointer. */
+  private[query] def shiftIntersect(a: Array[Int], b: Array[Int], off: Int): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val t = a(i) + off
+      if (b(j) < t) j += 1
+      else { if (b(j) == t) { out += a(i); j += 1 }; i += 1 }
+    }
+    out.result()
+  }
+
   /** One block decoded once per bucket and shared by every query in the
     * batch (decode amortization: a 512-query batch touches each block's
     * bytes once, not 512 times). The positional payload is NOT decoded on
@@ -312,13 +356,23 @@ object Wand {
   /** Exact WAND over one bucket for one query. `docLens` is indexed by each
     * cursor's `field` (a single-element array on the plain BM25 path); the
     * exact evaluation reads every at-pivot cursor's OWN (field docLen,
-    * avgdl), which is what makes the same kernel serve BM25F. */
+    * avgdl), which is what makes the same kernel serve BM25F.
+    *
+    * `admit` (null = always) is the constraint hook of the parsed-query
+    * surface: a doc reaching exact evaluation is scored only if
+    * admit(docId) holds (required/excluded/phrase verification, all
+    * bucket-local). Constraints only REMOVE candidates, so every upper
+    * bound stays valid and the threshold — fed only by admitted docs —
+    * remains a lower bound on the true kth-best admitted score: pruning
+    * stays exact. The check runs BEFORE the scoring loop (membership
+    * probes are cheaper than the docLen lookups + impact math they save). */
   private[query] def wandBucket(
       cursors0: Array[TermCursor],
       docLens: Array[java.util.HashMap[Long, Integer]],
       k: Int,
       metrics: Option[WandMetrics] = None,
-      initTheta: Double = Double.NegativeInfinity
+      initTheta: Double = Double.NegativeInfinity,
+      admit: Long => Boolean = null
   ): Array[(Double, Long)] = {
     val heap = new TopKHeap(k, initTheta)
     val cursors = cursors0.filter(!_.exhausted)
@@ -362,7 +416,7 @@ object Wand {
           // also add UBs of cursors beyond p that are AT pivotDoc
           var j2 = p + 1
           while (j2 < n) { val c = cursors(order(j2)); if (c.curDoc == pivotDoc) bmSum += c.blockMax; j2 += 1 }
-          if (bmSum > theta) {
+          if (bmSum > theta && (admit == null || admit(pivotDoc))) {
             // exact evaluation: sum impacts in cursor order — cursors are
             // pre-sorted by (field, termId) at construction, Double accum.
             // Each at-pivot cursor reads its OWN field's docLen and avgdl.
@@ -686,8 +740,11 @@ object Wand {
   private[query] def runFields(fields: Seq[(IndexHandle, Double)], queries: Seq[QuerySpec],
       k: Int, metrics: Option[WandMetrics], boundKey: Option[String],
       docFilter: Option[org.apache.spark.sql.Column] = None,
-      globalStats: Option[(Long, Double, Map[String, Long])] = None): Map[Int, Array[(Double, Long)]] = {
+      globalStats: Option[(Long, Double, Map[String, Long])] = None,
+      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
+    require(constraints.isEmpty || fields.length == 1,
+      "constrained (parsed-query) retrieval is single-field")
     val spark = fields.head._1.spark
     import spark.implicits._
     val m0 = fields.head._1.manifest
@@ -698,9 +755,27 @@ object Wand {
     val kk = k
     def empty = queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
     // term-pruned lookups of ONLY the batch's query terms (scale-safe: no
-    // full-dictionary collect on the query path)
-    val allTerms = queries.flatMap(_.terms)
+    // full-dictionary collect on the query path). Constraint terms ride in
+    // the same lookup: excluded terms never score but their postings must
+    // be probeable, and required/phrase terms decide OOV emptiness.
+    val allTerms = queries.flatMap(_.terms) ++
+      constraints.values.flatMap(c => c.required ++ c.excluded ++ c.phrases.flatten)
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
+    // OOV discipline of the constraint surface: an unsatisfiable constraint
+    // (OOV required or phrase term) empties the query; OOV excluded terms
+    // are no-ops and drop out of the resolved ids.
+    val dict0 = dicts.head
+    val forcedEmpty: Set[Int] = constraints.collect { case (qid, c)
+      if c.required.distinct.exists(t => !dict0.contains(t)) ||
+        c.phrases.exists(_.exists(t => !dict0.contains(t))) => qid }.toSet
+    val resolvedCons: Map[Int, ResolvedConstraints] = constraints.collect {
+      case (qid, c) if !forcedEmpty(qid) && c.nonEmpty =>
+        qid -> ResolvedConstraints(
+          c.required.distinct.map(t => dict0(t).termId).toArray,
+          c.excluded.distinct.flatMap(dict0.get).map(_.termId).toArray,
+          c.phrases.map(_.map(t => dict0(t).termId).toArray).toArray)
+    }
+    val liveQueries = queries.filterNot(q => forcedEmpty(q.queryId))
     // a federated (sharded) run overrides the per-field stats with the
     // summed corpus-global ones; fielded/plain runs keep per-field stats
     val avgdls = globalStats match {
@@ -714,7 +789,7 @@ object Wand {
 
     // per query: cursor specs (field, termId, effIdf), sorted (field,
     // termId) — the kernel's deterministic accumulation order
-    val qSpecs: Map[Int, Array[(Int, Int, Double)]] = queries.map { q =>
+    val qSpecs: Map[Int, Array[(Int, Int, Double)]] = liveQueries.map { q =>
       q.queryId -> (for {
         f <- 0 until nF
         t <- q.terms.distinct
@@ -728,7 +803,9 @@ object Wand {
       docFilter.isEmpty && (nF == 1 || fields.forall(_._1.manifest.tombVersion < 0))
     val thetaSeed: Map[Int, Double] =
       if (!seedSound) Map.empty
-      else queries.flatMap { q =>
+      // seeding is UNSOUND for a constrained query (its df >= k guaranteed
+      // docs may fail the constraints) — per-query disable, like docFilter
+      else liveQueries.filterNot(q => resolvedCons.contains(q.queryId)).flatMap { q =>
         val bounds = for {
           f <- 0 until nF
           if fields(f)._1.manifest.maxDocLen > 0 // pre-upgrade manifest: no bound
@@ -745,13 +822,24 @@ object Wand {
 
     val bucketRange = m0.bucketRange
     val blocksPerBucket = m0.bucketRange / m0.blockSize
-    val idsByField: IndexedSeq[Seq[Int]] =
-      (0 until nF).map(f => dicts(f).values.map(_.termId).toSeq.distinct)
+    // SCORING ids per field — from the live cursor specs, so candidate
+    // buckets (and the docstats pruning below) derive only from terms that
+    // can actually produce candidates. Excluded terms' postings are fetched
+    // too (field 0; membership probes) but never expand the bucket set: a
+    // doc matching only excluded terms is not a candidate.
+    val idsByField: IndexedSeq[Seq[Int]] = (0 until nF).map { f =>
+      qSpecs.valuesIterator.flatten.collect { case (`f`, tid, _) => tid }.toSeq.distinct
+    }
+    val exIds: Seq[Int] =
+      resolvedCons.values.flatMap(_.excluded).toSeq.distinct
+        .filterNot(idsByField.head.toSet)
+    def fetchIds(f: Int): Seq[Int] =
+      if (f == 0) idsByField(0) ++ exIds else idsByField(f)
 
     // field-tagged candidate blocks — the termId IN (...) predicate pushes
     // to parquet row groups per field
     val fBlocks: Dataset[(Int, PostingBlock)] = (0 until nF).map { f =>
-      val ids = idsByField(f)
+      val ids = fetchIds(f)
       if (ids.isEmpty) spark.emptyDataset[(Int, PostingBlock)]
       else fields(f)._1.postings
         .filter(col("termId").isin(ids.map(Int.box): _*))
@@ -817,6 +905,9 @@ object Wand {
     }.reduce(_ union _).union(tombSentinels)
 
     val bQ = spark.sparkContext.broadcast(qSpecs)
+    val bCons = spark.sparkContext.broadcast(resolvedCons)
+    val bPhraseTids = spark.sparkContext.broadcast(
+      resolvedCons.values.flatMap(_.phrases.iterator.flatten).toSet)
     val blocksByBucket = fBlocks.groupByKey(_._2.blockId / blocksPerBucket)
     val statsByBucket = fStats.groupByKey(_._2.docId / bucketRange)
 
@@ -837,17 +928,78 @@ object Wand {
             blockArr.groupBy(p => (p._1, p._2.termId)).map { case (key, ps) =>
               key -> ps.map(_._2).sortBy(_.firstDocId).map(DecodedBlock(_, boundKey))
             }
-          bQ.value.iterator.flatMap { case (qid, specs) =>
-            val cursors = specs.flatMap { case (f, tid, effIdf) =>
-              byFieldTerm.get((f, tid))
-                .map(bs => new TermCursor(tid, bs, effIdf, avgdls(f), f))
+          // positional payloads for phrase verification: raw blocks kept per
+          // phrase termId, positions decoded lazily per block (one decode no
+          // matter how many queries/docs probe it) — the WAND scoring path
+          // still never touches positions
+          val phraseTids = bPhraseTids.value
+          val rawPos: Map[Int, Array[PostingBlock]] =
+            if (phraseTids.isEmpty) Map.empty
+            else blockArr.iterator
+              .filter { case (f, b) => f == 0 && phraseTids(b.termId) }.toArray
+              .groupBy(_._2.termId)
+              .map { case (t, ps) => t -> ps.map(_._2).sortBy(_.firstDocId) }
+          val posCache = new java.util.HashMap[Long, (Array[Long], Array[Array[Int]])]()
+          def positionsOf(tid: Int, doc: Long): Array[Int] = {
+            val bs = rawPos.getOrElse(tid, null)
+            if (bs == null) return null
+            var lo = 0; var hi = bs.length - 1; var bi = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (bs(mid).firstDocId <= doc) { bi = mid; lo = mid + 1 } else hi = mid - 1
             }
+            if (bi < 0) return null
+            val key = tid.toLong << 32 | bi.toLong
+            var dec = posCache.get(key)
+            if (dec == null) {
+              val b = bs(bi)
+              val tfs = VByte.decodeInts(b.tfs)
+              dec = (VByte.decodeDocIds(b.docIdGaps), VByte.decodePositions(b.positions, tfs))
+              posCache.put(key, dec)
+            }
+            val ix = java.util.Arrays.binarySearch(dec._1, doc)
+            if (ix < 0) null else dec._2(ix)
+          }
+          def phraseAt(ph: Array[Int], doc: Long): Boolean = {
+            var cand = positionsOf(ph(0), doc)
+            if (cand == null) return false
+            var i = 1
+            while (i < ph.length) {
+              val pi = positionsOf(ph(i), doc)
+              if (pi == null) return false
+              cand = shiftIntersect(cand, pi, i)
+              if (cand.isEmpty) return false
+              i += 1
+            }
+            true
+          }
+          bQ.value.iterator.flatMap { case (qid, specs) =>
+            val rc = bCons.value.get(qid)
+            // a required term with no postings in this bucket → no doc here
+            // can satisfy the conjunction; same for a phrase term
+            val hopeless = rc.exists(c =>
+              c.required.exists(tid => !byFieldTerm.contains((0, tid))) ||
+                c.phrases.exists(_.exists(tid => !rawPos.contains(tid))))
+            val cursors =
+              if (hopeless) Array.empty[TermCursor]
+              else specs.flatMap { case (f, tid, effIdf) =>
+                byFieldTerm.get((f, tid))
+                  .map(bs => new TermCursor(tid, bs, effIdf, avgdls(f), f))
+              }
             if (cursors.isEmpty) Iterator.empty
             else {
               metrics.foreach(m =>
                 m.candidates.add(cursors.iterator.map(_.totalDocs.toLong).sum))
               val theta0 = bTheta.value.getOrElse(qid, Double.NegativeInfinity)
-              wandBucket(cursors, docLens, kk, metrics, theta0).iterator
+              val admit: Long => Boolean = rc match {
+                case None => null
+                case Some(c) => (doc: Long) =>
+                  c.required.forall(tid => containsDoc(byFieldTerm((0, tid)), doc)) &&
+                    !c.excluded.exists(tid =>
+                      byFieldTerm.get((0, tid)).exists(containsDoc(_, doc))) &&
+                    c.phrases.forall(ph => phraseAt(ph, doc))
+              }
+              wandBucket(cursors, docLens, kk, metrics, theta0, admit).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }
             }
           }

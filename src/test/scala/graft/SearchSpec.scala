@@ -1,0 +1,226 @@
+package graft
+
+import graft.corpus.Pages
+import graft.index._
+import graft.query._
+import graft.queries.QuerySet
+import graft.tokenize.Tokenizers
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The search-box DSL surface: [[QueryParser]] grammar semantics and
+  * [[Search]] constrained retrieval, rank- AND score-identical (exact
+  * doubles) to a brute-force constrained oracle — BM25 over the scoring
+  * terms restricted to docs satisfying every `+required` term, every
+  * quoted phrase at consecutive positions, and no `-excluded` term.
+  * (Reference analog: the string-shaped user surface over the learned
+  * vocabulary, midi_tokenizer.py:1676-1750.) */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+  private val analyzer = Tokenizers.default
+
+  private lazy val dir = {
+    val d = "/tmp/graft_test_index/search"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(d))
+    // small bucketRange (4 blocks/bucket) to exercise multi-bucket paths
+    IndexBuilder.build(spark, sfDir, d,
+      IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 3, postingsBuckets = 4))
+    d
+  }
+  private lazy val handle = IndexReader.load(spark, dir)
+
+  private lazy val oracle: OracleScorer.Oracle = {
+    val cleaned = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    val td = IndexBuilder.termDocs(cleaned, analyzer)
+    val m = handle.manifest
+    OracleScorer.build(td, handle.dictMap, m.nDocs, m.avgdl)
+  }
+
+  /** (docId, term) -> ascending positions, from the tokenizer (ground
+    * truth for constraint satisfaction, independent of the index). */
+  private lazy val positions: Map[(Long, String), Array[Int]] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Pages.cleaned(Pages.withInjections(spark, sfDir))
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect()
+      .flatMap { case (id, tx) => analyzer.tokenize(tx).map { case (t, p) => ((id, t), p) } }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+  }
+  private lazy val allDocs: Set[Long] = positions.keysIterator.map(_._1).toSet
+
+  private def hasTerm(doc: Long, t: String): Boolean = positions.contains((doc, t))
+
+  private def hasPhrase(doc: Long, ph: Seq[String]): Boolean =
+    positions.get((doc, ph.head)).exists(_.exists { p =>
+      ph.indices.drop(1).forall(i =>
+        positions.get((doc, ph(i))).exists(ps =>
+          java.util.Arrays.binarySearch(ps, p + i) >= 0))
+    })
+
+  private def satisfies(doc: Long, q: ParsedQuery): Boolean =
+    q.required.forall(hasTerm(doc, _)) &&
+      !q.excluded.exists(hasTerm(doc, _)) &&
+      q.phrases.forall(hasPhrase(doc, _))
+
+  /** The definition: full brute-force boosted ranking, restricted to docs
+    * satisfying the constraints, then take k. */
+  private def want(q: ParsedQuery, k: Int): Array[(Double, Long)] = {
+    val boosts = q.scoring.filter(_._2 != 1.0).toMap
+    oracle.topK(q.scoring.map(_._1), Int.MaxValue, boosts)
+      .filter { case (_, d) => satisfies(d, q) }.take(k)
+  }
+
+  private def assertIdentical(raw: Seq[(Int, String)], k: Int): Unit = {
+    val got = Search.topKRaw(handle, raw, k, analyzer)
+    raw.foreach { case (qid, s) =>
+      val q = QueryParser.parse(qid, s, analyzer)
+      val w = want(q, k)
+      val g = got(qid)
+      assert(g.length == w.length, s"[$s] size: got ${g.length} want ${w.length}")
+      g.zip(w).zipWithIndex.foreach { case (((gs, gd), (ws, wd)), i) =>
+        assert(gd == wd, s"[$s] rank ${i + 1}: docId got $gd want $wd")
+        assert(gs == ws, s"[$s] rank ${i + 1}: score got $gs want $ws (EXACT)")
+      }
+      g.foreach { case (_, d) => assert(satisfies(d, q), s"[$s] doc $d violates constraints") }
+    }
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  test("parser: bare terms, boosts, required, excluded, phrases") {
+    val q = QueryParser.parse(1, "window batch^2.5 stream^0.5", analyzer)
+    assert(q.scoring == Seq("window" -> 1.0, "batch" -> 2.5, "stream" -> 0.5))
+    assert(q.required.isEmpty && q.excluded.isEmpty && q.phrases.isEmpty)
+
+    val q2 = QueryParser.parse(2, "merge join -batch", analyzer)
+    assert(q2.scoring.map(_._1) == Seq("merge", "join"))
+    assert(q2.excluded == Seq("batch"))
+
+    val q3 = QueryParser.parse(3, "+key merge slow", analyzer)
+    assert(q3.required == Seq("key"))
+    assert(q3.scoring.map(_._1) == Seq("key", "merge", "slow"))
+
+    val q4 = QueryParser.parse(4, "\"merge join\" vector", analyzer)
+    assert(q4.phrases == Seq(Seq("merge", "join")))
+    assert(q4.scoring.map(_._1) == Seq("merge", "join", "vector"))
+  }
+
+  test("parser: analyzer normalization and degenerate clauses") {
+    // case fold + punctuation split: one atom can yield several terms
+    val q = QueryParser.parse(1, "Top-K", analyzer)
+    assert(q.scoring == Seq("top" -> 1.0, "k" -> 1.0))
+    // a boost on a multi-term atom applies to each term
+    val qb = QueryParser.parse(2, "top-k^2.0", analyzer)
+    assert(qb.scoring == Seq("top" -> 2.0, "k" -> 2.0))
+    // single-term phrase degrades to the term (no phrase constraint)
+    val q1 = QueryParser.parse(3, "\"spark\" fast", analyzer)
+    assert(q1.phrases.isEmpty && q1.scoring.map(_._1) == Seq("spark", "fast"))
+    // punctuation-only clause is dropped
+    val q2 = QueryParser.parse(4, "spark !!! ...", analyzer)
+    assert(q2.scoring == Seq("spark" -> 1.0))
+    // duplicate scoring mention keeps the LAST boost
+    val q3 = QueryParser.parse(5, "a^2.0 a^3.0", analyzer)
+    assert(q3.scoring == Seq("a" -> 3.0))
+    // `+"a b"` marks the phrase terms required too
+    val q4 = QueryParser.parse(6, "+\"merge join\"", analyzer)
+    assert(q4.phrases == Seq(Seq("merge", "join")) && q4.required == Seq("merge", "join"))
+  }
+
+  test("parser: loud errors — unclosed quote, bad boost, phrase exclusion, contradiction") {
+    def bad(s: String): Unit =
+      assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
+    bad("\"merge join")        // unclosed quote
+    bad("a^x")                 // non-numeric boost
+    bad("a^0")                 // non-positive boost
+    bad("a^-2")                // negative boost
+    bad("a^Infinity")          // non-finite boost
+    bad("-\"merge join\"")     // phrase exclusion unsupported — loud
+    bad("spark -spark")        // contradictory: excluded and positive
+    assertThrows[QueryParser.ParseException](QueryParser.parse(1, null, analyzer))
+  }
+
+  // ------------------------------------------------------------- retrieval
+
+  test("DSL fixture set: rank- and score-identical to constrained oracle") {
+    assertIdentical(QuerySet.dsl, 10)
+    assertIdentical(QuerySet.dsl, 1)
+    assertIdentical(QuerySet.dsl, 40)
+  }
+
+  test("pure scoring query through Search == Wand.topK bit-for-bit") {
+    val got = Search.topKRaw(handle, Seq(1 -> "merge join fast"), 10, analyzer)
+    val plain = Wand.topK(handle, Seq(QuerySpec(1, Seq("merge", "join", "fast"))), 10)
+    assert(got(1).toSeq == plain(1).toSeq)
+  }
+
+  test("OOV discipline: required/phrase OOV empties; excluded OOV is a no-op") {
+    val got = Search.topKRaw(handle,
+      Seq(1 -> "+zzznotaterm spark", 2 -> "\"spark zzznotaterm\"",
+          3 -> "spark -zzznotaterm", 4 -> "spark"), 10, analyzer)
+    assert(got(1).isEmpty, "OOV required must empty the query")
+    assert(got(2).isEmpty, "OOV phrase term must empty the query")
+    assert(got(3).toSeq == got(4).toSeq, "OOV excluded must be a no-op")
+  }
+
+  test("mixed batch: constrained queries do not perturb unconstrained ones") {
+    val mixed = Search.topKRaw(handle,
+      Seq(1 -> "merge join", 2 -> "+key merge -batch", 3 -> "\"merge join\""), 10, analyzer)
+    val alone = Wand.topK(handle, Seq(QuerySpec(1, Seq("merge", "join"))), 10)
+    assert(mixed(1).toSeq == alone(1).toSeq)
+  }
+
+  test("150 seeded random constrained queries over real vocabulary and real phrases") {
+    val vocab = handle.dictMap.keys.toArray.sorted
+    val rnd = new scala.util.Random(7)
+    val docIds = allDocs.toArray.sorted
+    // real consecutive bigrams from the corpus so phrases actually match
+    def realBigram(): Seq[String] = {
+      val d = docIds(rnd.nextInt(docIds.length))
+      val toks = positions.iterator.filter(_._1._1 == d)
+        .flatMap { case ((_, t), ps) => ps.iterator.map(p => (p, t)) }
+        .toArray.sortBy(_._1).map(_._2)
+      if (toks.length < 2) Seq(vocab(rnd.nextInt(vocab.length)))
+      else { val i = rnd.nextInt(toks.length - 1); Seq(toks(i), toks(i + 1)) }
+    }
+    def v(): String = vocab(rnd.nextInt(vocab.length))
+    val raw = (1 to 150).map { i =>
+      val sb = new StringBuilder
+      val nScore = 1 + rnd.nextInt(3)
+      val scoreTerms = Seq.fill(nScore)(v()).distinct
+      scoreTerms.foreach { t =>
+        if (rnd.nextBoolean()) sb ++= s"$t "
+        else sb ++= f"$t^${0.5 + rnd.nextInt(5) * 0.5}%.1f "
+      }
+      if (rnd.nextInt(3) == 0) {
+        val t = v(); if (!scoreTerms.contains(t)) sb ++= s"-$t "
+      }
+      if (rnd.nextInt(3) == 0) sb ++= s"+${v()} "
+      if (rnd.nextInt(3) == 0) {
+        val ph = realBigram()
+        if (ph.length == 2) sb ++= s""""${ph.mkString(" ")}" """
+      }
+      i -> sb.result().trim
+    }.filter(_._2.nonEmpty)
+      .filter { case (i, s) => // drop the rare contradictory draw
+        scala.util.Try(QueryParser.parse(i, s, analyzer)).isSuccess }
+    assert(raw.length >= 130, s"fixture generator degenerated: ${raw.length}")
+    assertIdentical(raw, 10)
+    // the constraint machinery must have actually fired
+    val parsed = raw.map { case (i, s) => QueryParser.parse(i, s, analyzer) }
+    assert(parsed.count(_.phrases.nonEmpty) >= 20, "too few phrase queries drawn")
+    assert(parsed.count(_.excluded.nonEmpty) >= 20, "too few exclusion queries drawn")
+    assert(parsed.count(_.required.nonEmpty) >= 20, "too few required queries drawn")
+  }
+
+  test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
+    val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
+    assert(q.phrases == Seq(Seq("batch", "batch")))
+    val got = Search.topK(handle, Seq(q), 40)
+    val matching = allDocs.filter(d => hasPhrase(d, Seq("batch", "batch")))
+    assert(got(1).map(_._2).toSet == matching.take(40).toSet ||
+      got(1).map(_._2).forall(matching.contains), "every hit must contain the doubled term adjacently")
+    // and the full constrained-oracle equality
+    assertIdentical(Seq(1 -> "\"batch batch\""), 40)
+  }
+}
