@@ -169,8 +169,11 @@ object QuerySet {
 
   /** The search-box DSL fixture (q_search_dsl) — every grammar feature of
     * [[graft.query.QueryParser]]: bare/boosted terms, `+required`,
-    * `-excluded`, quoted phrases (incl. a repeated-term one), and OOV in
-    * every role (OOV excluded = no-op; OOV required = empty query). */
+    * `-excluded`, quoted phrases (incl. a repeated-term one), excluded
+    * phrases (`-"a b"`), `url:` metadata filters (positive and negated,
+    * mixing filter signatures in one batch), and OOV in every role (OOV
+    * excluded = no-op; OOV required = empty query; OOV excluded phrase =
+    * no-op). */
   val dsl: Seq[(Int, String)] = Seq(
     1 -> "spark",
     2 -> "merge join fast",
@@ -180,7 +183,12 @@ object QuerySet {
     6 -> "\"merge join\" vector",
     7 -> "+vector -zzzoov \"the fast key\" a^1.5",
     8 -> "\"batch batch\"",
-    9 -> "+quantum spark")
+    9 -> "+quantum spark",
+    10 -> "merge -\"the fast\"",
+    11 -> "url:2/1 merge join",
+    12 -> "-url:/7 spark batch^2.0",
+    13 -> "\"merge join\" -\"key order\" url:2/4",
+    14 -> "spark -\"zzzoov merge\"")
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -1403,12 +1411,21 @@ object IndexQueries {
           q.excluded.foreach { t =>
             conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term = '$t')"
           }
-          q.phrases.foreach { ph =>
+          def phraseExists(ph: Seq[String]): String = {
             val joins = (1 until ph.length).map(i =>
               s"JOIN tok p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '${ph(i)}'")
               .mkString("\n      ")
-            conds ++= s"\n    AND EXISTS (SELECT 1 FROM tok p0\n      $joins" +
+            s"EXISTS (SELECT 1 FROM tok p0\n      $joins" +
               s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.head}')"
+          }
+          q.phrases.foreach(ph => conds ++= s"\n    AND ${phraseExists(ph)}")
+          q.excludedPhrases.foreach(ph => conds ++= s"\n    AND NOT ${phraseExists(ph)}")
+          q.filters.foreach { f =>
+            // the engine's stored url is a pure function of doc_id
+            // (Pages.base), so the oracle re-derives it inline
+            val expr =
+              s"contains('https://example.org/42/' || CAST(tf.doc_id AS VARCHAR), '${f.value}')"
+            conds ++= s"\n    AND ${if (f.negated) "NOT " else ""}$expr"
           }
           s"""  SELECT w.query_id, tf.doc_id,
              |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score

@@ -2,6 +2,12 @@ package graft.query
 
 import graft.tokenize.TokenizerStrategy
 
+/** One metadata (field) filter clause of a parsed query: `field:value` /
+  * `-field:value`. The only queryable field is `url` (the one metadata
+  * column the index's docstats carry — the `site:` of a web search box);
+  * match is raw substring over the stored url, NOT analyzed. */
+final case class FieldFilter(field: String, value: String, negated: Boolean)
+
 /** A parsed search-box query: the compile target of [[QueryParser]] and the
   * input of [[Search.topK]].
   *
@@ -9,21 +15,28 @@ import graft.tokenize.TokenizerStrategy
   *  - `scoring` terms contribute BM25 impact (weight × idf folds into the
   *    cursor's effective idf exactly like [[QuerySpec.boosts]]);
   *  - a result doc MUST contain every `required` term, every `phrases`
-  *    sequence at consecutive positions, and NONE of the `excluded` terms;
+  *    sequence at consecutive positions, NONE of the `excluded` terms,
+  *    NONE of the `excludedPhrases` at consecutive positions, and must
+  *    satisfy every `filters` metadata clause;
   *  - required and phrase terms also score (they are in `scoring`);
-  *    excluded terms never score.
+  *    excluded terms/phrases and filters never score.
   *
   * OOV discipline mirrors the boolean operators: an out-of-vocabulary
   * required or phrase term empties the query (the constraint cannot be
-  * satisfied); an OOV excluded term is a no-op; an OOV bare term is
-  * dropped from scoring.
+  * satisfied); an OOV excluded term — or an excluded phrase containing
+  * one — is a no-op (the pattern cannot occur); an OOV bare term is
+  * dropped from scoring. Filters probe metadata, not the vocabulary, so
+  * OOV does not apply; a query with filters but no in-vocabulary scoring
+  * term is empty (filters narrow candidates, they never generate them).
   */
 final case class ParsedQuery(
     queryId: Int,
     scoring: Seq[(String, Double)],
     required: Seq[String] = Seq.empty,
     excluded: Seq[String] = Seq.empty,
-    phrases: Seq[Seq[String]] = Seq.empty) {
+    phrases: Seq[Seq[String]] = Seq.empty,
+    excludedPhrases: Seq[Seq[String]] = Seq.empty,
+    filters: Seq[FieldFilter] = Seq.empty) {
   require(scoring.map(_._1).distinct.length == scoring.length,
     s"duplicate scoring term in $scoring")
   require(scoring.forall(_._2 > 0.0), s"non-positive weight in $scoring")
@@ -44,6 +57,8 @@ final case class ParsedQuery(
   *            | '-' atom        // excluded (must not match, never scores)
   *            | atom
   *   atom    := '"' text '"'    // phrase: terms at consecutive positions
+  *            | field ':' value // metadata filter (field ∈ {url}, raw
+  *                              //   substring match, never analyzed)
   *            | text ['^' w]    // bare term, optional boost weight w > 0
   * }}}
   *
@@ -54,9 +69,12 @@ final case class ParsedQuery(
   * normalizing to several analyzer terms (e.g. `top-k` under the
   * punctuation-stripping analyzer) contributes each term. A quoted phrase
   * of one term degrades to that term; `-"a b"` excludes docs containing
-  * the exact phrase is NOT supported (exclusion is term-level) — a leading
-  * `-` on a phrase is a parse error, loudly, rather than a silent
-  * reinterpretation. Duplicate scoring mentions keep the LAST boost.
+  * the phrase at consecutive positions (a single-term excluded phrase
+  * degrades to an excluded term). A clause shaped `name:value` (alphabetic
+  * name, non-empty value) is a metadata filter; an UNKNOWN field name is a
+  * parse error, loudly, rather than a silent reinterpretation as text —
+  * `+url:x` is the same as `url:x` (filters are already conjunctive) and
+  * `-url:x` negates. Duplicate scoring mentions keep the LAST boost.
   *
   * The parser is deterministic, driver-side, and query-sized — parse cost
   * never touches the cluster.
@@ -104,22 +122,31 @@ object QueryParser {
 private[query] object ParsedQueryBuilder {
   import QueryParser._
 
+  /** The queryable metadata fields (docstats columns; url is the one
+    * metadata column every index carries). */
+  private val Fields = Set("url")
+  private val FieldClause = "^([A-Za-z_]+):(.+)$".r
+
   def build(queryId: Int, clauses: Seq[Clause],
       analyzer: TokenizerStrategy): ParsedQuery = {
     val scoring = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val required = scala.collection.mutable.ArrayBuffer.empty[String]
     val excluded = scala.collection.mutable.ArrayBuffer.empty[String]
     val phrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val exPhrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val filters = scala.collection.mutable.ArrayBuffer.empty[FieldFilter]
 
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
 
     clauses.foreach { cl =>
       if (cl.isPhrase) {
-        if (cl.op == '-')
-          throw ParseException(
-            s"""phrase exclusion -"${cl.body}" is not supported — exclusion is term-level""")
         val terms = analyzer.terms(cl.body).toSeq
-        if (terms.length >= 2) {
+        if (cl.op == '-') {
+          // excluded phrase: docs containing it adjacently are vetoed;
+          // its terms never score. One term degrades to an excluded term.
+          if (terms.length >= 2) exPhrases += terms
+          else if (terms.length == 1) excluded += terms.head
+        } else if (terms.length >= 2) {
           phrases += terms
           // phrase terms score at weight 1 unless another clause boosted them
           terms.foreach(t => if (!scoring.contains(t)) addScoring(t, 1.0))
@@ -129,6 +156,15 @@ private[query] object ParsedQueryBuilder {
           if (!scoring.contains(terms.head)) addScoring(terms.head, 1.0)
           if (cl.op == '+') required += terms.head
         } // empty after analysis → dropped
+      } else if (FieldClause.findFirstMatchIn(cl.body).isDefined) {
+        // metadata filter clause — loud on unknown fields (a silent
+        // reinterpretation as text would score `url` and `x` for `urk:x`)
+        val m = FieldClause.findFirstMatchIn(cl.body).get
+        val name = m.group(1).toLowerCase(java.util.Locale.ROOT)
+        if (!Fields(name))
+          throw ParseException(
+            s"unknown field '$name' in '${cl.body}' — queryable fields: ${Fields.toSeq.sorted.mkString(", ")}")
+        filters += FieldFilter(name, m.group(2), negated = cl.op == '-')
       } else {
         // optional ^boost suffix (applies to the whole clause's terms)
         val (body, w) = cl.body.lastIndexOf('^') match {
@@ -152,11 +188,14 @@ private[query] object ParsedQueryBuilder {
       }
     }
     // a term both excluded and scoring/required is contradictory — loud
+    // (an excluded PHRASE sharing a term with scoring is fine: the doc may
+    // contain the term, just not the phrase)
     val exSet = excluded.toSet
     val clash = scoring.keysIterator.find(exSet.contains)
     clash.foreach(t => throw ParseException(
       s"term '$t' is both excluded and positive in the same query"))
     ParsedQuery(queryId, scoring.toSeq,
-      required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq)
+      required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq,
+      exPhrases.toSeq, filters.toSeq)
   }
 }

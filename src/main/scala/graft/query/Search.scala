@@ -1,6 +1,8 @@
 package graft.query
 
 import graft.tokenize.TokenizerStrategy
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The search-box surface: parsed query strings → exact constrained BM25
   * top-k, compiled onto the ONE ranked WAND driver ([[Wand.runFields]]).
@@ -8,17 +10,24 @@ import graft.tokenize.TokenizerStrategy
   * Semantics per [[ParsedQuery]]: BM25 over the scoring terms (with
   * `term^w` boosts folded into effective idf), restricted to docs that
   * contain every `+required` term, every `"quoted phrase"` at consecutive
-  * positions, and none of the `-excluded` terms. Scoring statistics stay
-  * corpus-global (constraints narrow the result set, they do not re-weight
-  * terms — the same discipline as [[Wand.topKFiltered]]).
+  * positions, none of the `-excluded` terms, none of the `-"excluded
+  * phrases"`, and whose metadata satisfies every `field:value` filter.
+  * Scoring statistics stay corpus-global (constraints narrow the result
+  * set, they do not re-weight terms — the same discipline as
+  * [[Wand.topKFiltered]]).
   *
-  * Scale shape: constraints add NO extra Spark pass — excluded terms'
-  * postings ride the same termId-pushdown block fetch, membership and
-  * phrase-adjacency checks are bucket-local binary searches over the
-  * already-decoded blocks (positions decoded lazily, once per block), and
-  * only docs surviving the WAND pivot + block-max gates are ever verified.
-  * Threshold seeding disables per constrained query (its df-guaranteed
-  * docs may fail the constraints); block-max pruning is unaffected.
+  * Scale shape: term constraints add NO extra Spark pass — excluded
+  * terms'/phrases' postings ride the same termId-pushdown block fetch,
+  * membership and phrase-adjacency checks are bucket-local binary searches
+  * over the already-decoded blocks (positions decoded lazily, once per
+  * block), and only docs surviving the WAND pivot + block-max gates are
+  * ever verified. Metadata filters compile to the [[Wand.topKFiltered]]
+  * docFilter (one codegen'd predicate on the bucket-pruned docstats scan);
+  * the batch executes as one WAND pass per DISTINCT filter signature —
+  * filterless queries share one pass, which is the common case (a search
+  * box runs one filter context at a time). Threshold seeding disables per
+  * constrained query and per filtered group (their df-guaranteed docs may
+  * fail the constraints); block-max pruning is unaffected.
   *
   * Reference analog: the tokenizer's vocab→token-sequence query utilities
   * (midi_tokenizer.py:1676-1750) expose one string-shaped user surface over
@@ -33,14 +42,29 @@ object Search {
       metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
     topK(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }, k, metrics)
 
-  /** Run already-parsed queries. */
+  /** One `field:value` filter → a Column over the docstats row. The only
+    * field [[QueryParser]] admits is `url` (raw substring). */
+  private def filterColumn(f: FieldFilter): Column = {
+    val base = col(f.field).contains(lit(f.value))
+    if (f.negated) !base else base
+  }
+
+  /** Run already-parsed queries: one WAND pass per distinct filter
+    * signature, queryIds preserved across the regrouping. */
   def topK(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
       metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
-    val cons = queries.flatMap { q =>
-      val c = Wand.Constraints(q.required, q.excluded, q.phrases)
-      if (c.nonEmpty) Some(q.queryId -> c) else None
+    // canonical signature so `url:a -url:b` == `-url:b url:a` share a pass
+    def signature(q: ParsedQuery): Seq[FieldFilter] =
+      q.filters.distinct.sortBy(f => (f.field, f.value, f.negated))
+    queries.groupBy(signature).iterator.flatMap { case (sig, group) =>
+      val cons = group.flatMap { q =>
+        val c = Wand.Constraints(q.required, q.excluded, q.phrases, q.excludedPhrases)
+        if (c.nonEmpty) Some(q.queryId -> c) else None
+      }.toMap
+      val docFilter: Option[Column] =
+        if (sig.isEmpty) None else Some(sig.map(filterColumn).reduce(_ && _))
+      Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
+        metrics, boundKey = None, docFilter = docFilter, constraints = cons)
     }.toMap
-    Wand.runFields(Seq(index -> 1.0), queries.map(_.toQuerySpec), k,
-      metrics, boundKey = None, constraints = cons)
   }
 }

@@ -214,14 +214,16 @@ object Wand {
     * all its postings share a bucket) and runs only on docs that survive
     * the WAND pivot + block-max gates. */
   final case class Constraints(required: Seq[String], excluded: Seq[String],
-      phrases: Seq[Seq[String]]) {
-    def isEmpty: Boolean = required.isEmpty && excluded.isEmpty && phrases.isEmpty
+      phrases: Seq[Seq[String]], excludedPhrases: Seq[Seq[String]] = Seq.empty) {
+    def isEmpty: Boolean =
+      required.isEmpty && excluded.isEmpty && phrases.isEmpty && excludedPhrases.isEmpty
     def nonEmpty: Boolean = !isEmpty
   }
 
   /** Dictionary-resolved constraints (termIds, field 0). */
   private[query] final case class ResolvedConstraints(
-      required: Array[Int], excluded: Array[Int], phrases: Array[Array[Int]])
+      required: Array[Int], excluded: Array[Int], phrases: Array[Array[Int]],
+      excludedPhrases: Array[Array[Int]])
 
   /** docId membership across one term's bucket-local decoded blocks
     * (ascending disjoint runs): binary search for the covering block, then
@@ -759,11 +761,13 @@ object Wand {
     // the same lookup: excluded terms never score but their postings must
     // be probeable, and required/phrase terms decide OOV emptiness.
     val allTerms = queries.flatMap(_.terms) ++
-      constraints.values.flatMap(c => c.required ++ c.excluded ++ c.phrases.flatten)
+      constraints.values.flatMap(c =>
+        c.required ++ c.excluded ++ c.phrases.flatten ++ c.excludedPhrases.flatten)
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
     // OOV discipline of the constraint surface: an unsatisfiable constraint
-    // (OOV required or phrase term) empties the query; OOV excluded terms
-    // are no-ops and drop out of the resolved ids.
+    // (OOV required or phrase term) empties the query; OOV excluded terms —
+    // and excluded phrases containing one (the pattern cannot occur) — are
+    // no-ops and drop out of the resolved ids.
     val dict0 = dicts.head
     val forcedEmpty: Set[Int] = constraints.collect { case (qid, c)
       if c.required.distinct.exists(t => !dict0.contains(t)) ||
@@ -773,8 +777,13 @@ object Wand {
         qid -> ResolvedConstraints(
           c.required.distinct.map(t => dict0(t).termId).toArray,
           c.excluded.distinct.flatMap(dict0.get).map(_.termId).toArray,
-          c.phrases.map(_.map(t => dict0(t).termId).toArray).toArray)
-    }
+          c.phrases.map(_.map(t => dict0(t).termId).toArray).toArray,
+          c.excludedPhrases.filter(_.forall(dict0.contains))
+            .map(_.map(t => dict0(t).termId).toArray).toArray)
+    }.filter(_._2 match { // fully-OOV no-op constraints dissolve entirely
+      case ResolvedConstraints(r, e, p, xp) =>
+        r.nonEmpty || e.nonEmpty || p.nonEmpty || xp.nonEmpty
+    })
     val liveQueries = queries.filterNot(q => forcedEmpty(q.queryId))
     // a federated (sharded) run overrides the per-field stats with the
     // summed corpus-global ones; fielded/plain runs keep per-field stats
@@ -831,7 +840,8 @@ object Wand {
       qSpecs.valuesIterator.flatten.collect { case (`f`, tid, _) => tid }.toSeq.distinct
     }
     val exIds: Seq[Int] =
-      resolvedCons.values.flatMap(_.excluded).toSeq.distinct
+      (resolvedCons.values.flatMap(_.excluded) ++
+        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatten)).toSeq.distinct
         .filterNot(idsByField.head.toSet)
     def fetchIds(f: Int): Seq[Int] =
       if (f == 0) idsByField(0) ++ exIds else idsByField(f)
@@ -907,7 +917,8 @@ object Wand {
     val bQ = spark.sparkContext.broadcast(qSpecs)
     val bCons = spark.sparkContext.broadcast(resolvedCons)
     val bPhraseTids = spark.sparkContext.broadcast(
-      resolvedCons.values.flatMap(_.phrases.iterator.flatten).toSet)
+      (resolvedCons.values.flatMap(_.phrases.iterator.flatten) ++
+        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatten)).toSet)
     val blocksByBucket = fBlocks.groupByKey(_._2.blockId / blocksPerBucket)
     val statsByBucket = fStats.groupByKey(_._2.docId / bucketRange)
 
@@ -997,7 +1008,8 @@ object Wand {
                   c.required.forall(tid => containsDoc(byFieldTerm((0, tid)), doc)) &&
                     !c.excluded.exists(tid =>
                       byFieldTerm.get((0, tid)).exists(containsDoc(_, doc))) &&
-                    c.phrases.forall(ph => phraseAt(ph, doc))
+                    c.phrases.forall(ph => phraseAt(ph, doc)) &&
+                    !c.excludedPhrases.exists(ph => phraseAt(ph, doc))
               }
               wandBucket(cursors, docLens, kk, metrics, theta0, admit).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }

@@ -58,10 +58,14 @@ class SearchSpec extends AnyFunSuite {
           java.util.Arrays.binarySearch(ps, p + i) >= 0))
     })
 
+  private def urlOf(doc: Long): String = s"https://example.org/42/$doc"
+
   private def satisfies(doc: Long, q: ParsedQuery): Boolean =
     q.required.forall(hasTerm(doc, _)) &&
       !q.excluded.exists(hasTerm(doc, _)) &&
-      q.phrases.forall(hasPhrase(doc, _))
+      q.phrases.forall(hasPhrase(doc, _)) &&
+      !q.excludedPhrases.exists(hasPhrase(doc, _)) &&
+      q.filters.forall(f => urlOf(doc).contains(f.value) != f.negated)
 
   /** The definition: full brute-force boosted ranking, restricted to docs
     * satisfying the constraints, then take k. */
@@ -127,7 +131,7 @@ class SearchSpec extends AnyFunSuite {
     assert(q4.phrases == Seq(Seq("merge", "join")) && q4.required == Seq("merge", "join"))
   }
 
-  test("parser: loud errors — unclosed quote, bad boost, phrase exclusion, contradiction") {
+  test("parser: loud errors — unclosed quote, bad boost, unknown field, contradiction") {
     def bad(s: String): Unit =
       assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
     bad("\"merge join")        // unclosed quote
@@ -135,9 +139,32 @@ class SearchSpec extends AnyFunSuite {
     bad("a^0")                 // non-positive boost
     bad("a^-2")                // negative boost
     bad("a^Infinity")          // non-finite boost
-    bad("-\"merge join\"")     // phrase exclusion unsupported — loud
+    bad("title:spark")         // unknown field — loud, not silent text
+    bad("lang:en spark")       // unknown field
     bad("spark -spark")        // contradictory: excluded and positive
     assertThrows[QueryParser.ParseException](QueryParser.parse(1, null, analyzer))
+  }
+
+  test("parser: excluded phrases and url filters") {
+    val q = QueryParser.parse(1, "merge -\"the fast\"", analyzer)
+    assert(q.excludedPhrases == Seq(Seq("the", "fast")))
+    assert(q.scoring == Seq("merge" -> 1.0), "excluded-phrase terms never score")
+    // single-term excluded phrase degrades to an excluded term
+    val q1 = QueryParser.parse(2, "merge -\"batch\"", analyzer)
+    assert(q1.excludedPhrases.isEmpty && q1.excluded == Seq("batch"))
+    // scoring term INSIDE an excluded phrase is not a contradiction
+    val q2 = QueryParser.parse(3, "batch -\"batch stale\"", analyzer)
+    assert(q2.scoring.map(_._1) == Seq("batch") && q2.excludedPhrases.nonEmpty)
+    // url filters: positive, negated, + is the same as bare
+    val q3 = QueryParser.parse(4, "url:42/1 spark -url:9 +url:example", analyzer)
+    assert(q3.filters == Seq(
+      FieldFilter("url", "42/1", negated = false),
+      FieldFilter("url", "9", negated = true),
+      FieldFilter("url", "example", negated = false)))
+    assert(q3.scoring == Seq("spark" -> 1.0), "filters never score")
+    // field name is case-insensitive; value is verbatim (never analyzed)
+    val q4 = QueryParser.parse(5, "URL:Mixed/Case.Path spark", analyzer)
+    assert(q4.filters == Seq(FieldFilter("url", "Mixed/Case.Path", negated = false)))
   }
 
   // ------------------------------------------------------------- retrieval
@@ -157,10 +184,53 @@ class SearchSpec extends AnyFunSuite {
   test("OOV discipline: required/phrase OOV empties; excluded OOV is a no-op") {
     val got = Search.topKRaw(handle,
       Seq(1 -> "+zzznotaterm spark", 2 -> "\"spark zzznotaterm\"",
-          3 -> "spark -zzznotaterm", 4 -> "spark"), 10, analyzer)
+          3 -> "spark -zzznotaterm", 4 -> "spark",
+          5 -> "spark -\"zzznotaterm merge\""), 10, analyzer)
     assert(got(1).isEmpty, "OOV required must empty the query")
     assert(got(2).isEmpty, "OOV phrase term must empty the query")
     assert(got(3).toSeq == got(4).toSeq, "OOV excluded must be a no-op")
+    assert(got(5).toSeq == got(4).toSeq, "excluded phrase with an OOV term must be a no-op")
+  }
+
+  test("excluded phrase: vetoes adjacency but not bag-of-words co-occurrence") {
+    // find a bigram that exists adjacently in some docs while both terms
+    // co-occur non-adjacently in others — the discriminating fixture
+    val bigrams = allDocs.toSeq.flatMap { d =>
+      val toks = positions.iterator.filter(_._1._1 == d)
+        .flatMap { case ((_, t), ps) => ps.iterator.map(p => (p, t)) }
+        .toArray.sortBy(_._1).map(_._2)
+      toks.sliding(2).filter(_.length == 2).map(w => (w(0), w(1)))
+    }
+    val (a, b) = bigrams.groupBy(identity).maxBy(_._2.size)._1
+    val adj = allDocs.filter(hasPhrase(_, Seq(a, b)))
+    val coNonAdj = allDocs.filter(d =>
+      hasTerm(d, a) && hasTerm(d, b) && !hasPhrase(d, Seq(a, b)))
+    assert(adj.nonEmpty && coNonAdj.nonEmpty, s"weak fixture for ($a,$b)")
+    val raw = Seq(1 -> s"""$a $b -"$a $b"""")
+    assertIdentical(raw, 40)
+    val got = Search.topKRaw(handle, raw, 1000, analyzer)(1).map(_._2).toSet
+    assert(got.intersect(adj).isEmpty, "no adjacent doc may survive")
+    assert(coNonAdj.subsetOf(got), "every non-adjacent co-occurrence must survive")
+  }
+
+  test("url filters: positive, negated, conjunction, and mixed-signature batches") {
+    // one batch mixing three filter signatures + a filterless query:
+    // Search regroups into one WAND pass per signature, ids preserved
+    val raw = Seq(
+      1 -> "merge join",
+      2 -> "url:2/1 merge join",
+      3 -> "-url:/7 merge join",
+      4 -> "url:2/1 -url:/19 merge join",
+      5 -> "url:zzz-no-such-url merge join")
+    assertIdentical(raw, 10)
+    val got = Search.topKRaw(handle, raw, 10, analyzer)
+    val alone = Wand.topK(handle, Seq(QuerySpec(9, Seq("merge", "join"))), 10)
+    assert(got(1).toSeq == alone(9).toSeq, "filterless query in a mixed batch is unperturbed")
+    assert(got(2).forall { case (_, d) => urlOf(d).contains("2/1") })
+    assert(got(3).forall { case (_, d) => !urlOf(d).contains("/7") })
+    assert(got(5).isEmpty, "unmatched filter yields empty")
+    // filters compose with term constraints and phrases
+    assertIdentical(Seq(6 -> "url:2/1 +merge \"merge join\" -batch"), 10)
   }
 
   test("mixed batch: constrained queries do not perturb unconstrained ones") {
@@ -200,6 +270,14 @@ class SearchSpec extends AnyFunSuite {
         val ph = realBigram()
         if (ph.length == 2) sb ++= s""""${ph.mkString(" ")}" """
       }
+      if (rnd.nextInt(4) == 0) {
+        val ph = realBigram()
+        if (ph.length == 2) sb ++= s"""-"${ph.mkString(" ")}" """
+      }
+      if (rnd.nextInt(4) == 0) {
+        val neg = if (rnd.nextBoolean()) "-" else ""
+        sb ++= s"${neg}url:2/${1 + rnd.nextInt(9)} "
+      }
       i -> sb.result().trim
     }.filter(_._2.nonEmpty)
       .filter { case (i, s) => // drop the rare contradictory draw
@@ -211,6 +289,8 @@ class SearchSpec extends AnyFunSuite {
     assert(parsed.count(_.phrases.nonEmpty) >= 20, "too few phrase queries drawn")
     assert(parsed.count(_.excluded.nonEmpty) >= 20, "too few exclusion queries drawn")
     assert(parsed.count(_.required.nonEmpty) >= 20, "too few required queries drawn")
+    assert(parsed.count(_.excludedPhrases.nonEmpty) >= 15, "too few excluded-phrase queries drawn")
+    assert(parsed.count(_.filters.nonEmpty) >= 15, "too few filtered queries drawn")
   }
 
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
