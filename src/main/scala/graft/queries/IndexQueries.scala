@@ -235,6 +235,68 @@ object IndexQueries {
     s"ln((n - $df + 0.5) / ($df + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
       s"($tf + 1.2 * (1.0 - 0.75 + 0.75 * $docLen / avgdl))"
 
+  /** The parsed-DSL oracle: scoring/boost/required/excluded/phrase/filter
+    * semantics regenerated in SQL from the SAME ParsedQuery objects the
+    * engine runs — one source of truth for the grammar's meaning. The
+    * `[rankLo, rankHi]` window selects a result PAGE (ranks relabel to
+    * 1-based within the window), which is exactly what the search_after
+    * cursor must reproduce. */
+  private def searchDslOracle(rankLo: Int, rankHi: Int): String = {
+    val parsed = QuerySet.dsl.map { case (qid, s) =>
+      graft.query.QueryParser.parse(qid, s, Tokenizers.default)
+    }
+    val branches = parsed.map { q =>
+      val vals = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }.mkString(", ")
+      val conds = new StringBuilder
+      q.required.foreach { t =>
+        conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term = '$t')"
+      }
+      q.excluded.foreach { t =>
+        conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term = '$t')"
+      }
+      def phraseExists(ph: Seq[String]): String = {
+        val joins = (1 until ph.length).map(i =>
+          s"JOIN tok p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '${ph(i)}'")
+          .mkString("\n      ")
+        s"EXISTS (SELECT 1 FROM tok p0\n      $joins" +
+          s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.head}')"
+      }
+      q.phrases.foreach(ph => conds ++= s"\n    AND ${phraseExists(ph)}")
+      q.excludedPhrases.foreach(ph => conds ++= s"\n    AND NOT ${phraseExists(ph)}")
+      q.filters.foreach { f =>
+        // the engine's stored url is a pure function of doc_id
+        // (Pages.base), so the oracle re-derives it inline
+        val expr =
+          s"contains('https://example.org/42/' || CAST(tf.doc_id AS VARCHAR), '${f.value}')"
+        conds ++= s"\n    AND ${if (f.negated) "NOT " else ""}$expr"
+      }
+      s"""  SELECT w.query_id, tf.doc_id,
+         |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
+         |  FROM (VALUES $vals) AS w(query_id, term, w)
+         |  JOIN tf ON tf.term = w.term
+         |  JOIN dft ON dft.term = w.term
+         |  JOIN doclen ON doclen.doc_id = tf.doc_id
+         |  CROSS JOIN gstats
+         |  WHERE 1=1$conds
+         |  GROUP BY w.query_id, tf.doc_id""".stripMargin
+    }
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM scores
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id,
+       |       CAST(rank - ${rankLo - 1} AS INTEGER) AS rank,
+       |       doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rank >= $rankLo AND rank <= $rankHi
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def cleanedDocs(spark: SparkSession, sfDir: String): DataFrame =
     Pages.cleaned(Pages.withInjections(spark, sfDir))
 
@@ -610,6 +672,42 @@ object IndexQueries {
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.dsl, k = 40,
           Tokenizers.default), kWand = 40)),
+
+    // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
+    // page 1 at k=10 (exact), cursor on its last (score, docId), fetch the
+    // next 10 strictly after it. The oracle is ranked rows 11..20 of the
+    // SAME regenerated SQL. The engine pages in EXACT-double order while
+    // the oracle ranks by round(score, 6); the guard below makes any 6dp
+    // collision among reported rows loud unless it is an exact tie (exact
+    // ties order by docId asc in BOTH systems, so they compare equal).
+    "q_search_page2" -> ((spark, sfDir) => {
+      val h = IndexCache.handle(spark, sfDir)
+      val parsed = QuerySet.dsl.map { case (qid, s) =>
+        QueryParser.parse(qid, s, Tokenizers.default) }
+      val p1 = Search.topK(h, parsed, 10)
+      val after = p1.collect { case (qid, rows) if rows.nonEmpty => qid -> rows.last }
+      // k=11: the 11th row extends the guard below past the window's FAR
+      // edge (oracle rank 20 vs 21); only 10 are reported
+      val p2 = Search.page(h, parsed, 11, after)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Guard: the engine pages in EXACT-double order, the oracle ranks by
+      // round(score, 6). The two orders coincide iff every 6dp collision
+      // inside exact ranks 1..21 is an EXACT tie (exact ties sort docId-asc
+      // in both systems; rounding is monotone, so adjacent-pair checking
+      // covers whole collision groups). A collision crossing the unfetched
+      // 21/22 edge cannot move rows INSIDE the 11..20 window, so 21 rows
+      // suffice. Non-exact collisions are a loud error, not a wrong answer.
+      parsed.foreach { q =>
+        val both = p1(q.queryId) ++ p2(q.queryId)
+        both.sliding(2).foreach {
+          case Array((s1, _), (s2, _)) =>
+            require(s1 == s2 || r6(s1) != r6(s2),
+              s"query ${q.queryId}: 6dp score collision without exact tie across pages — raise oracle precision")
+          case _ => ()
+        }
+      }
+      rankedReport(spark, p2.map { case (qid, rows) => qid -> rows.take(10) }, kWand = 11)
+    }),
 
     // Second ranking model over the SAME index read-path: Dirichlet-
     // smoothed query likelihood (mu=2000) — proves the scoring layer is
@@ -1395,62 +1493,14 @@ object IndexQueries {
            |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
            |       doc_id, round(score, 4) AS score
            |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-      // the parsed-DSL surface: scoring/boost/required/excluded/phrase
-      // semantics regenerated in SQL from the SAME ParsedQuery objects the
-      // engine runs — one source of truth for the grammar's meaning
-      "q_search_dsl" -> {
-        val parsed = QuerySet.dsl.map { case (qid, s) =>
-          graft.query.QueryParser.parse(qid, s, Tokenizers.default)
-        }
-        val branches = parsed.map { q =>
-          val vals = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }.mkString(", ")
-          val conds = new StringBuilder
-          q.required.foreach { t =>
-            conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term = '$t')"
-          }
-          q.excluded.foreach { t =>
-            conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term = '$t')"
-          }
-          def phraseExists(ph: Seq[String]): String = {
-            val joins = (1 until ph.length).map(i =>
-              s"JOIN tok p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '${ph(i)}'")
-              .mkString("\n      ")
-            s"EXISTS (SELECT 1 FROM tok p0\n      $joins" +
-              s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.head}')"
-          }
-          q.phrases.foreach(ph => conds ++= s"\n    AND ${phraseExists(ph)}")
-          q.excludedPhrases.foreach(ph => conds ++= s"\n    AND NOT ${phraseExists(ph)}")
-          q.filters.foreach { f =>
-            // the engine's stored url is a pure function of doc_id
-            // (Pages.base), so the oracle re-derives it inline
-            val expr =
-              s"contains('https://example.org/42/' || CAST(tf.doc_id AS VARCHAR), '${f.value}')"
-            conds ++= s"\n    AND ${if (f.negated) "NOT " else ""}$expr"
-          }
-          s"""  SELECT w.query_id, tf.doc_id,
-             |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
-             |  FROM (VALUES $vals) AS w(query_id, term, w)
-             |  JOIN tf ON tf.term = w.term
-             |  JOIN dft ON dft.term = w.term
-             |  JOIN doclen ON doclen.doc_id = tf.doc_id
-             |  CROSS JOIN gstats
-             |  WHERE 1=1$conds
-             |  GROUP BY w.query_id, tf.doc_id""".stripMargin
-        }
-        s"""WITH $corpusCte,
-           |scores AS (
-           |${branches.mkString("\nUNION ALL\n")}
-           |),
-           |ranked AS (
-           |  SELECT query_id, doc_id, score,
-           |         row_number() OVER (PARTITION BY query_id
-           |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
-           |  FROM scores
-           |)
-           |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
-           |       doc_id, round(score, 4) AS score
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-      },
+      // the parsed-DSL surface: scoring/boost/required/excluded/phrase/
+      // filter semantics regenerated in SQL from the SAME ParsedQuery
+      // objects the engine runs — one source of truth for the grammar's
+      // meaning (rank window 1..10 = page 1)
+      "q_search_dsl" -> searchDslOracle(rankLo = 1, rankHi = 10),
+      // page 2 via the search_after cursor == ranked rows 11..20 of the
+      // same regenerated SQL, relabeled 1..10
+      "q_search_page2" -> searchDslOracle(rankLo = 11, rankHi = 20),
       // MLT: top-5 tf·idf terms of doc MltDoc (6 dp, term-asc ties) as the
       // query; retrieval excludes the source doc; stats corpus-global
       "q_mlt" ->

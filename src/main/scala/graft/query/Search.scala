@@ -52,6 +52,16 @@ object Search {
   /** Run already-parsed queries: one WAND pass per distinct filter
     * signature, queryIds preserved across the regrouping. */
   def topK(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
+      metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    page(index, queries, k, after = Map.empty, metrics)
+
+  /** DEEP PAGINATION over the full DSL surface: the next k results
+    * strictly after each query's `(score, docId)` cursor (its previous
+    * page's last row), with every constraint and filter still applied —
+    * see [[Wand.topKAfter]] for the cursor semantics and cost shape.
+    * Queries absent from `after` return their first page. */
+  def page(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
+      after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
     // canonical signature so `url:a -url:b` == `-url:b url:a` share a pass
     def signature(q: ParsedQuery): Seq[FieldFilter] =
@@ -64,7 +74,8 @@ object Search {
       val docFilter: Option[Column] =
         if (sig.isEmpty) None else Some(sig.map(filterColumn).reduce(_ && _))
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
-        metrics, boundKey = None, docFilter = docFilter, constraints = cons)
+        metrics, boundKey = None, docFilter = docFilter, constraints = cons,
+        pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) })
     }.toMap
   }
 }

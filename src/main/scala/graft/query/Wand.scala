@@ -367,14 +367,26 @@ object Wand {
     * bound stays valid and the threshold — fed only by admitted docs —
     * remains a lower bound on the true kth-best admitted score: pruning
     * stays exact. The check runs BEFORE the scoring loop (membership
-    * probes are cheaper than the docLen lookups + impact math they save). */
+    * probes are cheaper than the docLen lookups + impact math they save).
+    *
+    * `(afterScore, afterDoc)` is the deep-pagination (search_after) order
+    * cursor: only docs STRICTLY after it in the global (score desc, docId
+    * asc) ranking enter the heap. The default (+∞, -1) admits everything
+    * (every finite score < +∞). The cutoff is one-sided-high, so it cannot
+    * interact with WAND/block-max pruning (which skips LOW upper bounds);
+    * a before-cursor doc still pays its exact evaluation and is rejected
+    * at the heap — the price of exactness, bounded by the page-1 result
+    * size per bucket. Scores are deterministic doubles (fixed summation
+    * order), so cursor equality is exact across runs. */
   private[query] def wandBucket(
       cursors0: Array[TermCursor],
       docLens: Array[java.util.HashMap[Long, Integer]],
       k: Int,
       metrics: Option[WandMetrics] = None,
       initTheta: Double = Double.NegativeInfinity,
-      admit: Long => Boolean = null
+      admit: Long => Boolean = null,
+      afterScore: Double = Double.PositiveInfinity,
+      afterDoc: Long = -1L
   ): Array[(Double, Long)] = {
     val heap = new TopKHeap(k, initTheta)
     val cursors = cursors0.filter(!_.exhausted)
@@ -446,7 +458,8 @@ object Wand {
             }
             if (!dead) {
               metrics.foreach(_.evals.add(1L))
-              heap.offer(score, pivotDoc)
+              if (score < afterScore || (score == afterScore && pivotDoc > afterDoc))
+                heap.offer(score, pivotDoc)
             }
           }
           // advance every cursor sitting at pivotDoc
@@ -654,6 +667,27 @@ object Wand {
     runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
       docFilter = Some(filter))
 
+  /** DEEP PAGINATION (search_after): the next k docs STRICTLY after each
+    * query's `(score, docId)` cursor in the global (score desc, docId asc)
+    * ranking — page N+1 given page N's last row, exactly, without
+    * re-materializing pages 1..N. Stateless (the cursor IS the state, like
+    * Elasticsearch's search_after vs scroll contexts), so it composes with
+    * index appends only in the same snapshot — page against one `loadAt`
+    * snapshot for a stable ranking. Scores are deterministic doubles
+    * (fixed summation order), so a cursor taken from one run is exact in
+    * the next. Cost shape: identical to [[topK]] — the cutoff is
+    * one-sided-high and cannot interact with WAND/block-max pruning;
+    * before-cursor docs re-pay exact evaluation and are rejected at the
+    * heap (bounded by the preceding pages' per-bucket result counts). The
+    * stats-only threshold seed is UNSOUND under a cursor (its guaranteed
+    * docs may rank before it) and disables per cursored query. Queries
+    * absent from `after` run as plain page-1 [[topK]]. */
+  def topKAfter(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      after: Map[Int, (Double, Long)],
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
+      pageAfter = after)
+
   /** TIERED approximate top-k: identical machinery, but block pruning
     * bounds derive from the named E6 metadata entry (e.g.
     * [[graft.index.TfQuantileComputer.TfP90Key]]) instead of maxTf — an
@@ -743,7 +777,8 @@ object Wand {
       k: Int, metrics: Option[WandMetrics], boundKey: Option[String],
       docFilter: Option[org.apache.spark.sql.Column] = None,
       globalStats: Option[(Long, Double, Map[String, Long])] = None,
-      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Array[(Double, Long)]] = {
+      constraints: Map[Int, Constraints] = Map.empty,
+      pageAfter: Map[Int, (Double, Long)] = Map.empty): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
@@ -813,8 +848,10 @@ object Wand {
     val thetaSeed: Map[Int, Double] =
       if (!seedSound) Map.empty
       // seeding is UNSOUND for a constrained query (its df >= k guaranteed
-      // docs may fail the constraints) — per-query disable, like docFilter
-      else liveQueries.filterNot(q => resolvedCons.contains(q.queryId)).flatMap { q =>
+      // docs may fail the constraints) and for a page cursor (guaranteed
+      // docs may rank BEFORE the cursor) — per-query disable, like docFilter
+      else liveQueries.filterNot(q =>
+        resolvedCons.contains(q.queryId) || pageAfter.contains(q.queryId)).flatMap { q =>
         val bounds = for {
           f <- 0 until nF
           if fields(f)._1.manifest.maxDocLen > 0 // pre-upgrade manifest: no bound
@@ -915,6 +952,7 @@ object Wand {
     }.reduce(_ union _).union(tombSentinels)
 
     val bQ = spark.sparkContext.broadcast(qSpecs)
+    val bAfter = spark.sparkContext.broadcast(pageAfter)
     val bCons = spark.sparkContext.broadcast(resolvedCons)
     val bPhraseTids = spark.sparkContext.broadcast(
       (resolvedCons.values.flatMap(_.phrases.iterator.flatten) ++
@@ -1011,7 +1049,9 @@ object Wand {
                     c.phrases.forall(ph => phraseAt(ph, doc)) &&
                     !c.excludedPhrases.exists(ph => phraseAt(ph, doc))
               }
-              wandBucket(cursors, docLens, kk, metrics, theta0, admit).iterator
+              val (aScore, aDoc) =
+                bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
+              wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc).iterator
                 .map { case (s, d) => ScoredDoc(qid, d, s) }
             }
           }

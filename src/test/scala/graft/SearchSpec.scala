@@ -293,6 +293,66 @@ class SearchSpec extends AnyFunSuite {
     assert(parsed.count(_.filters.nonEmpty) >= 15, "too few filtered queries drawn")
   }
 
+  test("search_after: page-walk over the DSL fixtures equals one exact ranking, ends empty") {
+    val parsed = QuerySet.dsl.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }
+    val pageSize = 7 // odd, so cursors land mid-tie-groups
+    val acc = scala.collection.mutable.Map.empty[Int, Vector[(Double, Long)]]
+      .withDefaultValue(Vector.empty)
+    val maxRounds = 4
+    var after = Map.empty[Int, (Double, Long)]
+    var live = parsed
+    var rounds = 0
+    while (live.nonEmpty && rounds < maxRounds) {
+      val res = Search.page(handle, live, pageSize, after)
+      live.foreach(q => acc(q.queryId) ++= res(q.queryId))
+      live = live.filter(q => res(q.queryId).length == pageSize)
+      after = live.map(q => q.queryId -> acc(q.queryId).last).toMap
+      rounds += 1
+    }
+    parsed.foreach { q =>
+      val got = acc(q.queryId)
+      val all = want(q, Int.MaxValue)
+      assert(got.toSeq == all.take(got.length).toSeq,
+        s"[${q.queryId}] concatenated pages diverge from the exact ranking")
+      assert(got.length == math.min(all.length, pageSize * maxRounds),
+        s"[${q.queryId}] wrong walk length: got ${got.length}, " +
+          s"full ranking ${all.length}, cap ${pageSize * maxRounds}")
+      // a page past the very end is empty
+      if (all.nonEmpty && all.length <= pageSize * maxRounds) {
+        val end = Search.page(handle, Seq(q), pageSize, Map(q.queryId -> all.last))
+        assert(end(q.queryId).isEmpty, s"[${q.queryId}] page past the end must be empty")
+      }
+    }
+    // full exhaustion on a low-cardinality query: the doubled-term phrase
+    val q8 = QueryParser.parse(80, "\"batch batch\"", analyzer)
+    val all8 = want(q8, Int.MaxValue)
+    assert(all8.nonEmpty, "weak fixture: no doubled-batch docs")
+    var walked = Vector.empty[(Double, Long)]
+    var cursor = Map.empty[Int, (Double, Long)]
+    var page = Search.page(handle, Seq(q8), 3, cursor)(80)
+    while (page.nonEmpty) {
+      walked ++= page
+      cursor = Map(80 -> walked.last)
+      page = Search.page(handle, Seq(q8), 3, cursor)(80)
+    }
+    assert(walked.toSeq == all8.toSeq, "exhaustive 3-row page walk != full constrained ranking")
+  }
+
+  test("search_after: plain Wand.topKAfter slices match the brute-force ranking") {
+    QuerySet.queries.take(5).foreach { q =>
+      val all = oracle.topK(q.terms, Int.MaxValue)
+      if (all.length > 3) {
+        val cursor = all(2) // cursor on rank 3
+        val got = Wand.topKAfter(handle, Seq(q), 10, Map(q.queryId -> cursor))
+        assert(got(q.queryId).toSeq == all.slice(3, 13).toSeq, s"q=${q.terms}")
+      }
+    }
+    // a query NOT in the after map runs as plain page 1
+    val q0 = QuerySet.queries.head
+    val got = Wand.topKAfter(handle, Seq(q0), 10, Map.empty)
+    assert(got(q0.queryId).toSeq == Wand.topK(handle, Seq(q0), 10)(q0.queryId).toSeq)
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Seq("batch", "batch")))
