@@ -170,7 +170,8 @@ object QuerySet {
   /** The search-box DSL fixture (q_search_dsl) — every grammar feature of
     * [[graft.query.QueryParser]]: bare/boosted terms, `+required`,
     * `-excluded`, quoted phrases (incl. a repeated-term one), excluded
-    * phrases (`-"a b"`), `url:` metadata filters (positive and negated,
+    * phrases (`-"a b"`), slop/proximity phrases (`"a b"~N`, positive,
+    * negated, and 3-term), `url:` metadata filters (positive and negated,
     * mixing filter signatures in one batch), and OOV in every role (OOV
     * excluded = no-op; OOV required = empty query; OOV excluded phrase =
     * no-op). */
@@ -188,7 +189,10 @@ object QuerySet {
     11 -> "url:2/1 merge join",
     12 -> "-url:/7 spark batch^2.0",
     13 -> "\"merge join\" -\"key order\" url:2/4",
-    14 -> "spark -\"zzzoov merge\"")
+    14 -> "spark -\"zzzoov merge\"",
+    15 -> "\"merge fast\"~2 join",
+    16 -> "-\"the key\"~3 spark",
+    17 -> "\"the fast key\"~1 order^1.5")
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -254,12 +258,16 @@ object IndexQueries {
       q.excluded.foreach { t =>
         conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term = '$t')"
       }
-      def phraseExists(ph: Seq[String]): String = {
-        val joins = (1 until ph.length).map(i =>
-          s"JOIN tok p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = '${ph(i)}'")
+      // ordered-window phrase: each consecutive gap in [1, 1 + slop]
+      // (slop 0 = exact adjacency, where the window is a single position)
+      def phraseExists(ph: graft.query.Phrase): String = {
+        val joins = (1 until ph.terms.length).map(i =>
+          s"JOIN tok p$i ON p$i.doc_id = p${i - 1}.doc_id" +
+            s" AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p${i - 1}.pos + ${1 + ph.slop}" +
+            s" AND p$i.term = '${ph.terms(i)}'")
           .mkString("\n      ")
         s"EXISTS (SELECT 1 FROM tok p0\n      $joins" +
-          s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.head}')"
+          s"\n      WHERE p0.doc_id = tf.doc_id AND p0.term = '${ph.terms.head}')"
       }
       q.phrases.foreach(ph => conds ++= s"\n    AND ${phraseExists(ph)}")
       q.excludedPhrases.foreach(ph => conds ++= s"\n    AND NOT ${phraseExists(ph)}")

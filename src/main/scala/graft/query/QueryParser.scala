@@ -8,6 +8,16 @@ import graft.tokenize.TokenizerStrategy
   * match is raw substring over the stored url, NOT analyzed. */
 final case class FieldFilter(field: String, value: String, negated: Boolean)
 
+/** One positional phrase constraint: `terms` must occur in order with
+  * every consecutive position gap in `[1, 1 + slop]` (slop 0 = exact
+  * adjacency — the plain quoted phrase; `"a b"~2` allows up to two
+  * intervening tokens between each consecutive pair). Ordered-window
+  * semantics: simpler than Lucene's move-count slop, SQL-replicable, and
+  * monotone (raising slop only adds matches). */
+final case class Phrase(terms: Seq[String], slop: Int = 0) {
+  require(slop >= 0, s"negative slop: $slop")
+}
+
 /** A parsed search-box query: the compile target of [[QueryParser]] and the
   * input of [[Search.topK]].
   *
@@ -34,8 +44,8 @@ final case class ParsedQuery(
     scoring: Seq[(String, Double)],
     required: Seq[String] = Seq.empty,
     excluded: Seq[String] = Seq.empty,
-    phrases: Seq[Seq[String]] = Seq.empty,
-    excludedPhrases: Seq[Seq[String]] = Seq.empty,
+    phrases: Seq[Phrase] = Seq.empty,
+    excludedPhrases: Seq[Phrase] = Seq.empty,
     filters: Seq[FieldFilter] = Seq.empty) {
   require(scoring.map(_._1).distinct.length == scoring.length,
     s"duplicate scoring term in $scoring")
@@ -88,8 +98,10 @@ object QueryParser {
     ParsedQueryBuilder.build(queryId, lex(raw), analyzer)
   }
 
-  /** One lexed clause: (op, isPhrase, body) with op ∈ {' ', '+', '-'}. */
-  private[query] final case class Clause(op: Char, isPhrase: Boolean, body: String)
+  /** One lexed clause: (op, isPhrase, body, slop) with op ∈ {' ', '+', '-'};
+    * slop is the `~N` suffix of a quoted segment (0 = exact adjacency). */
+  private[query] final case class Clause(
+      op: Char, isPhrase: Boolean, body: String, slop: Int = 0)
 
   /** Whitespace-splitting lexer with quoted-segment carving. An unclosed
     * quote is a loud error (a search UI should reject it, not guess). */
@@ -106,8 +118,20 @@ object QueryParser {
         if (i < n && raw.charAt(i) == '"') {
           val close = raw.indexOf('"', i + 1)
           if (close < 0) throw ParseException(s"unclosed quote in query: $raw")
-          out += Clause(op, isPhrase = true, raw.substring(i + 1, close))
+          val body = raw.substring(i + 1, close)
           i = close + 1
+          // optional ~N slop suffix, hugging the closing quote
+          var slop = 0
+          if (i < n && raw.charAt(i) == '~') {
+            val start = i + 1
+            var j = start
+            while (j < n && Character.isDigit(raw.charAt(j))) j += 1
+            if (j == start)
+              throw ParseException(s"""bad slop after "$body" — expected ~<digits>""")
+            slop = raw.substring(start, j).toInt
+            i = j
+          }
+          out += Clause(op, isPhrase = true, body, slop)
         } else {
           val start = i
           while (i < n && !Character.isWhitespace(raw.charAt(i))) i += 1
@@ -132,8 +156,8 @@ private[query] object ParsedQueryBuilder {
     val scoring = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val required = scala.collection.mutable.ArrayBuffer.empty[String]
     val excluded = scala.collection.mutable.ArrayBuffer.empty[String]
-    val phrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    val exPhrases = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val phrases = scala.collection.mutable.ArrayBuffer.empty[Phrase]
+    val exPhrases = scala.collection.mutable.ArrayBuffer.empty[Phrase]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FieldFilter]
 
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
@@ -142,12 +166,13 @@ private[query] object ParsedQueryBuilder {
       if (cl.isPhrase) {
         val terms = analyzer.terms(cl.body).toSeq
         if (cl.op == '-') {
-          // excluded phrase: docs containing it adjacently are vetoed;
-          // its terms never score. One term degrades to an excluded term.
-          if (terms.length >= 2) exPhrases += terms
+          // excluded phrase: docs containing it within the window are
+          // vetoed; its terms never score. One term degrades to an
+          // excluded term (slop is meaningless at length 1).
+          if (terms.length >= 2) exPhrases += Phrase(terms, cl.slop)
           else if (terms.length == 1) excluded += terms.head
         } else if (terms.length >= 2) {
-          phrases += terms
+          phrases += Phrase(terms, cl.slop)
           // phrase terms score at weight 1 unless another clause boosted them
           terms.foreach(t => if (!scoring.contains(t)) addScoring(t, 1.0))
           if (cl.op == '+') required ++= terms // redundant with the phrase, harmless

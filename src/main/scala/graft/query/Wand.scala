@@ -214,16 +214,18 @@ object Wand {
     * all its postings share a bucket) and runs only on docs that survive
     * the WAND pivot + block-max gates. */
   final case class Constraints(required: Seq[String], excluded: Seq[String],
-      phrases: Seq[Seq[String]], excludedPhrases: Seq[Seq[String]] = Seq.empty) {
+      phrases: Seq[Phrase], excludedPhrases: Seq[Phrase] = Seq.empty) {
     def isEmpty: Boolean =
       required.isEmpty && excluded.isEmpty && phrases.isEmpty && excludedPhrases.isEmpty
     def nonEmpty: Boolean = !isEmpty
   }
 
-  /** Dictionary-resolved constraints (termIds, field 0). */
+  /** Dictionary-resolved constraints (termIds, field 0); each phrase
+    * carries its slop (max extra gap between consecutive terms). */
   private[query] final case class ResolvedConstraints(
-      required: Array[Int], excluded: Array[Int], phrases: Array[Array[Int]],
-      excludedPhrases: Array[Array[Int]])
+      required: Array[Int], excluded: Array[Int],
+      phrases: Array[(Array[Int], Int)],
+      excludedPhrases: Array[(Array[Int], Int)])
 
   /** docId membership across one term's bucket-local decoded blocks
     * (ascending disjoint runs): binary search for the covering block, then
@@ -239,15 +241,21 @@ object Wand {
     bi >= 0 && java.util.Arrays.binarySearch(blocks(bi).ids, doc) >= 0
   }
 
-  /** {p ∈ a : p + off ∈ b} — both ascending; linear two-pointer. */
-  private[query] def shiftIntersect(a: Array[Int], b: Array[Int], off: Int): Array[Int] = {
+  /** {q ∈ b : ∃p ∈ a, p + lo ≤ q ≤ p + hi} — both ascending; linear
+    * two-pointer. With lo = hi = 1 this is exact-adjacency chain
+    * extension (the plain quoted phrase); hi = 1 + slop widens the window
+    * (`"a b"~slop` ordered-window proximity). Returns the END positions,
+    * so chains fold left-to-right across an n-term phrase. */
+  private[query] def windowIntersect(
+      a: Array[Int], b: Array[Int], lo: Int, hi: Int): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
-      val t = a(i) + off
-      if (b(j) < t) j += 1
-      else { if (b(j) == t) { out += a(i); j += 1 }; i += 1 }
+      val q = b(j)
+      if (a(i) + hi < q) i += 1          // window entirely before q
+      else if (a(i) + lo > q) j += 1     // q before the window
+      else { out += q; j += 1 }          // a(i)+lo <= q <= a(i)+hi
     }
     out.result()
   }
@@ -797,7 +805,8 @@ object Wand {
     // be probeable, and required/phrase terms decide OOV emptiness.
     val allTerms = queries.flatMap(_.terms) ++
       constraints.values.flatMap(c =>
-        c.required ++ c.excluded ++ c.phrases.flatten ++ c.excludedPhrases.flatten)
+        c.required ++ c.excluded ++ c.phrases.flatMap(_.terms) ++
+          c.excludedPhrases.flatMap(_.terms))
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
     // OOV discipline of the constraint surface: an unsatisfiable constraint
     // (OOV required or phrase term) empties the query; OOV excluded terms —
@@ -806,15 +815,15 @@ object Wand {
     val dict0 = dicts.head
     val forcedEmpty: Set[Int] = constraints.collect { case (qid, c)
       if c.required.distinct.exists(t => !dict0.contains(t)) ||
-        c.phrases.exists(_.exists(t => !dict0.contains(t))) => qid }.toSet
+        c.phrases.exists(_.terms.exists(t => !dict0.contains(t))) => qid }.toSet
     val resolvedCons: Map[Int, ResolvedConstraints] = constraints.collect {
       case (qid, c) if !forcedEmpty(qid) && c.nonEmpty =>
         qid -> ResolvedConstraints(
           c.required.distinct.map(t => dict0(t).termId).toArray,
           c.excluded.distinct.flatMap(dict0.get).map(_.termId).toArray,
-          c.phrases.map(_.map(t => dict0(t).termId).toArray).toArray,
-          c.excludedPhrases.filter(_.forall(dict0.contains))
-            .map(_.map(t => dict0(t).termId).toArray).toArray)
+          c.phrases.map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray,
+          c.excludedPhrases.filter(_.terms.forall(dict0.contains))
+            .map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray)
     }.filter(_._2 match { // fully-OOV no-op constraints dissolve entirely
       case ResolvedConstraints(r, e, p, xp) =>
         r.nonEmpty || e.nonEmpty || p.nonEmpty || xp.nonEmpty
@@ -878,7 +887,7 @@ object Wand {
     }
     val exIds: Seq[Int] =
       (resolvedCons.values.flatMap(_.excluded) ++
-        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatten)).toSeq.distinct
+        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatMap(_._1))).toSeq.distinct
         .filterNot(idsByField.head.toSet)
     def fetchIds(f: Int): Seq[Int] =
       if (f == 0) idsByField(0) ++ exIds else idsByField(f)
@@ -955,8 +964,8 @@ object Wand {
     val bAfter = spark.sparkContext.broadcast(pageAfter)
     val bCons = spark.sparkContext.broadcast(resolvedCons)
     val bPhraseTids = spark.sparkContext.broadcast(
-      (resolvedCons.values.flatMap(_.phrases.iterator.flatten) ++
-        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatten)).toSet)
+      (resolvedCons.values.flatMap(_.phrases.iterator.flatMap(_._1)) ++
+        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatMap(_._1))).toSet)
     val blocksByBucket = fBlocks.groupByKey(_._2.blockId / blocksPerBucket)
     val statsByBucket = fStats.groupByKey(_._2.docId / bucketRange)
 
@@ -1009,14 +1018,17 @@ object Wand {
             val ix = java.util.Arrays.binarySearch(dec._1, doc)
             if (ix < 0) null else dec._2(ix)
           }
-          def phraseAt(ph: Array[Int], doc: Long): Boolean = {
+          // ordered-window chain: cand holds END positions of valid
+          // prefixes; each step admits positions of the next term within
+          // (prev, prev + 1 + slop]. slop 0 = exact adjacency.
+          def phraseAt(ph: Array[Int], slop: Int, doc: Long): Boolean = {
             var cand = positionsOf(ph(0), doc)
             if (cand == null) return false
             var i = 1
             while (i < ph.length) {
               val pi = positionsOf(ph(i), doc)
               if (pi == null) return false
-              cand = shiftIntersect(cand, pi, i)
+              cand = windowIntersect(cand, pi, 1, 1 + slop)
               if (cand.isEmpty) return false
               i += 1
             }
@@ -1028,7 +1040,7 @@ object Wand {
             // can satisfy the conjunction; same for a phrase term
             val hopeless = rc.exists(c =>
               c.required.exists(tid => !byFieldTerm.contains((0, tid))) ||
-                c.phrases.exists(_.exists(tid => !rawPos.contains(tid))))
+                c.phrases.exists(_._1.exists(tid => !rawPos.contains(tid))))
             val cursors =
               if (hopeless) Array.empty[TermCursor]
               else specs.flatMap { case (f, tid, effIdf) =>
@@ -1046,8 +1058,8 @@ object Wand {
                   c.required.forall(tid => containsDoc(byFieldTerm((0, tid)), doc)) &&
                     !c.excluded.exists(tid =>
                       byFieldTerm.get((0, tid)).exists(containsDoc(_, doc))) &&
-                    c.phrases.forall(ph => phraseAt(ph, doc)) &&
-                    !c.excludedPhrases.exists(ph => phraseAt(ph, doc))
+                    c.phrases.forall { case (ph, sl) => phraseAt(ph, sl, doc) } &&
+                    !c.excludedPhrases.exists { case (ph, sl) => phraseAt(ph, sl, doc) }
               }
               val (aScore, aDoc) =
                 bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))

@@ -51,12 +51,19 @@ class SearchSpec extends AnyFunSuite {
 
   private def hasTerm(doc: Long, t: String): Boolean = positions.contains((doc, t))
 
-  private def hasPhrase(doc: Long, ph: Seq[String]): Boolean =
-    positions.get((doc, ph.head)).exists(_.exists { p =>
-      ph.indices.drop(1).forall(i =>
-        positions.get((doc, ph(i))).exists(ps =>
-          java.util.Arrays.binarySearch(ps, p + i) >= 0))
-    })
+  /** Brute-force ordered-window check (independent of the engine's
+    * two-pointer chain): extend every valid prefix-end position by any
+    * next-term position within (p, p + 1 + slop]. */
+  private def hasPhrase(doc: Long, ph: Phrase): Boolean = {
+    var cand = positions.getOrElse((doc, ph.terms.head), Array.empty[Int])
+    var i = 1
+    while (i < ph.terms.length && cand.nonEmpty) {
+      val next = positions.getOrElse((doc, ph.terms(i)), Array.empty[Int])
+      cand = next.filter(q => cand.exists(p => q > p && q <= p + 1 + ph.slop))
+      i += 1
+    }
+    cand.nonEmpty
+  }
 
   private def urlOf(doc: Long): String = s"https://example.org/42/$doc"
 
@@ -106,7 +113,7 @@ class SearchSpec extends AnyFunSuite {
     assert(q3.scoring.map(_._1) == Seq("key", "merge", "slow"))
 
     val q4 = QueryParser.parse(4, "\"merge join\" vector", analyzer)
-    assert(q4.phrases == Seq(Seq("merge", "join")))
+    assert(q4.phrases == Seq(Phrase(Seq("merge", "join"))))
     assert(q4.scoring.map(_._1) == Seq("merge", "join", "vector"))
   }
 
@@ -128,7 +135,7 @@ class SearchSpec extends AnyFunSuite {
     assert(q3.scoring == Seq("a" -> 3.0))
     // `+"a b"` marks the phrase terms required too
     val q4 = QueryParser.parse(6, "+\"merge join\"", analyzer)
-    assert(q4.phrases == Seq(Seq("merge", "join")) && q4.required == Seq("merge", "join"))
+    assert(q4.phrases == Seq(Phrase(Seq("merge", "join"))) && q4.required == Seq("merge", "join"))
   }
 
   test("parser: loud errors — unclosed quote, bad boost, unknown field, contradiction") {
@@ -145,9 +152,53 @@ class SearchSpec extends AnyFunSuite {
     assertThrows[QueryParser.ParseException](QueryParser.parse(1, null, analyzer))
   }
 
+  test("parser: slop phrases (\"a b\"~N)") {
+    val q = QueryParser.parse(1, "\"merge fast\"~2 join", analyzer)
+    assert(q.phrases == Seq(Phrase(Seq("merge", "fast"), slop = 2)))
+    assert(q.scoring.map(_._1) == Seq("merge", "fast", "join"))
+    // negated slop phrase
+    val q1 = QueryParser.parse(2, "spark -\"the key\"~3", analyzer)
+    assert(q1.excludedPhrases == Seq(Phrase(Seq("the", "key"), slop = 3)))
+    // ~0 is the exact phrase
+    val q2 = QueryParser.parse(3, "\"merge join\"~0", analyzer)
+    assert(q2.phrases == Seq(Phrase(Seq("merge", "join"), slop = 0)))
+    // slop on a single-term phrase degrades with the phrase
+    val q3 = QueryParser.parse(4, "\"spark\"~4", analyzer)
+    assert(q3.phrases.isEmpty && q3.scoring.map(_._1) == Seq("spark"))
+    // loud: ~ without digits
+    assertThrows[QueryParser.ParseException](
+      QueryParser.parse(5, "\"merge join\"~", analyzer))
+    assertThrows[QueryParser.ParseException](
+      QueryParser.parse(6, "\"merge join\"~x", analyzer))
+  }
+
+  test("slop retrieval: window widening is discriminating and oracle-exact") {
+    // find a pair adjacent in no doc but within-3 in some doc — the
+    // fixture that separates slop from exact adjacency
+    val pairs = for {
+      d <- allDocs.toSeq
+      toks = positions.iterator.filter(_._1._1 == d)
+        .flatMap { case ((_, t), ps) => ps.iterator.map(p => (p, t)) }
+        .toArray.sortBy(_._1)
+      i <- toks.indices; j <- (i + 1) until math.min(i + 4, toks.length)
+      if toks(j)._1 - toks(i)._1 > 1 && toks(j)._1 - toks(i)._1 <= 3
+    } yield (toks(i)._2, toks(j)._2)
+    val (a, b) = pairs.groupBy(identity).maxBy(_._2.size)._1
+    val exact = allDocs.filter(hasPhrase(_, Phrase(Seq(a, b))))
+    val slop2 = allDocs.filter(hasPhrase(_, Phrase(Seq(a, b), slop = 2)))
+    assert(exact.subsetOf(slop2) && (slop2 -- exact).nonEmpty,
+      s"weak fixture for ($a,$b): exact ${exact.size}, slop2 ${slop2.size}")
+    val exactQ = "\"" + a + " " + b + "\""
+    val slopQ = exactQ + "~2"
+    assertIdentical(Seq(1 -> exactQ, 2 -> slopQ, 3 -> s"-$slopQ $a $b"), 40)
+    // engine-side discrimination: the slop query admits the extra docs
+    val got = Search.topKRaw(handle, Seq(1 -> exactQ, 2 -> slopQ), 1000, analyzer)
+    assert(got(1).map(_._2).toSet == exact && got(2).map(_._2).toSet == slop2)
+  }
+
   test("parser: excluded phrases and url filters") {
     val q = QueryParser.parse(1, "merge -\"the fast\"", analyzer)
-    assert(q.excludedPhrases == Seq(Seq("the", "fast")))
+    assert(q.excludedPhrases == Seq(Phrase(Seq("the", "fast"))))
     assert(q.scoring == Seq("merge" -> 1.0), "excluded-phrase terms never score")
     // single-term excluded phrase degrades to an excluded term
     val q1 = QueryParser.parse(2, "merge -\"batch\"", analyzer)
@@ -202,9 +253,9 @@ class SearchSpec extends AnyFunSuite {
       toks.sliding(2).filter(_.length == 2).map(w => (w(0), w(1)))
     }
     val (a, b) = bigrams.groupBy(identity).maxBy(_._2.size)._1
-    val adj = allDocs.filter(hasPhrase(_, Seq(a, b)))
+    val adj = allDocs.filter(hasPhrase(_, Phrase(Seq(a, b))))
     val coNonAdj = allDocs.filter(d =>
-      hasTerm(d, a) && hasTerm(d, b) && !hasPhrase(d, Seq(a, b)))
+      hasTerm(d, a) && hasTerm(d, b) && !hasPhrase(d, Phrase(Seq(a, b))))
     assert(adj.nonEmpty && coNonAdj.nonEmpty, s"weak fixture for ($a,$b)")
     val raw = Seq(1 -> s"""$a $b -"$a $b"""")
     assertIdentical(raw, 40)
@@ -266,13 +317,16 @@ class SearchSpec extends AnyFunSuite {
         val t = v(); if (!scoreTerms.contains(t)) sb ++= s"-$t "
       }
       if (rnd.nextInt(3) == 0) sb ++= s"+${v()} "
+      def slopSuffix(): String = rnd.nextInt(3) match {
+        case 0 => "~" + (1 + rnd.nextInt(3)); case _ => ""
+      }
       if (rnd.nextInt(3) == 0) {
         val ph = realBigram()
-        if (ph.length == 2) sb ++= s""""${ph.mkString(" ")}" """
+        if (ph.length == 2) sb ++= s""""${ph.mkString(" ")}"${slopSuffix()} """
       }
       if (rnd.nextInt(4) == 0) {
         val ph = realBigram()
-        if (ph.length == 2) sb ++= s"""-"${ph.mkString(" ")}" """
+        if (ph.length == 2) sb ++= s"""-"${ph.mkString(" ")}"${slopSuffix()} """
       }
       if (rnd.nextInt(4) == 0) {
         val neg = if (rnd.nextBoolean()) "-" else ""
@@ -355,9 +409,9 @@ class SearchSpec extends AnyFunSuite {
 
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
-    assert(q.phrases == Seq(Seq("batch", "batch")))
+    assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
     val got = Search.topK(handle, Seq(q), 40)
-    val matching = allDocs.filter(d => hasPhrase(d, Seq("batch", "batch")))
+    val matching = allDocs.filter(d => hasPhrase(d, Phrase(Seq("batch", "batch"))))
     assert(got(1).map(_._2).toSet == matching.take(40).toSet ||
       got(1).map(_._2).forall(matching.contains), "every hit must contain the doubled term adjacently")
     // and the full constrained-oracle equality
