@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.tokenize.TokenizerStrategy
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, lit}
 
 /** The search-box surface: parsed query strings → exact constrained BM25
@@ -77,5 +77,58 @@ object Search {
         metrics, boundKey = None, docFilter = docFilter, constraints = cons,
         pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) })
     }.toMap
+  }
+
+  /** EXPLAIN: the per-term score breakdown of one (query, doc) — the
+    * Lucene `explain()` of this engine. One row per scoring term with a
+    * posting in the doc: (term, weight, tf, df, idf, doc_len, impact),
+    * where impact = weight · idf · BM25-tf-norm and the ascending-termId
+    * sum of `impact` is BIT-IDENTICAL to the doc's [[topK]] score (same
+    * addends, same order — SearchSpec asserts it). Everything is read
+    * from the index: the dictionary lookup is term-pruned, the postings
+    * probe is one bucket × |terms| blocks (termId pushdown + the doc's
+    * bucket blockId range), the norm one docstats point lookup — cost is
+    * independent of corpus size. A tombstoned or absent doc yields zero
+    * rows (nothing to explain). */
+  def explain(index: IndexHandle, q: ParsedQuery, docId: Long): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val m = index.manifest
+    val dict = index.lookupTerms(q.scoring.map(_._1))
+    val weights = q.scoring.toMap
+    val bpb = m.bucketRange / m.blockSize
+    val bucket = docId / m.bucketRange
+    val resolved = q.scoring.map(_._1).flatMap(t => dict.get(t)).sortBy(_.termId)
+    if (resolved.isEmpty)
+      return Seq.empty[(String, Double, Int, Long, Double, Int, Double)]
+        .toDF("term", "weight", "tf", "df", "idf", "doc_len", "impact")
+    val ids = resolved.map(_.termId)
+    val docLen: Option[Int] = index.docstats // LIVE: tombstoned docs vanish
+      .filter(col("docId") === docId).limit(1).collect().headOption.map(_.docLen)
+    docLen match {
+      case None =>
+        Seq.empty[(String, Double, Int, Long, Double, Int, Double)]
+          .toDF("term", "weight", "tf", "df", "idf", "doc_len", "impact")
+      case Some(dl) =>
+        val tfs: Map[Int, Int] = index.postings
+          .filter(col("termId").isin(ids.map(Int.box): _*) &&
+            col("blockId") >= bucket * bpb && col("blockId") < (bucket + 1) * bpb &&
+            col("firstDocId") <= docId)
+          .collect()
+          .flatMap { b =>
+            val dids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+            val ix = java.util.Arrays.binarySearch(dids, docId)
+            if (ix < 0) None
+            else Some(b.termId -> graft.codec.VByte.decodeInts(b.tfs)(ix))
+          }.toMap
+        resolved.flatMap { e =>
+          tfs.get(e.termId).map { tf =>
+            val w = weights(e.term)
+            val idf = Bm25.idf(m.nDocs, e.df)
+            val impact = Bm25.scoreWithIdf(w * idf, tf, dl, m.avgdl)
+            (e.term, w, tf, e.df, idf, dl, impact)
+          }
+        }.toDF("term", "weight", "tf", "df", "idf", "doc_len", "impact")
+    }
   }
 }

@@ -407,6 +407,37 @@ class SearchSpec extends AnyFunSuite {
     assert(got(q0.queryId).toSeq == Wand.topK(handle, Seq(q0), 10)(q0.queryId).toSeq)
   }
 
+  test("explain: per-term breakdown sums bit-identically to the ranked score") {
+    val raw = Seq(1 -> "merge join fast", 2 -> "window batch^2.5 stream^0.5",
+      3 -> "+key merge -batch \"merge join\"")
+    val got = Search.topKRaw(handle, raw, 3, analyzer)
+    raw.foreach { case (qid, s) =>
+      val q = QueryParser.parse(qid, s, analyzer)
+      got(qid).foreach { case (score, doc) =>
+        val rows = Search.explain(handle, q, doc).collect()
+        assert(rows.nonEmpty, s"[$s] no explain rows for doc $doc")
+        // ascending-termId summation order == the kernel's
+        val byTid = rows.sortBy(r => handle.dictMap(r.getString(0)).termId)
+        var sum = 0.0
+        byTid.foreach(r => sum += r.getDouble(6))
+        assert(sum == score, s"[$s] doc $doc: explain sum $sum != score $score (EXACT)")
+        // each row's impact recomputes from its own published components
+        rows.foreach { r =>
+          val w = r.getDouble(1); val tf = r.getInt(2); val idf = r.getDouble(4)
+          val dl = r.getInt(5)
+          val imp = graft.query.Bm25.scoreWithIdf(w * idf, tf, dl, handle.manifest.avgdl)
+          assert(imp == r.getDouble(6), s"[$s] ${r.getString(0)}: component mismatch")
+          assert(graft.query.Bm25.idf(handle.manifest.nDocs, r.getLong(3)) == idf)
+        }
+      }
+    }
+    // an absent / OOV-everything explain is empty, not an error
+    val qOov = QueryParser.parse(9, "zzznotaterm", analyzer)
+    assert(Search.explain(handle, qOov, 0L).count() == 0)
+    val q1 = QueryParser.parse(10, "merge", analyzer)
+    assert(Search.explain(handle, q1, Long.MaxValue / 2).count() == 0)
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
