@@ -717,6 +717,36 @@ object IndexQueries {
       rankedReport(spark, p2.map { case (qid, rows) => qid -> rows.take(10) }, kWand = 11)
     }),
 
+    // EXPLAIN (the Lucene-explain analog as a driver row): for each boosted
+    // fixture query, take the rank-1 doc under the oracle's ordering
+    // (round(score,6) desc, docId asc — rankedReport's re-sort), then emit
+    // Search.explain's per-term breakdown for that (query, doc). The oracle
+    // re-derives the SAME rank-1 doc in SQL and recomputes every component
+    // (tf, df, doc_len, idf, impact) from raw text, so a green row proves
+    // the published breakdown IS the truth of the ranking, not a parallel
+    // formula. idf/impact rounded to 4dp on both sides (the proven oracle
+    // precision); the engine-side EXACT sum==score identity is SearchSpec's.
+    "q_explain" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val h = IndexCache.handle(spark, sfDir)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val top1 = Wand.topK(h, QuerySet.boosted, k = 40).collect {
+        case (qid, arr) if arr.nonEmpty =>
+          qid -> arr.toSeq.sortBy { case (s, d) => (-r6(s), d) }.head._2
+      }
+      val byId = QuerySet.boosted.map(q => q.queryId ->
+        ParsedQuery(q.queryId, q.terms.distinct.map(t => t -> q.boost(t)))).toMap
+      val rows = top1.toSeq.sortBy(_._1).flatMap { case (qid, doc) =>
+        Search.explain(h, byId(qid), doc).collect().map { r =>
+          (qid, doc, r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3),
+            r.getInt(5), r4(r.getDouble(4)), r4(r.getDouble(6)))
+        }
+      }
+      rows.toDF("query_id", "doc_id", "term", "weight", "tf", "df",
+        "doc_len", "idf", "impact").orderBy("query_id", "term")
+    }),
+
     // Second ranking model over the SAME index read-path: Dirichlet-
     // smoothed query likelihood (mu=2000) — proves the scoring layer is
     // pluggable. score(q,d) = sum_t ln((tf + mu*p_t)/(dl + mu)), p_t =
@@ -1509,6 +1539,41 @@ object IndexQueries {
       // page 2 via the search_after cursor == ranked rows 11..20 of the
       // same regenerated SQL, relabeled 1..10
       "q_search_page2" -> searchDslOracle(rankLo = 11, rankHi = 20),
+      // explain: per-term breakdown of each boosted query's rank-1 doc;
+      // the oracle re-derives the rank-1 selection AND every component
+      "q_explain" ->
+        s"""WITH $corpusCte,
+           |q(query_id, term, w) AS (VALUES ${QuerySet.sqlBoostedValues}),
+           |scores AS (
+           |  SELECT q.query_id, tf.doc_id,
+           |         sum(q.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
+           |  FROM q
+           |  JOIN tf ON tf.term = q.term
+           |  JOIN dft ON dft.term = q.term
+           |  JOIN doclen ON doclen.doc_id = tf.doc_id
+           |  CROSS JOIN gstats
+           |  GROUP BY q.query_id, tf.doc_id
+           |),
+           |top1 AS (
+           |  SELECT query_id, doc_id FROM (
+           |    SELECT query_id, doc_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |                              ORDER BY round(score, 6) DESC, doc_id) AS rank
+           |    FROM scores)
+           |  WHERE rank = 1
+           |)
+           |SELECT CAST(q.query_id AS INTEGER) AS query_id, t1.doc_id, q.term,
+           |       CAST(q.w AS DOUBLE) AS weight, CAST(tf.tf AS INTEGER) AS tf,
+           |       dft.df, CAST(doclen.doc_len AS INTEGER) AS doc_len,
+           |       round(ln((n - dft.df + 0.5) / (dft.df + 0.5) + 1.0), 4) AS idf,
+           |       round(q.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")}), 4) AS impact
+           |FROM q
+           |JOIN top1 t1 ON t1.query_id = q.query_id
+           |JOIN tf ON tf.doc_id = t1.doc_id AND tf.term = q.term
+           |JOIN dft ON dft.term = q.term
+           |JOIN doclen ON doclen.doc_id = t1.doc_id
+           |CROSS JOIN gstats
+           |ORDER BY q.query_id, q.term""".stripMargin,
       // MLT: top-5 tf·idf terms of doc MltDoc (6 dp, term-asc ties) as the
       // query; retrieval excludes the source doc; stats corpus-global
       "q_mlt" ->
