@@ -193,6 +193,26 @@ object QuerySet {
     15 -> "\"merge fast\"~2 join",
     16 -> "-\"the key\"~3 spark",
     17 -> "\"the fast key\"~1 order^1.5")
+
+  /** The wildcard fixture (q_wildcard) — every `pre*` role over the known
+    * vocabulary prefix families (s→6 expansions, c/b/v/f/d→2, zz→0):
+    * pure/bare/boosted scoring wildcards, required (`+pre*` = at least one
+    * expansion), excluded (`-pre*` = none), all three zero-expansion
+    * disciplines, an expansion overlapping an explicit exclusion, and
+    * composition with phrases and metadata filters. */
+  val wildcard: Seq[(Int, String)] = Seq(
+    1 -> "c*",                 // pure wildcard
+    2 -> "s* merge",           // wide expansion + plain term
+    3 -> "+v* join",           // required wildcard (at-least-one-of)
+    4 -> "merge -b*",          // excluded wildcard
+    5 -> "f*^2.0 key",         // boosted wildcard
+    6 -> "zz* merge",          // zero-expansion bare → merge alone
+    7 -> "+zz* merge",         // zero-expansion required → empty
+    8 -> "merge -zz*",         // zero-expansion excluded → no-op
+    9 -> "d* -dup",            // expansion overlapping an explicit exclusion
+    10 -> "+c* -customer",     // requiredAny with one member excluded
+    11 -> "c* \"merge join\"", // wildcard + phrase constraint
+    12 -> "s* url:2/1")        // wildcard + metadata filter
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -239,18 +259,43 @@ object IndexQueries {
     s"ln((n - $df + 0.5) / ($df + 0.5) + 1.0) * ($tf * (1.2 + 1.0)) / " +
       s"($tf + 1.2 * (1.0 - 0.75 + 0.75 * $docLen / avgdl))"
 
-  /** The parsed-DSL oracle: scoring/boost/required/excluded/phrase/filter
-    * semantics regenerated in SQL from the SAME ParsedQuery objects the
-    * engine runs — one source of truth for the grammar's meaning. The
+  /** The parsed-DSL oracle: scoring/boost/required/excluded/phrase/filter/
+    * wildcard semantics regenerated in SQL from the SAME ParsedQuery
+    * objects the engine runs — one source of truth for the grammar's
+    * meaning. Wildcards stay UNEXPANDED here: the oracle re-derives each
+    * expansion as `term LIKE 'pre%'` over the term dictionary (scoring) and
+    * as doc-membership [NOT] IN subqueries (`+pre*` / `-pre*`), so the
+    * engine's dictionary expansion is itself under test. The
     * `[rankLo, rankHi]` window selects a result PAGE (ranks relabel to
     * 1-based within the window), which is exactly what the search_after
     * cursor must reproduce. */
-  private def searchDslOracle(rankLo: Int, rankHi: Int): String = {
-    val parsed = QuerySet.dsl.map { case (qid, s) =>
+  private def searchDslOracle(fixtures: Seq[(Int, String)],
+      rankLo: Int, rankHi: Int): String = {
+    val parsed = fixtures.map { case (qid, s) =>
       graft.query.QueryParser.parse(qid, s, Tokenizers.default)
     }
     val branches = parsed.map { q =>
-      val vals = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }.mkString(", ")
+      // scoring source: explicit VALUES ∪ one dictionary-LIKE SELECT per
+      // scoring wildcard, minus explicit terms and earlier wildcards'
+      // ranges (the engine's "explicit and earlier clauses win" weights)
+      val explicit = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }
+      val scoringWc = q.wildcards.filter(_.op != '-')
+      q.wildcards.foreach(w => require(w.prefix.matches("[a-z0-9]+"),
+        s"oracle cannot LIKE-escape wildcard prefix '${w.prefix}'"))
+      val wcFrags = scoringWc.zipWithIndex.map { case (w, i) =>
+        val notExplicit =
+          if (q.scoring.isEmpty) ""
+          else s" AND term NOT IN (${q.scoring.map(t => s"'${t._1}'").mkString(", ")})"
+        val notEarlier = scoringWc.take(i)
+          .map(e => s" AND term NOT LIKE '${e.prefix}%'").mkString
+        s"SELECT ${q.queryId} AS query_id, term, CAST(${w.weight} AS DOUBLE) AS w" +
+          s" FROM dft WHERE term LIKE '${w.prefix}%'$notExplicit$notEarlier"
+      }
+      val valuesFrag =
+        if (explicit.isEmpty) Seq.empty
+        else Seq(s"SELECT * FROM (VALUES ${explicit.mkString(", ")}) AS v(query_id, term, w)")
+      val scoringSrc = (valuesFrag ++ wcFrags).mkString("\n  UNION ALL\n  ")
+      require(scoringSrc.nonEmpty, s"query ${q.queryId} has no scoring source")
       val conds = new StringBuilder
       q.required.foreach { t =>
         conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term = '$t')"
@@ -278,9 +323,20 @@ object IndexQueries {
           s"contains('https://example.org/42/' || CAST(tf.doc_id AS VARCHAR), '${f.value}')"
         conds ++= s"\n    AND ${if (f.negated) "NOT " else ""}$expr"
       }
+      q.wildcards.foreach { w =>
+        // '+pre*': at least one expansion present; '-pre*': none. A
+        // zero-expansion prefix makes IN () false (query empties) and
+        // NOT IN () true (no-op) — the engine's discipline, for free.
+        if (w.op == '+')
+          conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term LIKE '${w.prefix}%')"
+        else if (w.op == '-')
+          conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term LIKE '${w.prefix}%')"
+      }
       s"""  SELECT w.query_id, tf.doc_id,
          |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
-         |  FROM (VALUES $vals) AS w(query_id, term, w)
+         |  FROM (
+         |  $scoringSrc
+         |  ) w
          |  JOIN tf ON tf.term = w.term
          |  JOIN dft ON dft.term = w.term
          |  JOIN doclen ON doclen.doc_id = tf.doc_id
@@ -679,6 +735,18 @@ object IndexQueries {
     "q_search_dsl" -> ((spark, sfDir) =>
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.dsl, k = 40,
+          Tokenizers.default), kWand = 40)),
+
+    // WILDCARD retrieval (`pre*`): expansion is ONE dictionary prefix range
+    // scan per clause (StartsWith pushdown — autocomplete's plan), capped
+    // loudly (Lucene's TooManyClauses analog); expansions then ride the
+    // standard WAND driver as ordinary weighted cursors — `+pre*` adds an
+    // at-least-one-of (requiredAny) group to the bucket-local verifier,
+    // `-pre*` folds into the excluded set. The oracle re-derives the
+    // expansion itself (term LIKE) plus every constraint in SQL.
+    "q_wildcard" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.wildcard, k = 40,
           Tokenizers.default), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
@@ -1535,10 +1603,13 @@ object IndexQueries {
       // filter semantics regenerated in SQL from the SAME ParsedQuery
       // objects the engine runs — one source of truth for the grammar's
       // meaning (rank window 1..10 = page 1)
-      "q_search_dsl" -> searchDslOracle(rankLo = 1, rankHi = 10),
+      "q_search_dsl" -> searchDslOracle(QuerySet.dsl, rankLo = 1, rankHi = 10),
       // page 2 via the search_after cursor == ranked rows 11..20 of the
       // same regenerated SQL, relabeled 1..10
-      "q_search_page2" -> searchDslOracle(rankLo = 11, rankHi = 20),
+      "q_search_page2" -> searchDslOracle(QuerySet.dsl, rankLo = 11, rankHi = 20),
+      // wildcard retrieval: expansions re-derived in SQL as dictionary
+      // LIKE ranges; required/excluded wildcards as membership subqueries
+      "q_wildcard" -> searchDslOracle(QuerySet.wildcard, rankLo = 1, rankHi = 10),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

@@ -18,6 +18,21 @@ final case class Phrase(terms: Seq[String], slop: Int = 0) {
   require(slop >= 0, s"negative slop: $slop")
 }
 
+/** One unexpanded wildcard clause: `pre*` (trailing star only — the cheap,
+  * dictionary-range-scannable Lucene subset; leading/embedded stars are
+  * loud parse errors, not silent text). `op` mirrors the clause operator:
+  * ' ' bare (expansions score at `weight`), '+' required (a doc must
+  * contain AT LEAST ONE expansion — Lucene's wildcard-subquery-must-match;
+  * expansions also score), '-' excluded (a doc must contain NO expansion;
+  * never scores — weight is ignored, matching `-term^w`). Expansion is
+  * index-time work ([[Search.expand]]): the parser stays driver-side and
+  * dictionary-free. */
+final case class WildcardClause(prefix: String, weight: Double = 1.0, op: Char = ' ') {
+  require(prefix.nonEmpty, "empty wildcard prefix")
+  require(op == ' ' || op == '+' || op == '-', s"bad wildcard op '$op'")
+  require(weight > 0.0, s"non-positive wildcard weight: $weight")
+}
+
 /** A parsed search-box query: the compile target of [[QueryParser]] and the
   * input of [[Search.topK]].
   *
@@ -38,6 +53,16 @@ final case class Phrase(terms: Seq[String], slop: Int = 0) {
   * dropped from scoring. Filters probe metadata, not the vocabulary, so
   * OOV does not apply; a query with filters but no in-vocabulary scoring
   * term is empty (filters narrow candidates, they never generate them).
+  *
+  * `wildcards` are UNEXPANDED `pre*` clauses — [[Search.expand]] resolves
+  * them against the index dictionary (prefix range scan, capped) before
+  * the kernel runs: bare/required expansions join `scoring` at the clause
+  * weight (explicit and earlier-clause weights win on collision), a
+  * required wildcard adds its expansion set to `requiredAny` (the doc must
+  * contain AT LEAST ONE member — the disjunctive sibling of `required`;
+  * an EMPTY group is unsatisfiable, so a zero-expansion `+pre*` empties
+  * the query), and an excluded wildcard's expansions join `excluded`
+  * (zero expansions = no-op, mirroring OOV exclusion).
   */
 final case class ParsedQuery(
     queryId: Int,
@@ -46,7 +71,9 @@ final case class ParsedQuery(
     excluded: Seq[String] = Seq.empty,
     phrases: Seq[Phrase] = Seq.empty,
     excludedPhrases: Seq[Phrase] = Seq.empty,
-    filters: Seq[FieldFilter] = Seq.empty) {
+    filters: Seq[FieldFilter] = Seq.empty,
+    wildcards: Seq[WildcardClause] = Seq.empty,
+    requiredAny: Seq[Seq[String]] = Seq.empty) {
   require(scoring.map(_._1).distinct.length == scoring.length,
     s"duplicate scoring term in $scoring")
   require(scoring.forall(_._2 > 0.0), s"non-positive weight in $scoring")
@@ -69,6 +96,8 @@ final case class ParsedQuery(
   *   atom    := '"' text '"'    // phrase: terms at consecutive positions
   *            | field ':' value // metadata filter (field ∈ {url}, raw
   *                              //   substring match, never analyzed)
+  *            | text '*' ['^' w] // trailing-star wildcard: expands to all
+  *                              //   dictionary terms with that prefix
   *            | text ['^' w]    // bare term, optional boost weight w > 0
   * }}}
   *
@@ -159,6 +188,7 @@ private[query] object ParsedQueryBuilder {
     val phrases = scala.collection.mutable.ArrayBuffer.empty[Phrase]
     val exPhrases = scala.collection.mutable.ArrayBuffer.empty[Phrase]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FieldFilter]
+    val wildcards = scala.collection.mutable.ArrayBuffer.empty[WildcardClause]
 
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
 
@@ -204,11 +234,27 @@ private[query] object ParsedQueryBuilder {
               throw ParseException(s"boost must be a positive finite number: '${cl.body}'")
             (cl.body.substring(0, ix), parsed)
         }
-        val terms = analyzer.terms(body).toSeq
-        cl.op match {
-          case '-' => excluded ++= terms // excluded terms never score
-          case '+' => terms.foreach { t => addScoring(t, w); required += t }
-          case _   => terms.foreach(addScoring(_, w))
+        if (body.contains('*')) {
+          // trailing-star wildcard — anything else star-shaped is a loud
+          // error (a leading/embedded star silently reinterpreted as text
+          // would score the wrong terms)
+          if (!body.endsWith("*") || body.length == 1 ||
+              body.dropRight(1).contains('*'))
+            throw ParseException(
+              s"only a single trailing-* wildcard is supported: '${cl.body}'")
+          val pre = analyzer.terms(body.dropRight(1)).toSeq
+          if (pre.length != 1)
+            throw ParseException(
+              s"wildcard prefix must normalize to one token: '${cl.body}'")
+          // '-pre*' never scores → weight ignored, matching '-term^w'
+          wildcards += WildcardClause(pre.head, if (cl.op == '-') 1.0 else w, cl.op)
+        } else {
+          val terms = analyzer.terms(body).toSeq
+          cl.op match {
+            case '-' => excluded ++= terms // excluded terms never score
+            case '+' => terms.foreach { t => addScoring(t, w); required += t }
+            case _   => terms.foreach(addScoring(_, w))
+          }
         }
       }
     }
@@ -221,6 +267,6 @@ private[query] object ParsedQueryBuilder {
       s"term '$t' is both excluded and positive in the same query"))
     ParsedQuery(queryId, scoring.toSeq,
       required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq,
-      exPhrases.toSeq, filters.toSeq)
+      exPhrases.toSeq, filters.toSeq, wildcards.toSeq)
   }
 }

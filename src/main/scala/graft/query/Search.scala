@@ -35,6 +35,40 @@ import org.apache.spark.sql.functions.{col, lit}
   */
 object Search {
 
+  /** Default wildcard expansion cap (Lucene's maxExpansions analog);
+    * exceeding it is a loud error, never a silent truncation. */
+  final val MaxExpansions = 64
+
+  /** Resolve a query's `pre*` wildcards against the index dictionary (one
+    * prefix range scan per wildcard — the StartsWith predicate pushes to
+    * the parquet dictionary, so cost is the expansion's term range, not
+    * the vocabulary). Expansion semantics (see [[ParsedQuery]]): bare and
+    * `+` expansions score at the clause weight — explicit terms and
+    * earlier clauses win weight collisions; a `+pre*` additionally adds
+    * its expansion set as a `requiredAny` group (empty = unsatisfiable →
+    * the kernel empties the query); a `-pre*`'s expansions join `excluded`
+    * (empty = no-op). Already-expanded (wildcard-free) queries pass
+    * through untouched. */
+  def expand(index: IndexHandle, q: ParsedQuery,
+      maxExpansions: Int = MaxExpansions): ParsedQuery =
+    if (q.wildcards.isEmpty) q
+    else {
+      val scoring = scala.collection.mutable.LinkedHashMap(q.scoring: _*)
+      val excluded = scala.collection.mutable.ArrayBuffer(q.excluded: _*)
+      val requiredAny = scala.collection.mutable.ArrayBuffer(q.requiredAny: _*)
+      q.wildcards.foreach { w =>
+        val exp = index.expandPrefix(w.prefix, maxExpansions)
+        w.op match {
+          case '-' => excluded ++= exp
+          case op =>
+            exp.foreach(t => if (!scoring.contains(t)) scoring(t) = w.weight)
+            if (op == '+') requiredAny += exp
+        }
+      }
+      q.copy(scoring = scoring.toSeq, excluded = excluded.distinct.toSeq,
+        requiredAny = requiredAny.toSeq, wildcards = Seq.empty)
+    }
+
   /** Parse raw query strings with the index's analyzer and run them.
     * Returns queryId → ranked (score, docId), exactly like [[Wand.topK]]. */
   def topKRaw(index: IndexHandle, raw: Seq[(Int, String)], k: Int,
@@ -60,15 +94,18 @@ object Search {
     * page's last row), with every constraint and filter still applied —
     * see [[Wand.topKAfter]] for the cursor semantics and cost shape.
     * Queries absent from `after` return their first page. */
-  def page(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
+  def page(index: IndexHandle, queries0: Seq[ParsedQuery], k: Int,
       after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
+    // wildcards resolve against the dictionary first (no-op when absent)
+    val queries = queries0.map(expand(index, _))
     // canonical signature so `url:a -url:b` == `-url:b url:a` share a pass
     def signature(q: ParsedQuery): Seq[FieldFilter] =
       q.filters.distinct.sortBy(f => (f.field, f.value, f.negated))
     queries.groupBy(signature).iterator.flatMap { case (sig, group) =>
       val cons = group.flatMap { q =>
-        val c = Wand.Constraints(q.required, q.excluded, q.phrases, q.excludedPhrases)
+        val c = Wand.Constraints(q.required, q.excluded, q.phrases,
+          q.excludedPhrases, q.requiredAny)
         if (c.nonEmpty) Some(q.queryId -> c) else None
       }.toMap
       val docFilter: Option[Column] =

@@ -173,6 +173,26 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
     * uses [[lookupTerms]]. */
   lazy val dictMap: Map[String, TermEntry] =
     dictionary.collect().map(e => e.term -> e).toMap
+
+  /** Wildcard expansion: every dictionary term with `prefix`, ascending —
+    * a prefix RANGE scan (the StartsWith predicate pushes to the parquet
+    * dictionary, same plan as autocomplete), so one keystroke's expansion
+    * touches only its term range even at a 100M-term vocabulary. More than
+    * `max` matches is a LOUD error (Lucene's TooManyClauses analog): a
+    * silently-truncated expansion set would make scoring depend on scan
+    * order. Deletes never shrink the dictionary (tombstones are doc-level),
+    * so expansion over a deleted corpus may include df-stale terms — their
+    * cursors simply find no live docs, exactly like any stale df. */
+  def expandPrefix(prefix: String, max: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    require(prefix.nonEmpty, "empty wildcard prefix")
+    val hits = dictionary.filter(col("term").startsWith(prefix))
+      .select("term").limit(max + 1).as[String].collect()
+    if (hits.length > max)
+      throw new IllegalArgumentException(
+        s"wildcard '$prefix*' expands to more than $max terms — narrow the prefix or raise maxExpansions")
+    hits.sorted.toSeq
+  }
 }
 
 object IndexReader {
@@ -214,18 +234,23 @@ object Wand {
     * all its postings share a bucket) and runs only on docs that survive
     * the WAND pivot + block-max gates. */
   final case class Constraints(required: Seq[String], excluded: Seq[String],
-      phrases: Seq[Phrase], excludedPhrases: Seq[Phrase] = Seq.empty) {
+      phrases: Seq[Phrase], excludedPhrases: Seq[Phrase] = Seq.empty,
+      requiredAny: Seq[Seq[String]] = Seq.empty) {
     def isEmpty: Boolean =
-      required.isEmpty && excluded.isEmpty && phrases.isEmpty && excludedPhrases.isEmpty
+      required.isEmpty && excluded.isEmpty && phrases.isEmpty &&
+        excludedPhrases.isEmpty && requiredAny.isEmpty
     def nonEmpty: Boolean = !isEmpty
   }
 
   /** Dictionary-resolved constraints (termIds, field 0); each phrase
-    * carries its slop (max extra gap between consecutive terms). */
+    * carries its slop (max extra gap between consecutive terms).
+    * `requiredAny` groups are disjunctions: the doc must contain at least
+    * one member of EVERY group (the expanded `+pre*` wildcard). */
   private[query] final case class ResolvedConstraints(
       required: Array[Int], excluded: Array[Int],
       phrases: Array[(Array[Int], Int)],
-      excludedPhrases: Array[(Array[Int], Int)])
+      excludedPhrases: Array[(Array[Int], Int)],
+      requiredAny: Array[Array[Int]] = Array.empty)
 
   /** docId membership across one term's bucket-local decoded blocks
     * (ascending disjoint runs): binary search for the covering block, then
@@ -806,16 +831,20 @@ object Wand {
     val allTerms = queries.flatMap(_.terms) ++
       constraints.values.flatMap(c =>
         c.required ++ c.excluded ++ c.phrases.flatMap(_.terms) ++
-          c.excludedPhrases.flatMap(_.terms))
+          c.excludedPhrases.flatMap(_.terms) ++ c.requiredAny.flatten)
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
     // OOV discipline of the constraint surface: an unsatisfiable constraint
     // (OOV required or phrase term) empties the query; OOV excluded terms —
     // and excluded phrases containing one (the pattern cannot occur) — are
     // no-ops and drop out of the resolved ids.
     val dict0 = dicts.head
+    // ... and a requiredAny group with NO in-vocabulary member (e.g. a
+    // zero-expansion `+pre*` — the group is empty by construction) is
+    // unsatisfiable, so it also empties the query
     val forcedEmpty: Set[Int] = constraints.collect { case (qid, c)
       if c.required.distinct.exists(t => !dict0.contains(t)) ||
-        c.phrases.exists(_.terms.exists(t => !dict0.contains(t))) => qid }.toSet
+        c.phrases.exists(_.terms.exists(t => !dict0.contains(t))) ||
+        c.requiredAny.exists(g => !g.exists(dict0.contains)) => qid }.toSet
     val resolvedCons: Map[Int, ResolvedConstraints] = constraints.collect {
       case (qid, c) if !forcedEmpty(qid) && c.nonEmpty =>
         qid -> ResolvedConstraints(
@@ -823,10 +852,13 @@ object Wand {
           c.excluded.distinct.flatMap(dict0.get).map(_.termId).toArray,
           c.phrases.map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray,
           c.excludedPhrases.filter(_.terms.forall(dict0.contains))
-            .map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray)
+            .map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray,
+          // OOV group members drop (they can match no doc; the group's
+          // satisfiability survives — forcedEmpty already caught all-OOV)
+          c.requiredAny.map(_.distinct.flatMap(dict0.get).map(_.termId).toArray).toArray)
     }.filter(_._2 match { // fully-OOV no-op constraints dissolve entirely
-      case ResolvedConstraints(r, e, p, xp) =>
-        r.nonEmpty || e.nonEmpty || p.nonEmpty || xp.nonEmpty
+      case ResolvedConstraints(r, e, p, xp, ra) =>
+        r.nonEmpty || e.nonEmpty || p.nonEmpty || xp.nonEmpty || ra.nonEmpty
     })
     val liveQueries = queries.filterNot(q => forcedEmpty(q.queryId))
     // a federated (sharded) run overrides the per-field stats with the
@@ -887,7 +919,10 @@ object Wand {
     }
     val exIds: Seq[Int] =
       (resolvedCons.values.flatMap(_.excluded) ++
-        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatMap(_._1))).toSeq.distinct
+        resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatMap(_._1)) ++
+        // requiredAny members usually score (wildcard expansions do) and
+        // then dedupe away here; fetched defensively for constraint-only use
+        resolvedCons.values.flatMap(_.requiredAny.iterator.flatten)).toSeq.distinct
         .filterNot(idsByField.head.toSet)
     def fetchIds(f: Int): Seq[Int] =
       if (f == 0) idsByField(0) ++ exIds else idsByField(f)
@@ -1040,7 +1075,10 @@ object Wand {
             // can satisfy the conjunction; same for a phrase term
             val hopeless = rc.exists(c =>
               c.required.exists(tid => !byFieldTerm.contains((0, tid))) ||
-                c.phrases.exists(_._1.exists(tid => !rawPos.contains(tid))))
+                c.phrases.exists(_._1.exists(tid => !rawPos.contains(tid))) ||
+                // no member of a requiredAny group has postings here → no
+                // doc in this bucket can satisfy the disjunction
+                c.requiredAny.exists(g => !g.exists(tid => byFieldTerm.contains((0, tid)))))
             val cursors =
               if (hopeless) Array.empty[TermCursor]
               else specs.flatMap { case (f, tid, effIdf) =>
@@ -1056,6 +1094,8 @@ object Wand {
                 case None => null
                 case Some(c) => (doc: Long) =>
                   c.required.forall(tid => containsDoc(byFieldTerm((0, tid)), doc)) &&
+                    c.requiredAny.forall(g => g.exists(tid =>
+                      byFieldTerm.get((0, tid)).exists(containsDoc(_, doc)))) &&
                     !c.excluded.exists(tid =>
                       byFieldTerm.get((0, tid)).exists(containsDoc(_, doc))) &&
                     c.phrases.forall { case (ph, sl) => phraseAt(ph, sl, doc) } &&

@@ -69,6 +69,7 @@ class SearchSpec extends AnyFunSuite {
 
   private def satisfies(doc: Long, q: ParsedQuery): Boolean =
     q.required.forall(hasTerm(doc, _)) &&
+      q.requiredAny.forall(g => g.exists(hasTerm(doc, _))) &&
       !q.excluded.exists(hasTerm(doc, _)) &&
       q.phrases.forall(hasPhrase(doc, _)) &&
       !q.excludedPhrases.exists(hasPhrase(doc, _)) &&
@@ -85,7 +86,9 @@ class SearchSpec extends AnyFunSuite {
   private def assertIdentical(raw: Seq[(Int, String)], k: Int): Unit = {
     val got = Search.topKRaw(handle, raw, k, analyzer)
     raw.foreach { case (qid, s) =>
-      val q = QueryParser.parse(qid, s, analyzer)
+      // expand is a no-op on wildcard-free queries; the brute-force side
+      // always checks against the dictionary-resolved form
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
       val w = want(q, k)
       val g = got(qid)
       assert(g.length == w.length, s"[$s] size: got ${g.length} want ${w.length}")
@@ -436,6 +439,96 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.explain(handle, qOov, 0L).count() == 0)
     val q1 = QueryParser.parse(10, "merge", analyzer)
     assert(Search.explain(handle, q1, Long.MaxValue / 2).count() == 0)
+  }
+
+  // ------------------------------------------------------------- wildcards
+
+  test("parser: trailing-star wildcards") {
+    val q = QueryParser.parse(1, "c*", analyzer)
+    assert(q.wildcards == Seq(WildcardClause("c", 1.0, ' ')) && q.scoring.isEmpty)
+    val q2 = QueryParser.parse(2, "f*^2.0 key", analyzer)
+    assert(q2.wildcards == Seq(WildcardClause("f", 2.0, ' ')))
+    assert(q2.scoring == Seq("key" -> 1.0))
+    val q3 = QueryParser.parse(3, "+v* join", analyzer)
+    assert(q3.wildcards == Seq(WildcardClause("v", 1.0, '+')))
+    val q4 = QueryParser.parse(4, "-b* merge", analyzer)
+    assert(q4.wildcards == Seq(WildcardClause("b", 1.0, '-')))
+    // boost on an excluded wildcard is ignored (it never scores), like -term^w
+    val q5 = QueryParser.parse(5, "-b*^3.0 merge", analyzer)
+    assert(q5.wildcards == Seq(WildcardClause("b", 1.0, '-')))
+    // the prefix normalizes through the analyzer
+    val q6 = QueryParser.parse(6, "MER* join", analyzer)
+    assert(q6.wildcards == Seq(WildcardClause("mer", 1.0, ' ')))
+  }
+
+  test("parser: wildcard loud errors") {
+    def bad(s: String): Unit =
+      assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
+    bad("*")        // match-all
+    bad("*merge")   // leading star
+    bad("me*ge")    // embedded star
+    bad("me**")     // multi star
+    bad("top-k*")   // prefix normalizes to two tokens
+    bad("..*")      // prefix normalizes to nothing
+  }
+
+  test("expand: dictionary expansion semantics (weights, groups, exclusions)") {
+    val sTerms = handle.dictMap.keys.filter(_.startsWith("s")).toSeq.sorted
+    assert(sTerms.length >= 3, s"fixture corpus lost its s-terms: $sTerms")
+    val q = Search.expand(handle, QueryParser.parse(1, "s*^2.0 spark", analyzer))
+    assert(q.wildcards.isEmpty)
+    // explicit terms win weight collisions; other expansions take the clause's
+    val w1 = q.scoring.toMap
+    assert(w1("spark") == 1.0)
+    sTerms.filterNot(_ == "spark").foreach(t => assert(w1(t) == 2.0, t))
+    // required wildcard: expansions score AND form one requiredAny group
+    val vTerms = handle.dictMap.keys.filter(_.startsWith("v")).toSeq.sorted
+    val q2 = Search.expand(handle, QueryParser.parse(2, "+v* join", analyzer))
+    assert(q2.requiredAny == Seq(vTerms))
+    val w2 = q2.scoring.toMap
+    vTerms.foreach(t => assert(w2.contains(t), t))
+    // excluded wildcard: expansions join excluded, never score
+    val bTerms = handle.dictMap.keys.filter(_.startsWith("b")).toSeq.sorted
+    val q3 = Search.expand(handle, QueryParser.parse(3, "merge -b*", analyzer))
+    assert(q3.excluded == bTerms && q3.scoring.map(_._1) == Seq("merge"))
+    // zero-expansion discipline: bare drops, required empties, excluded no-ops
+    val q4 = Search.expand(handle, QueryParser.parse(4, "zz* merge", analyzer))
+    assert(q4.scoring == Seq("merge" -> 1.0) && q4.requiredAny.isEmpty)
+    val q5 = Search.expand(handle, QueryParser.parse(5, "+zz* merge", analyzer))
+    assert(q5.requiredAny == Seq(Seq.empty)) // the unsatisfiable group
+    val q6 = Search.expand(handle, QueryParser.parse(6, "merge -zz*", analyzer))
+    assert(q6.excluded.isEmpty)
+  }
+
+  test("expand: TooManyClauses cap is a loud error, not a truncation") {
+    assertThrows[IllegalArgumentException](handle.expandPrefix("s", 2))
+    assertThrows[IllegalArgumentException](
+      Search.expand(handle, QueryParser.parse(1, "s*", analyzer), maxExpansions = 2))
+    // at the exact cap it expands in full
+    val n = handle.dictMap.keys.count(_.startsWith("s"))
+    assert(handle.expandPrefix("s", n).length == n)
+  }
+
+  test("wildcard retrieval: rank- and score-identical to the expanded brute force") {
+    assertIdentical(Seq(
+      1 -> "c*",                 // pure wildcard
+      2 -> "s* merge",           // wide expansion + plain term
+      3 -> "+v* join",           // required wildcard (at-least-one-of)
+      4 -> "merge -b*",          // excluded wildcard
+      5 -> "f*^2.0 key",         // boosted wildcard
+      6 -> "zz* merge",          // zero-expansion bare → merge alone
+      7 -> "+zz* merge",         // zero-expansion required → empty
+      8 -> "merge -zz*",         // zero-expansion excluded → no-op
+      9 -> "d* -dup",            // expansion overlapping an explicit exclusion
+      10 -> "+c* -customer",     // requiredAny with one member excluded
+      11 -> "c* \"merge join\"", // wildcard + phrase constraint
+      12 -> "s* url:2/1"         // wildcard + metadata filter
+    ), 10)
+    // zero-expansion identities against the plain query, exact arrays
+    val plain = Search.topKRaw(handle, Seq(1 -> "merge"), 10, analyzer)(1)
+    assert(Search.topKRaw(handle, Seq(1 -> "zz* merge"), 10, analyzer)(1).toSeq == plain.toSeq)
+    assert(Search.topKRaw(handle, Seq(1 -> "merge -zz*"), 10, analyzer)(1).toSeq == plain.toSeq)
+    assert(Search.topKRaw(handle, Seq(1 -> "+zz* merge"), 10, analyzer)(1).isEmpty)
   }
 
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
