@@ -213,6 +213,26 @@ object QuerySet {
     10 -> "+c* -customer",     // requiredAny with one member excluded
     11 -> "c* \"merge join\"", // wildcard + phrase constraint
     12 -> "s* url:2/1")        // wildcard + metadata filter
+
+  /** The fuzzy fixture (q_fuzzy) — `term~1` in every clause role over
+    * known edit-distance-1 neighborhoods of the vocabulary (mergee→merge,
+    * joi→join, betch→batch, sow→{row, slow}, zzz→∅), plus an in-vocab
+    * needle (merge~1 includes itself at distance 0), expansion overlapping
+    * an explicit exclusion, and composition with phrases and filters. */
+  val fuzzy: Seq[(Int, String)] = Seq(
+    1 -> "mergee~1",            // pure fuzzy, OOV needle
+    2 -> "joi~1 batch",         // fuzzy + plain term
+    3 -> "+betch~1 merge",      // required fuzzy (at-least-one-of)
+    4 -> "merge -betch~1",      // excluded fuzzy
+    5 -> "sow~1^2.0 key",       // boosted multi-expansion {row, slow}
+    6 -> "zzz~1 merge",         // zero-expansion bare → merge alone
+    7 -> "+zzz~1 merge",        // zero-expansion required → empty
+    8 -> "merge -zzz~1",        // zero-expansion excluded → no-op
+    9 -> "merge~1 join",        // in-vocab needle: neighborhood ∋ itself
+    10 -> "sow~1 -row",         // expansion overlapping an explicit exclusion
+    11 -> "joi~1 \"merge join\"", // fuzzy + phrase constraint
+    12 -> "betch~1 url:2/1",    // fuzzy + metadata filter
+    13 -> "s* joi~1")           // wildcard × fuzzy in one query
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -280,21 +300,34 @@ object IndexQueries {
       // ranges (the engine's "explicit and earlier clauses win" weights)
       val explicit = q.scoring.map { case (t, w) => s"(${q.queryId},'$t',$w)" }
       val scoringWc = q.wildcards.filter(_.op != '-')
+      val scoringFz = q.fuzzies.filter(_.op != '-')
       q.wildcards.foreach(w => require(w.prefix.matches("[a-z0-9]+"),
         s"oracle cannot LIKE-escape wildcard prefix '${w.prefix}'"))
+      q.fuzzies.foreach(f => require(f.term.matches("[a-z0-9]+"),
+        s"oracle cannot SQL-quote fuzzy term '${f.term}'"))
+      val notExplicit =
+        if (q.scoring.isEmpty) ""
+        else s" AND term NOT IN (${q.scoring.map(t => s"'${t._1}'").mkString(", ")})"
       val wcFrags = scoringWc.zipWithIndex.map { case (w, i) =>
-        val notExplicit =
-          if (q.scoring.isEmpty) ""
-          else s" AND term NOT IN (${q.scoring.map(t => s"'${t._1}'").mkString(", ")})"
         val notEarlier = scoringWc.take(i)
           .map(e => s" AND term NOT LIKE '${e.prefix}%'").mkString
         s"SELECT ${q.queryId} AS query_id, term, CAST(${w.weight} AS DOUBLE) AS w" +
           s" FROM dft WHERE term LIKE '${w.prefix}%'$notExplicit$notEarlier"
       }
+      // fuzzies expand AFTER wildcards (the engine's clause order): each
+      // fragment excludes explicit terms, every wildcard's range, and
+      // earlier fuzzies' neighborhoods — "earlier clauses win weights"
+      val fzFrags = scoringFz.zipWithIndex.map { case (f, i) =>
+        val notWc = scoringWc.map(w => s" AND term NOT LIKE '${w.prefix}%'").mkString
+        val notEarlier = scoringFz.take(i)
+          .map(e => s" AND levenshtein(term, '${e.term}') > 1").mkString
+        s"SELECT ${q.queryId} AS query_id, term, CAST(${f.weight} AS DOUBLE) AS w" +
+          s" FROM dft WHERE levenshtein(term, '${f.term}') <= 1$notExplicit$notWc$notEarlier"
+      }
       val valuesFrag =
         if (explicit.isEmpty) Seq.empty
         else Seq(s"SELECT * FROM (VALUES ${explicit.mkString(", ")}) AS v(query_id, term, w)")
-      val scoringSrc = (valuesFrag ++ wcFrags).mkString("\n  UNION ALL\n  ")
+      val scoringSrc = (valuesFrag ++ wcFrags ++ fzFrags).mkString("\n  UNION ALL\n  ")
       require(scoringSrc.nonEmpty, s"query ${q.queryId} has no scoring source")
       val conds = new StringBuilder
       q.required.foreach { t =>
@@ -331,6 +364,13 @@ object IndexQueries {
           conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term LIKE '${w.prefix}%')"
         else if (w.op == '-')
           conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE x.term LIKE '${w.prefix}%')"
+      }
+      q.fuzzies.foreach { f =>
+        // same membership discipline over the edit-distance-1 neighborhood
+        if (f.op == '+')
+          conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE levenshtein(r.term, '${f.term}') <= 1)"
+        else if (f.op == '-')
+          conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE levenshtein(x.term, '${f.term}') <= 1)"
       }
       s"""  SELECT w.query_id, tf.doc_id,
          |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
@@ -747,6 +787,18 @@ object IndexQueries {
     "q_wildcard" -> ((spark, sfDir) =>
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.wildcard, k = 40,
+          Tokenizers.default), kWand = 40)),
+
+    // FUZZY retrieval (`term~1`): the batch's needles expand in ONE
+    // SymSpell deletion-key join (both sides explode to {self} ∪ del1
+    // keys — pure codegen, broadcast needle side — then exact levenshtein
+    // verify; the spell-correction plan reused as query-time expansion);
+    // expansions then ride the WAND driver exactly like wildcards (same
+    // weights / requiredAny / excluded roles). Oracle re-derives each
+    // neighborhood with DuckDB's levenshtein.
+    "q_fuzzy" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.fuzzy, k = 40,
           Tokenizers.default), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
@@ -1610,6 +1662,9 @@ object IndexQueries {
       // wildcard retrieval: expansions re-derived in SQL as dictionary
       // LIKE ranges; required/excluded wildcards as membership subqueries
       "q_wildcard" -> searchDslOracle(QuerySet.wildcard, rankLo = 1, rankHi = 10),
+      // fuzzy retrieval: each needle's edit-distance-1 neighborhood
+      // re-derived with DuckDB's levenshtein, constraints as subqueries
+      "q_fuzzy" -> searchDslOracle(QuerySet.fuzzy, rankLo = 1, rankHi = 10),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

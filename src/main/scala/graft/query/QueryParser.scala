@@ -33,6 +33,21 @@ final case class WildcardClause(prefix: String, weight: Double = 1.0, op: Char =
   require(weight > 0.0, s"non-positive wildcard weight: $weight")
 }
 
+/** One unexpanded fuzzy clause: `term~1` — every dictionary term within
+  * edit distance 1 of `term` (including the term itself when in-vocab).
+  * Expansion is the SymSpell deletion-neighborhood join ([[IndexHandle
+  * .expandFuzzy]], one batched job per query batch), exact-verified by
+  * levenshtein. Only distance 1 is supported — the distance the deletion
+  * -key index scales to; `~2` is a LOUD error, never a silent weakening
+  * (Lucene's bare `~` defaults to 2, so bare `~` is an error too, not a
+  * quietly different default). `~0` degrades to the plain exact term at
+  * parse time. Role semantics (`op`) mirror [[WildcardClause]] exactly. */
+final case class FuzzyClause(term: String, weight: Double = 1.0, op: Char = ' ') {
+  require(term.nonEmpty, "empty fuzzy term")
+  require(op == ' ' || op == '+' || op == '-', s"bad fuzzy op '$op'")
+  require(weight > 0.0, s"non-positive fuzzy weight: $weight")
+}
+
 /** A parsed search-box query: the compile target of [[QueryParser]] and the
   * input of [[Search.topK]].
   *
@@ -62,7 +77,11 @@ final case class WildcardClause(prefix: String, weight: Double = 1.0, op: Char =
   * contain AT LEAST ONE member — the disjunctive sibling of `required`;
   * an EMPTY group is unsatisfiable, so a zero-expansion `+pre*` empties
   * the query), and an excluded wildcard's expansions join `excluded`
-  * (zero expansions = no-op, mirroring OOV exclusion).
+  * (zero expansions = no-op, mirroring OOV exclusion). `fuzzies`
+  * (`term~1`) expand identically — the expansion set is the dictionary's
+  * edit-distance-1 neighborhood instead of a prefix range; wildcards
+  * expand before fuzzies, each in clause order, and earlier expansions
+  * win weight collisions.
   */
 final case class ParsedQuery(
     queryId: Int,
@@ -73,7 +92,8 @@ final case class ParsedQuery(
     excludedPhrases: Seq[Phrase] = Seq.empty,
     filters: Seq[FieldFilter] = Seq.empty,
     wildcards: Seq[WildcardClause] = Seq.empty,
-    requiredAny: Seq[Seq[String]] = Seq.empty) {
+    requiredAny: Seq[Seq[String]] = Seq.empty,
+    fuzzies: Seq[FuzzyClause] = Seq.empty) {
   require(scoring.map(_._1).distinct.length == scoring.length,
     s"duplicate scoring term in $scoring")
   require(scoring.forall(_._2 > 0.0), s"non-positive weight in $scoring")
@@ -98,6 +118,8 @@ final case class ParsedQuery(
   *                              //   substring match, never analyzed)
   *            | text '*' ['^' w] // trailing-star wildcard: expands to all
   *                              //   dictionary terms with that prefix
+  *            | text '~1' ['^' w] // fuzzy: expands to all dictionary terms
+  *                              //   within edit distance 1 (~0 = exact)
   *            | text ['^' w]    // bare term, optional boost weight w > 0
   * }}}
   *
@@ -189,11 +211,18 @@ private[query] object ParsedQueryBuilder {
     val exPhrases = scala.collection.mutable.ArrayBuffer.empty[Phrase]
     val filters = scala.collection.mutable.ArrayBuffer.empty[FieldFilter]
     val wildcards = scala.collection.mutable.ArrayBuffer.empty[WildcardClause]
+    val fuzzies = scala.collection.mutable.ArrayBuffer.empty[FuzzyClause]
 
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
 
     clauses.foreach { cl =>
       if (cl.isPhrase) {
+        // a star inside a phrase is the match_phrase_prefix idiom — not
+        // supported; the analyzer would silently strip it and run a plain
+        // phrase (a quietly different query), so refuse loudly instead
+        if (cl.body.contains('*'))
+          throw ParseException(
+            s"""wildcards are not supported inside phrases: "${cl.body}"""")
         val terms = analyzer.terms(cl.body).toSeq
         if (cl.op == '-') {
           // excluded phrase: docs containing it within the window are
@@ -248,6 +277,35 @@ private[query] object ParsedQueryBuilder {
               s"wildcard prefix must normalize to one token: '${cl.body}'")
           // '-pre*' never scores → weight ignored, matching '-term^w'
           wildcards += WildcardClause(pre.head, if (cl.op == '-') 1.0 else w, cl.op)
+        } else if (body.contains('~')) {
+          // fuzzy clause `term~N` — only N=1 is supported (the distance
+          // the deletion-key expansion scales to); anything else tilde-
+          // shaped is a loud error, incl. Lucene's bare `~` (whose default
+          // distance is 2 — silently running it at 1 would be a quietly
+          // different query)
+          val ix = body.lastIndexOf('~')
+          val base = body.substring(0, ix)
+          val ds = body.substring(ix + 1)
+          if (base.isEmpty || base.contains('~') || !ds.matches("[0-9]+"))
+            throw ParseException(s"bad fuzzy clause '${cl.body}' — expected term~1")
+          val edits = ds.toInt
+          if (edits > 1)
+            throw ParseException(
+              s"only edit distance 1 is supported: '${cl.body}'")
+          val toks = analyzer.terms(base).toSeq
+          if (edits == 0) {
+            // `term~0` IS the exact term — degrade at parse time
+            cl.op match {
+              case '-' => excluded ++= toks
+              case '+' => toks.foreach { t => addScoring(t, w); required += t }
+              case _   => toks.foreach(addScoring(_, w))
+            }
+          } else {
+            if (toks.length != 1)
+              throw ParseException(
+                s"fuzzy term must normalize to one token: '${cl.body}'")
+            fuzzies += FuzzyClause(toks.head, if (cl.op == '-') 1.0 else w, cl.op)
+          }
         } else {
           val terms = analyzer.terms(body).toSeq
           cl.op match {
@@ -267,6 +325,7 @@ private[query] object ParsedQueryBuilder {
       s"term '$t' is both excluded and positive in the same query"))
     ParsedQuery(queryId, scoring.toSeq,
       required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq,
-      exPhrases.toSeq, filters.toSeq, wildcards.toSeq)
+      exPhrases.toSeq, filters.toSeq, wildcards.toSeq,
+      fuzzies = fuzzies.toSeq)
   }
 }

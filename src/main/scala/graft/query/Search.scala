@@ -39,34 +39,40 @@ object Search {
     * exceeding it is a loud error, never a silent truncation. */
   final val MaxExpansions = 64
 
-  /** Resolve a query's `pre*` wildcards against the index dictionary (one
-    * prefix range scan per wildcard — the StartsWith predicate pushes to
-    * the parquet dictionary, so cost is the expansion's term range, not
-    * the vocabulary). Expansion semantics (see [[ParsedQuery]]): bare and
-    * `+` expansions score at the clause weight — explicit terms and
-    * earlier clauses win weight collisions; a `+pre*` additionally adds
-    * its expansion set as a `requiredAny` group (empty = unsatisfiable →
-    * the kernel empties the query); a `-pre*`'s expansions join `excluded`
-    * (empty = no-op). Already-expanded (wildcard-free) queries pass
-    * through untouched. */
+  /** Resolve a query's `pre*` wildcards and `term~1` fuzzies against the
+    * index dictionary. A wildcard costs one prefix RANGE scan (the
+    * StartsWith predicate pushes to the parquet dictionary, so cost is
+    * the expansion's term range, not the vocabulary); fuzzies resolve
+    * through the SymSpell deletion-key join — pass `fuzzyMap` (one
+    * [[IndexHandle.expandFuzzy]] job for the whole batch, as [[page]]
+    * does) or let this compute its own for the single query. Expansion
+    * semantics (see [[ParsedQuery]]): bare and `+` expansions score at
+    * the clause weight — explicit terms and earlier clauses win
+    * collisions (wildcards before fuzzies, each in clause order); a `+`
+    * clause additionally adds its expansion set as a `requiredAny` group
+    * (empty = unsatisfiable → the kernel empties the query); a `-`
+    * clause's expansions join `excluded` (empty = no-op). Already-
+    * expanded queries pass through untouched. */
   def expand(index: IndexHandle, q: ParsedQuery,
-      maxExpansions: Int = MaxExpansions): ParsedQuery =
-    if (q.wildcards.isEmpty) q
+      maxExpansions: Int = MaxExpansions,
+      fuzzyMap: Option[Map[String, Seq[String]]] = None): ParsedQuery =
+    if (q.wildcards.isEmpty && q.fuzzies.isEmpty) q
     else {
+      val fm = fuzzyMap.getOrElse(
+        index.expandFuzzy(q.fuzzies.map(_.term), maxExpansions))
       val scoring = scala.collection.mutable.LinkedHashMap(q.scoring: _*)
       val excluded = scala.collection.mutable.ArrayBuffer(q.excluded: _*)
       val requiredAny = scala.collection.mutable.ArrayBuffer(q.requiredAny: _*)
-      q.wildcards.foreach { w =>
-        val exp = index.expandPrefix(w.prefix, maxExpansions)
-        w.op match {
-          case '-' => excluded ++= exp
-          case op =>
-            exp.foreach(t => if (!scoring.contains(t)) scoring(t) = w.weight)
-            if (op == '+') requiredAny += exp
-        }
+      def fold(exp: Seq[String], weight: Double, op: Char): Unit = op match {
+        case '-' => excluded ++= exp
+        case op2 =>
+          exp.foreach(t => if (!scoring.contains(t)) scoring(t) = weight)
+          if (op2 == '+') requiredAny += exp
       }
+      q.wildcards.foreach(w => fold(index.expandPrefix(w.prefix, maxExpansions), w.weight, w.op))
+      q.fuzzies.foreach(f => fold(fm.getOrElse(f.term, Seq.empty), f.weight, f.op))
       q.copy(scoring = scoring.toSeq, excluded = excluded.distinct.toSeq,
-        requiredAny = requiredAny.toSeq, wildcards = Seq.empty)
+        requiredAny = requiredAny.toSeq, wildcards = Seq.empty, fuzzies = Seq.empty)
     }
 
   /** Parse raw query strings with the index's analyzer and run them.
@@ -97,8 +103,13 @@ object Search {
   def page(index: IndexHandle, queries0: Seq[ParsedQuery], k: Int,
       after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
-    // wildcards resolve against the dictionary first (no-op when absent)
-    val queries = queries0.map(expand(index, _))
+    // wildcards/fuzzies resolve against the dictionary first (no-op when
+    // absent); ALL the batch's fuzzy needles share one expansion job
+    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
+    val fm =
+      if (needles.isEmpty) Map.empty[String, Seq[String]]
+      else index.expandFuzzy(needles, MaxExpansions)
+    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
     // canonical signature so `url:a -url:b` == `-url:b url:a` share a pass
     def signature(q: ParsedQuery): Seq[FieldFilter] =
       q.filters.distinct.sortBy(f => (f.field, f.value, f.negated))

@@ -193,6 +193,47 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
         s"wildcard '$prefix*' expands to more than $max terms — narrow the prefix or raise maxExpansions")
     hits.sorted.toSeq
   }
+
+  /** Fuzzy expansion for a whole BATCH of needles in one job: needle →
+    * every dictionary term within edit distance 1 (ascending; includes the
+    * needle itself when in-vocab). The SymSpell shape shared with the
+    * spell-correction query: both sides explode into {self} ∪ del1 keys —
+    * a pure codegen transform/sequence lambda, no UDF — the (broadcast)
+    * key join yields a provably COMPLETE ed≤1 candidate superset
+    * (deletion/insertion/substitution all share a deletion key), verified
+    * exactly by the built-in levenshtein. One vocabulary-linear pass per
+    * BATCH, not per clause — the reason this takes Seq. Any needle
+    * expanding past `max` is a loud error ([[expandPrefix]]'s cap
+    * discipline). */
+  def expandFuzzy(needles: Seq[String], maxExp: Int): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.{array, array_distinct, broadcast,
+      col, concat, explode, length, levenshtein, lit, sequence, transform}
+    val ns = needles.distinct.filter(_.nonEmpty)
+    if (ns.isEmpty) return Map.empty
+    def del1(w: String): Seq[String] =
+      (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1))
+    val qkeys = ns.flatMap(q => (q +: del1(q)).distinct.map(k => (q, k)))
+      .toDF("q_term", "key")
+    val delKeys = transform(
+      sequence(lit(0), length(col("term")) - lit(1)),
+      i => concat(col("term").substr(lit(1), i),
+        col("term").substr(i + lit(2), length(col("term")))))
+    val hits = dictionary.toDF()
+      .filter(length(col("term")) > 0)
+      .select(col("term"),
+        explode(array_distinct(concat(array(col("term")), delKeys))).as("key"))
+      .join(broadcast(qkeys), "key")
+      .select("q_term", "term").distinct()
+      .filter(levenshtein(col("q_term"), col("term")) <= 1)
+      .as[(String, String)].collect()
+    val out = hits.groupBy(_._1).map { case (q, arr) =>
+      q -> arr.map(_._2).distinct.sorted.toSeq
+    }
+    out.find(_._2.length > maxExp).foreach { case (q, _) =>
+      throw new IllegalArgumentException(
+        s"fuzzy '$q~1' expands to more than $maxExp terms — raise maxExpansions") }
+    out
+  }
 }
 
 object IndexReader {

@@ -470,6 +470,9 @@ class SearchSpec extends AnyFunSuite {
     bad("me**")     // multi star
     bad("top-k*")   // prefix normalizes to two tokens
     bad("..*")      // prefix normalizes to nothing
+    // match_phrase_prefix is not supported — loud, not a silent plain phrase
+    bad("\"merge jo*\"")
+    bad("-\"merge jo*\"")
   }
 
   test("expand: dictionary expansion semantics (weights, groups, exclusions)") {
@@ -529,6 +532,87 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.topKRaw(handle, Seq(1 -> "zz* merge"), 10, analyzer)(1).toSeq == plain.toSeq)
     assert(Search.topKRaw(handle, Seq(1 -> "merge -zz*"), 10, analyzer)(1).toSeq == plain.toSeq)
     assert(Search.topKRaw(handle, Seq(1 -> "+zz* merge"), 10, analyzer)(1).isEmpty)
+  }
+
+  // ---------------------------------------------------------------- fuzzy
+
+  test("parser: fuzzy clauses (term~1)") {
+    val q = QueryParser.parse(1, "mergee~1", analyzer)
+    assert(q.fuzzies == Seq(FuzzyClause("mergee", 1.0, ' ')) && q.scoring.isEmpty)
+    val q2 = QueryParser.parse(2, "joi~1^2.0 batch", analyzer)
+    assert(q2.fuzzies == Seq(FuzzyClause("joi", 2.0, ' ')))
+    assert(q2.scoring == Seq("batch" -> 1.0))
+    val q3 = QueryParser.parse(3, "+betch~1 merge", analyzer)
+    assert(q3.fuzzies == Seq(FuzzyClause("betch", 1.0, '+')))
+    // boost on an excluded fuzzy is ignored (it never scores)
+    val q4 = QueryParser.parse(4, "-betch~1^3.0 merge", analyzer)
+    assert(q4.fuzzies == Seq(FuzzyClause("betch", 1.0, '-')))
+    // needle normalizes through the analyzer
+    val q5 = QueryParser.parse(5, "MERGEE~1", analyzer)
+    assert(q5.fuzzies == Seq(FuzzyClause("mergee", 1.0, ' ')))
+    // ~0 degrades to the exact term at parse time
+    val q6 = QueryParser.parse(6, "merge~0 -batch~0 +join~0", analyzer)
+    assert(q6.fuzzies.isEmpty && q6.scoring.map(_._1) == Seq("merge", "join"))
+    assert(q6.excluded == Seq("batch") && q6.required == Seq("join"))
+  }
+
+  test("parser: fuzzy loud errors") {
+    def bad(s: String): Unit =
+      assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
+    bad("merge~")    // Lucene's bare ~ means distance 2 — refused, not weakened
+    bad("merge~2")   // only distance 1 is supported
+    bad("merge~x")   // non-numeric distance
+    bad("~1")        // empty needle
+    bad("a~1~1")     // multi tilde
+    bad("top-k~1")   // needle normalizes to two tokens
+  }
+
+  test("expandFuzzy: batched deletion-key expansion == brute levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val needles = Seq("mergee", "joi", "betch", "sow", "zzz", "merge")
+    val got = handle.expandFuzzy(needles, 64)
+    needles.foreach { n =>
+      val want = handle.dictMap.keys.filter(t => lev(n, t) <= 1).toSeq.sorted
+      assert(got.getOrElse(n, Seq.empty) == want, s"needle $n")
+    }
+    assert(!got.contains("zzz")) // empty neighborhoods yield no entry
+    assert(got("merge").contains("merge")) // in-vocab needle includes itself
+    assert(got("sow").length >= 2, s"sow neighborhood: ${got.get("sow")}") // multi-expansion
+    // the cap is loud per needle
+    assertThrows[IllegalArgumentException](handle.expandFuzzy(Seq("sow"), 1))
+  }
+
+  test("fuzzy retrieval: rank- and score-identical to the expanded brute force") {
+    assertIdentical(Seq(
+      1 -> "mergee~1",              // pure fuzzy, OOV needle
+      2 -> "joi~1 batch",           // fuzzy + plain term
+      3 -> "+betch~1 merge",        // required fuzzy
+      4 -> "merge -betch~1",        // excluded fuzzy
+      5 -> "sow~1^2.0 key",         // boosted multi-expansion
+      6 -> "zzz~1 merge",           // zero-expansion bare
+      7 -> "+zzz~1 merge",          // zero-expansion required → empty
+      8 -> "merge -zzz~1",          // zero-expansion excluded → no-op
+      9 -> "merge~1 join",          // in-vocab needle (distance 0 member)
+      10 -> "sow~1 -row",           // expansion overlapping explicit exclusion
+      11 -> "joi~1 \"merge join\"", // fuzzy + phrase
+      12 -> "betch~1 url:2/1",      // fuzzy + filter
+      13 -> "s* joi~1"              // wildcard × fuzzy in one query
+    ), 10)
+    // zero-expansion identities, exact arrays
+    val plain = Search.topKRaw(handle, Seq(1 -> "merge"), 10, analyzer)(1)
+    assert(Search.topKRaw(handle, Seq(1 -> "zzz~1 merge"), 10, analyzer)(1).toSeq == plain.toSeq)
+    assert(Search.topKRaw(handle, Seq(1 -> "merge -zzz~1"), 10, analyzer)(1).toSeq == plain.toSeq)
+    assert(Search.topKRaw(handle, Seq(1 -> "+zzz~1 merge"), 10, analyzer)(1).isEmpty)
+    // and the distance-0 identity: an in-vocab single-member neighborhood
+    // behaves as the plain term
+    val viaFuzzy = Search.topKRaw(handle, Seq(1 -> "mergee~1"), 10, analyzer)(1)
+    assert(viaFuzzy.toSeq == plain.toSeq) // mergee's only neighbor IS merge
   }
 
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
