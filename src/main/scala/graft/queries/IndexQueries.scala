@@ -233,6 +233,26 @@ object QuerySet {
     11 -> "joi~1 \"merge join\"", // fuzzy + phrase constraint
     12 -> "betch~1 url:2/1",    // fuzzy + metadata filter
     13 -> "s* joi~1")           // wildcard × fuzzy in one query
+
+  /** The |-group fixture (q_or_group) — `a|b` in every clause role
+    * (simple_query_string's OR): bare groups score all alternatives,
+    * `+a|b` is an at-least-one-of constraint, `-a|b` excludes every
+    * alternative, plus boosts, OOV members (partial and total), a group
+    * member overlapping an explicit exclusion, duplicate alternatives,
+    * and composition with phrases and metadata filters. */
+  val orGroup: Seq[(Int, String)] = Seq(
+    1 -> "merge|join",             // bare group: both score
+    2 -> "+merge|join fast",       // required-any group + plain term
+    3 -> "-batch|stream merge",    // excluded group: neither
+    4 -> "spark|quantum^2.0 key",  // boosted group
+    5 -> "zzzoov|spark merge",     // bare group with an OOV member
+    6 -> "+zzzoov|merge join",     // required group, one member OOV
+    7 -> "+zzzoov|zzzoow merge",   // all-OOV required group → empty
+    8 -> "merge -zzzoov|zzzoow",   // all-OOV excluded group → no-op
+    9 -> "+batch|stream -batch",   // group member explicitly excluded
+    10 -> "merge|merge|join",      // duplicate alternatives collapse
+    11 -> "+key|order \"merge join\"", // group + phrase constraint
+    12 -> "batch|slow url:2/1")    // group + metadata filter
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -371,6 +391,12 @@ object IndexQueries {
           conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE levenshtein(r.term, '${f.term}') <= 1)"
         else if (f.op == '-')
           conds ++= s"\n    AND tf.doc_id NOT IN (SELECT x.doc_id FROM tf x WHERE levenshtein(x.term, '${f.term}') <= 1)"
+      }
+      // parse-time requiredAny groups (`+a|b`): at least one member present;
+      // an all-OOV group yields an empty IN-set → empty result, like the engine
+      q.requiredAny.foreach { g =>
+        val in = g.map(t => s"'$t'").mkString(", ")
+        conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term IN ($in))"
       }
       s"""  SELECT w.query_id, tf.doc_id,
          |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
@@ -799,6 +825,18 @@ object IndexQueries {
     "q_fuzzy" -> ((spark, sfDir) =>
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.fuzzy, k = 40,
+          Tokenizers.default), kWand = 40)),
+
+    // OR GROUPS (`a|b` — simple_query_string's default OR): alternatives
+    // are resolved at PARSE time (no dictionary pass needed): bare groups
+    // just score every alternative (OR is the bare-term default), `+a|b`
+    // rides the same requiredAny at-least-one-of verifier wildcard
+    // expansion uses, `-a|b` folds into the excluded set (De Morgan). The
+    // oracle re-derives the group constraint as a term-IN membership
+    // subquery from the SAME ParsedQuery objects.
+    "q_or_group" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.orGroup, k = 40,
           Tokenizers.default), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
@@ -1665,6 +1703,10 @@ object IndexQueries {
       // fuzzy retrieval: each needle's edit-distance-1 neighborhood
       // re-derived with DuckDB's levenshtein, constraints as subqueries
       "q_fuzzy" -> searchDslOracle(QuerySet.fuzzy, rankLo = 1, rankHi = 10),
+
+      // |-groups: same regenerated-SQL oracle; requiredAny groups become
+      // term-IN membership subqueries
+      "q_or_group" -> searchDslOracle(QuerySet.orGroup, rankLo = 1, rankHi = 10),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

@@ -120,6 +120,8 @@ final case class ParsedQuery(
   *                              //   dictionary terms with that prefix
   *            | text '~1' ['^' w] // fuzzy: expands to all dictionary terms
   *                              //   within edit distance 1 (~0 = exact)
+  *            | text ('|' text)+ ['^' w] // OR group: `+a|b` = at least one
+  *                              //   alternative required; `-a|b` = neither
   *            | text ['^' w]    // bare term, optional boost weight w > 0
   * }}}
   *
@@ -212,8 +214,20 @@ private[query] object ParsedQueryBuilder {
     val filters = scala.collection.mutable.ArrayBuffer.empty[FieldFilter]
     val wildcards = scala.collection.mutable.ArrayBuffer.empty[WildcardClause]
     val fuzzies = scala.collection.mutable.ArrayBuffer.empty[FuzzyClause]
+    val requiredAnyGroups = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+    // terms made positive EXPLICITLY (bare/required/phrase) — |-group
+    // members are deliberately absent: a group member that is also
+    // excluded is satisfiable via the other alternatives (the exclusion
+    // vetoes its docs; the member just never contributes), exactly like a
+    // wildcard expansion overlapping an explicit exclusion
+    val explicitPositive = scala.collection.mutable.Set.empty[String]
 
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
+
+    def addExplicit(term: String, w: Double): Unit = {
+      addScoring(term, w); explicitPositive += term
+    }
 
     clauses.foreach { cl =>
       if (cl.isPhrase) {
@@ -233,11 +247,11 @@ private[query] object ParsedQueryBuilder {
         } else if (terms.length >= 2) {
           phrases += Phrase(terms, cl.slop)
           // phrase terms score at weight 1 unless another clause boosted them
-          terms.foreach(t => if (!scoring.contains(t)) addScoring(t, 1.0))
+          terms.foreach(t => if (!scoring.contains(t)) addExplicit(t, 1.0))
           if (cl.op == '+') required ++= terms // redundant with the phrase, harmless
         } else if (terms.length == 1) {
           // single-term phrase degrades to the term
-          if (!scoring.contains(terms.head)) addScoring(terms.head, 1.0)
+          if (!scoring.contains(terms.head)) addExplicit(terms.head, 1.0)
           if (cl.op == '+') required += terms.head
         } // empty after analysis → dropped
       } else if (FieldClause.findFirstMatchIn(cl.body).isDefined) {
@@ -263,7 +277,34 @@ private[query] object ParsedQueryBuilder {
               throw ParseException(s"boost must be a positive finite number: '${cl.body}'")
             (cl.body.substring(0, ix), parsed)
         }
-        if (body.contains('*')) {
+        if (body.contains('|')) {
+          // |-group (simple_query_string's OR): `+a|b` requires AT LEAST
+          // ONE alternative (a parse-time requiredAny group — the same
+          // disjunctive constraint wildcard expansion compiles to), bare
+          // `a|b` scores both (OR is already the bare-term default), and
+          // `-a|b` excludes both (De Morgan). Alternatives are plain
+          // single-token terms; mixing in wildcards/fuzzies is refused.
+          if (body.startsWith("|") || body.endsWith("|"))
+            throw ParseException(s"empty |-alternative in '${cl.body}'")
+          val parts = body.split('|').toSeq
+          if (parts.length < 2 || parts.exists(_.isEmpty))
+            throw ParseException(s"empty |-alternative in '${cl.body}'")
+          if (parts.exists(p => p.contains('*') || p.contains('~')))
+            throw ParseException(
+              s"wildcards/fuzzies are not supported inside |-groups: '${cl.body}'")
+          val alts = parts.map { p =>
+            val ts = analyzer.terms(p).toSeq
+            if (ts.length != 1)
+              throw ParseException(
+                s"each |-alternative must normalize to one token: '${cl.body}'")
+            ts.head
+          }.distinct
+          cl.op match {
+            case '-' => excluded ++= alts
+            case '+' => alts.foreach(addScoring(_, w)); requiredAnyGroups += alts
+            case _   => alts.foreach(addScoring(_, w))
+          }
+        } else if (body.contains('*')) {
           // trailing-star wildcard — anything else star-shaped is a loud
           // error (a leading/embedded star silently reinterpreted as text
           // would score the wrong terms)
@@ -297,8 +338,8 @@ private[query] object ParsedQueryBuilder {
             // `term~0` IS the exact term — degrade at parse time
             cl.op match {
               case '-' => excluded ++= toks
-              case '+' => toks.foreach { t => addScoring(t, w); required += t }
-              case _   => toks.foreach(addScoring(_, w))
+              case '+' => toks.foreach { t => addExplicit(t, w); required += t }
+              case _   => toks.foreach(addExplicit(_, w))
             }
           } else {
             if (toks.length != 1)
@@ -310,8 +351,8 @@ private[query] object ParsedQueryBuilder {
           val terms = analyzer.terms(body).toSeq
           cl.op match {
             case '-' => excluded ++= terms // excluded terms never score
-            case '+' => terms.foreach { t => addScoring(t, w); required += t }
-            case _   => terms.foreach(addScoring(_, w))
+            case '+' => terms.foreach { t => addExplicit(t, w); required += t }
+            case _   => terms.foreach(addExplicit(_, w))
           }
         }
       }
@@ -320,12 +361,12 @@ private[query] object ParsedQueryBuilder {
     // (an excluded PHRASE sharing a term with scoring is fine: the doc may
     // contain the term, just not the phrase)
     val exSet = excluded.toSet
-    val clash = scoring.keysIterator.find(exSet.contains)
+    val clash = scoring.keysIterator.find(t => exSet.contains(t) && explicitPositive.contains(t))
     clash.foreach(t => throw ParseException(
       s"term '$t' is both excluded and positive in the same query"))
     ParsedQuery(queryId, scoring.toSeq,
       required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq,
       exPhrases.toSeq, filters.toSeq, wildcards.toSeq,
-      fuzzies = fuzzies.toSeq)
+      requiredAny = requiredAnyGroups.toSeq, fuzzies = fuzzies.toSeq)
   }
 }

@@ -615,6 +615,53 @@ class SearchSpec extends AnyFunSuite {
     assert(viaFuzzy.toSeq == plain.toSeq) // mergee's only neighbor IS merge
   }
 
+  // ------------------------------------------------------------- |-groups
+
+  test("parser: |-groups in every clause role") {
+    val q = QueryParser.parse(1, "merge|join", analyzer)
+    assert(q.scoring == Seq("merge" -> 1.0, "join" -> 1.0))
+    assert(q.requiredAny.isEmpty && q.required.isEmpty && q.excluded.isEmpty)
+    val q2 = QueryParser.parse(2, "+merge|join fast", analyzer)
+    assert(q2.requiredAny == Seq(Seq("merge", "join")))
+    assert(q2.scoring == Seq("merge" -> 1.0, "join" -> 1.0, "fast" -> 1.0))
+    val q3 = QueryParser.parse(3, "-batch|stream merge", analyzer)
+    assert(q3.excluded == Seq("batch", "stream"))
+    assert(q3.scoring == Seq("merge" -> 1.0) && q3.requiredAny.isEmpty)
+    // clause boost applies to every alternative
+    val q4 = QueryParser.parse(4, "spark|quantum^2.0 key", analyzer)
+    assert(q4.scoring == Seq("spark" -> 2.0, "quantum" -> 2.0, "key" -> 1.0))
+    // alternatives normalize through the analyzer and dedup
+    val q5 = QueryParser.parse(5, "MERGE|merge|Join", analyzer)
+    assert(q5.scoring == Seq("merge" -> 1.0, "join" -> 1.0))
+    val q6 = QueryParser.parse(6, "+A|B|A x", analyzer)
+    assert(q6.requiredAny == Seq(Seq("a", "b")))
+  }
+
+  test("parser: |-group loud errors") {
+    def bad(s: String): Unit =
+      assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
+    bad("|merge")      // leading bar
+    bad("merge|")      // trailing bar
+    bad("a||b")        // empty alternative
+    bad("|")           // nothing at all
+    bad("c*|x")        // wildcard inside a group
+    bad("a~1|b")       // fuzzy inside a group
+    bad("top-k|x")     // alternative normalizes to two tokens
+    bad("..|x")        // alternative normalizes to nothing
+  }
+
+  test("|-group retrieval: rank- and score-identical to the constrained brute force") {
+    assertIdentical(QuerySet.orGroup, 10)
+    // all-OOV disciplines against the plain query, exact arrays
+    val plain = Search.topKRaw(handle, Seq(1 -> "merge"), 10, analyzer)(1)
+    assert(Search.topKRaw(handle, Seq(1 -> "merge -zzzoov|zzzoow"), 10, analyzer)(1).toSeq == plain.toSeq)
+    assert(Search.topKRaw(handle, Seq(1 -> "+zzzoov|zzzoow merge"), 10, analyzer)(1).isEmpty)
+    // partial-OOV required group degrades to the in-vocab member's constraint
+    val viaGroup = Search.topKRaw(handle, Seq(1 -> "+zzzoov|merge join"), 10, analyzer)(1)
+    val viaPlain = Search.topKRaw(handle, Seq(1 -> "+merge join"), 10, analyzer)(1)
+    assert(viaGroup.toSeq == viaPlain.toSeq)
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
