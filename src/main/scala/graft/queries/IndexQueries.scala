@@ -253,6 +253,24 @@ object QuerySet {
     10 -> "merge|merge|join",      // duplicate alternatives collapse
     11 -> "+key|order \"merge join\"", // group + phrase constraint
     12 -> "batch|slow url:2/1")    // group + metadata filter
+
+  /** The minimum-should-match fixture (q_msm) — `msm:N` over fixed scoring
+    * sets: the constraint tightening as N rises through the same term set,
+    * N == |terms| degrading to all-required, OOV scoring terms (which can
+    * never count toward N), unsatisfiable N > in-vocab count (empty),
+    * boosts (scoring weights don't affect the count), and composition with
+    * required/excluded terms, phrases, and metadata filters. */
+  val msm: Seq[(Int, String)] = Seq(
+    1 -> "merge join fast msm:2",        // classic 2-of-3
+    2 -> "merge join fast msm:3",        // N == |terms| → all must match
+    3 -> "merge join batch stream msm:2", // 2-of-4
+    4 -> "merge join zzzoov msm:2",      // OOV term can't count → 2-of-2 live
+    5 -> "merge zzzoov msm:2",           // only 1 in-vocab term → empty
+    6 -> "window^3.0 batch stream msm:2", // boost doesn't change the count
+    7 -> "+key merge slow msm:2",        // required term counts toward N
+    8 -> "merge join fast -batch msm:2", // msm × exclusion
+    9 -> "\"merge join\" vector msm:3",  // phrase terms count toward N
+    10 -> "merge join batch msm:2 url:2/1") // msm × metadata filter
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -397,6 +415,13 @@ object IndexQueries {
       q.requiredAny.foreach { g =>
         val in = g.map(t => s"'$t'").mkString(", ")
         conds ++= s"\n    AND tf.doc_id IN (SELECT r.doc_id FROM tf r WHERE r.term IN ($in))"
+      }
+      // msm:N — at least N DISTINCT scoring terms present; OOV scoring
+      // terms never occur in tok, so they can never count, like the engine
+      if (q.minShouldMatch > 0) {
+        val in = q.scoring.map(t => s"'${t._1}'").mkString(", ")
+        conds ++= s"\n    AND tf.doc_id IN (SELECT m.doc_id FROM tf m WHERE m.term IN ($in)" +
+          s" GROUP BY m.doc_id HAVING count(DISTINCT m.term) >= ${q.minShouldMatch})"
       }
       s"""  SELECT w.query_id, tf.doc_id,
          |         sum(w.w * (${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")})) AS score
@@ -837,6 +862,18 @@ object IndexQueries {
     "q_or_group" -> ((spark, sfDir) =>
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.orGroup, k = 40,
+          Tokenizers.default), kWand = 40)),
+
+    // MINIMUM SHOULD MATCH (`msm:N`): a result doc must contain at least
+    // N DISTINCT of the query's scoring terms — the bool-should knob
+    // between pure OR (N=1, the default) and pure AND (N=|terms|). The
+    // count runs in the same bucket-local verifier as requiredAny (an
+    // early-exit membership count over the already-fetched scoring
+    // postings); buckets holding fewer than N of the terms are skipped
+    // wholesale. The oracle re-derives the count as a HAVING subquery.
+    "q_msm" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.msm, k = 40,
           Tokenizers.default), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
@@ -1707,6 +1744,10 @@ object IndexQueries {
       // |-groups: same regenerated-SQL oracle; requiredAny groups become
       // term-IN membership subqueries
       "q_or_group" -> searchDslOracle(QuerySet.orGroup, rankLo = 1, rankHi = 10),
+
+      // msm:N — the count constraint as a HAVING count(DISTINCT term)
+      // membership subquery
+      "q_msm" -> searchDslOracle(QuerySet.msm, rankLo = 1, rankHi = 10),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

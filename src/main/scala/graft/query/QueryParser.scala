@@ -93,10 +93,12 @@ final case class ParsedQuery(
     filters: Seq[FieldFilter] = Seq.empty,
     wildcards: Seq[WildcardClause] = Seq.empty,
     requiredAny: Seq[Seq[String]] = Seq.empty,
-    fuzzies: Seq[FuzzyClause] = Seq.empty) {
+    fuzzies: Seq[FuzzyClause] = Seq.empty,
+    minShouldMatch: Int = 0) {
   require(scoring.map(_._1).distinct.length == scoring.length,
     s"duplicate scoring term in $scoring")
   require(scoring.forall(_._2 > 0.0), s"non-positive weight in $scoring")
+  require(minShouldMatch >= 0, s"negative minShouldMatch: $minShouldMatch")
 
   def toQuerySpec: QuerySpec =
     QuerySpec(queryId, scoring.map(_._1),
@@ -122,6 +124,8 @@ final case class ParsedQuery(
   *                              //   within edit distance 1 (~0 = exact)
   *            | text ('|' text)+ ['^' w] // OR group: `+a|b` = at least one
   *                              //   alternative required; `-a|b` = neither
+  *            | 'msm:' N        // minimum-should-match directive: a doc
+  *                              //   must contain ≥ N distinct scoring terms
   *            | text ['^' w]    // bare term, optional boost weight w > 0
   * }}}
   *
@@ -223,6 +227,8 @@ private[query] object ParsedQueryBuilder {
     // wildcard expansion overlapping an explicit exclusion
     val explicitPositive = scala.collection.mutable.Set.empty[String]
 
+    var minShouldMatch = 0 // the msm: directive (0 = absent)
+
     def addScoring(term: String, w: Double): Unit = { scoring(term) = w }
 
     def addExplicit(term: String, w: Double): Unit = {
@@ -259,10 +265,26 @@ private[query] object ParsedQueryBuilder {
         // reinterpretation as text would score `url` and `x` for `urk:x`)
         val m = FieldClause.findFirstMatchIn(cl.body).get
         val name = m.group(1).toLowerCase(java.util.Locale.ROOT)
-        if (!Fields(name))
-          throw ParseException(
-            s"unknown field '$name' in '${cl.body}' — queryable fields: ${Fields.toSeq.sorted.mkString(", ")}")
-        filters += FieldFilter(name, m.group(2), negated = cl.op == '-')
+        if (name == "msm") {
+          // minimum-should-match directive: a result doc must contain at
+          // least N DISTINCT of the query's scoring terms. A directive,
+          // not a filter — no operator applies
+          if (cl.op != ' ')
+            throw ParseException(s"'${cl.op}msm:' — msm is a directive, not a filter clause")
+          if (minShouldMatch > 0)
+            throw ParseException(s"duplicate msm: directive in '${cl.body}'")
+          val n = try m.group(2).toInt catch {
+            case _: NumberFormatException =>
+              throw ParseException(s"msm value must be an integer: '${cl.body}'")
+          }
+          if (n <= 0) throw ParseException(s"msm value must be positive: '${cl.body}'")
+          minShouldMatch = n
+        } else {
+          if (!Fields(name))
+            throw ParseException(
+              s"unknown field '$name' in '${cl.body}' — queryable fields: ${Fields.toSeq.sorted.mkString(", ")}")
+          filters += FieldFilter(name, m.group(2), negated = cl.op == '-')
+        }
       } else {
         // optional ^boost suffix (applies to the whole clause's terms)
         val (body, w) = cl.body.lastIndexOf('^') match {
@@ -364,9 +386,17 @@ private[query] object ParsedQueryBuilder {
     val clash = scoring.keysIterator.find(t => exSet.contains(t) && explicitPositive.contains(t))
     clash.foreach(t => throw ParseException(
       s"term '$t' is both excluded and positive in the same query"))
+    // msm counts DISTINCT scoring terms present; a dictionary expansion
+    // (wildcard/fuzzy) would grow that set index-dependently, making the
+    // directive's meaning shift with the vocabulary — refused loudly
+    if (minShouldMatch > 0 && (wildcards.nonEmpty || fuzzies.nonEmpty))
+      throw ParseException("msm: cannot combine with wildcard or fuzzy clauses")
+    if (minShouldMatch > 0 && scoring.isEmpty)
+      throw ParseException("msm: requires at least one scoring term")
     ParsedQuery(queryId, scoring.toSeq,
       required.distinct.toSeq, excluded.distinct.toSeq, phrases.toSeq,
       exPhrases.toSeq, filters.toSeq, wildcards.toSeq,
-      requiredAny = requiredAnyGroups.toSeq, fuzzies = fuzzies.toSeq)
+      requiredAny = requiredAnyGroups.toSeq, fuzzies = fuzzies.toSeq,
+      minShouldMatch = minShouldMatch)
   }
 }

@@ -116,7 +116,9 @@ object Search {
     queries.groupBy(signature).iterator.flatMap { case (sig, group) =>
       val cons = group.flatMap { q =>
         val c = Wand.Constraints(q.required, q.excluded, q.phrases,
-          q.excludedPhrases, q.requiredAny)
+          q.excludedPhrases, q.requiredAny, minMatch = q.minShouldMatch,
+          scoringTerms =
+            if (q.minShouldMatch > 0) q.scoring.map(_._1) else Seq.empty)
         if (c.nonEmpty) Some(q.queryId -> c) else None
       }.toMap
       val docFilter: Option[Column] =

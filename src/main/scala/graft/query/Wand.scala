@@ -276,10 +276,13 @@ object Wand {
     * the WAND pivot + block-max gates. */
   final case class Constraints(required: Seq[String], excluded: Seq[String],
       phrases: Seq[Phrase], excludedPhrases: Seq[Phrase] = Seq.empty,
-      requiredAny: Seq[Seq[String]] = Seq.empty) {
+      requiredAny: Seq[Seq[String]] = Seq.empty,
+      minMatch: Int = 0, scoringTerms: Seq[String] = Seq.empty) {
+    require(minMatch == 0 || scoringTerms.nonEmpty,
+      "minMatch needs the query's scoring terms to count against")
     def isEmpty: Boolean =
       required.isEmpty && excluded.isEmpty && phrases.isEmpty &&
-        excludedPhrases.isEmpty && requiredAny.isEmpty
+        excludedPhrases.isEmpty && requiredAny.isEmpty && minMatch == 0
     def nonEmpty: Boolean = !isEmpty
   }
 
@@ -291,7 +294,8 @@ object Wand {
       required: Array[Int], excluded: Array[Int],
       phrases: Array[(Array[Int], Int)],
       excludedPhrases: Array[(Array[Int], Int)],
-      requiredAny: Array[Array[Int]] = Array.empty)
+      requiredAny: Array[Array[Int]] = Array.empty,
+      minMatch: Int = 0, scoringIds: Array[Int] = Array.empty)
 
   /** docId membership across one term's bucket-local decoded blocks
     * (ascending disjoint runs): binary search for the covering block, then
@@ -872,7 +876,8 @@ object Wand {
     val allTerms = queries.flatMap(_.terms) ++
       constraints.values.flatMap(c =>
         c.required ++ c.excluded ++ c.phrases.flatMap(_.terms) ++
-          c.excludedPhrases.flatMap(_.terms) ++ c.requiredAny.flatten)
+          c.excludedPhrases.flatMap(_.terms) ++ c.requiredAny.flatten ++
+          c.scoringTerms)
     val dicts = fields.map { case (h, _) => h.lookupTerms(allTerms) }
     // OOV discipline of the constraint surface: an unsatisfiable constraint
     // (OOV required or phrase term) empties the query; OOV excluded terms —
@@ -885,7 +890,11 @@ object Wand {
     val forcedEmpty: Set[Int] = constraints.collect { case (qid, c)
       if c.required.distinct.exists(t => !dict0.contains(t)) ||
         c.phrases.exists(_.terms.exists(t => !dict0.contains(t))) ||
-        c.requiredAny.exists(g => !g.exists(dict0.contains)) => qid }.toSet
+        c.requiredAny.exists(g => !g.exists(dict0.contains)) ||
+        // fewer in-vocabulary scoring terms than msm demands → no doc can
+        // ever reach the count (OOV terms match nothing)
+        (c.minMatch > 0 &&
+          c.scoringTerms.distinct.count(dict0.contains) < c.minMatch) => qid }.toSet
     val resolvedCons: Map[Int, ResolvedConstraints] = constraints.collect {
       case (qid, c) if !forcedEmpty(qid) && c.nonEmpty =>
         qid -> ResolvedConstraints(
@@ -896,11 +905,14 @@ object Wand {
             .map(p => (p.terms.map(t => dict0(t).termId).toArray, p.slop)).toArray,
           // OOV group members drop (they can match no doc; the group's
           // satisfiability survives — forcedEmpty already caught all-OOV)
-          c.requiredAny.map(_.distinct.flatMap(dict0.get).map(_.termId).toArray).toArray)
-    }.filter(_._2 match { // fully-OOV no-op constraints dissolve entirely
-      case ResolvedConstraints(r, e, p, xp, ra) =>
-        r.nonEmpty || e.nonEmpty || p.nonEmpty || xp.nonEmpty || ra.nonEmpty
-    })
+          c.requiredAny.map(_.distinct.flatMap(dict0.get).map(_.termId).toArray).toArray,
+          c.minMatch,
+          if (c.minMatch == 0) Array.empty
+          else c.scoringTerms.distinct.flatMap(dict0.get).map(_.termId).toArray)
+    }.filter { case (_, rc) => // fully-OOV no-op constraints dissolve entirely
+      rc.required.nonEmpty || rc.excluded.nonEmpty || rc.phrases.nonEmpty ||
+        rc.excludedPhrases.nonEmpty || rc.requiredAny.nonEmpty || rc.minMatch > 0
+    }
     val liveQueries = queries.filterNot(q => forcedEmpty(q.queryId))
     // a federated (sharded) run overrides the per-field stats with the
     // summed corpus-global ones; fielded/plain runs keep per-field stats
@@ -963,7 +975,10 @@ object Wand {
         resolvedCons.values.flatMap(_.excludedPhrases.iterator.flatMap(_._1)) ++
         // requiredAny members usually score (wildcard expansions do) and
         // then dedupe away here; fetched defensively for constraint-only use
-        resolvedCons.values.flatMap(_.requiredAny.iterator.flatten)).toSeq.distinct
+        resolvedCons.values.flatMap(_.requiredAny.iterator.flatten) ++
+        // msm counts over scoring terms — always cursor terms, so this
+        // dedupes away; defensive for the same reason as requiredAny
+        resolvedCons.values.flatMap(_.scoringIds)).toSeq.distinct
         .filterNot(idsByField.head.toSet)
     def fetchIds(f: Int): Seq[Int] =
       if (f == 0) idsByField(0) ++ exIds else idsByField(f)
@@ -1119,7 +1134,10 @@ object Wand {
                 c.phrases.exists(_._1.exists(tid => !rawPos.contains(tid))) ||
                 // no member of a requiredAny group has postings here → no
                 // doc in this bucket can satisfy the disjunction
-                c.requiredAny.exists(g => !g.exists(tid => byFieldTerm.contains((0, tid)))))
+                c.requiredAny.exists(g => !g.exists(tid => byFieldTerm.contains((0, tid)))) ||
+                // fewer scoring terms with postings here than msm demands
+                (c.minMatch > 0 &&
+                  c.scoringIds.count(tid => byFieldTerm.contains((0, tid))) < c.minMatch))
             val cursors =
               if (hopeless) Array.empty[TermCursor]
               else specs.flatMap { case (f, tid, effIdf) =>
@@ -1137,6 +1155,16 @@ object Wand {
                   c.required.forall(tid => containsDoc(byFieldTerm((0, tid)), doc)) &&
                     c.requiredAny.forall(g => g.exists(tid =>
                       byFieldTerm.get((0, tid)).exists(containsDoc(_, doc)))) &&
+                    (c.minMatch == 0 || {
+                      // early-exit count of distinct scoring terms present
+                      var n = 0; var i = 0
+                      while (n < c.minMatch && i < c.scoringIds.length) {
+                        if (byFieldTerm.get((0, c.scoringIds(i)))
+                          .exists(containsDoc(_, doc))) n += 1
+                        i += 1
+                      }
+                      n >= c.minMatch
+                    }) &&
                     !c.excluded.exists(tid =>
                       byFieldTerm.get((0, tid)).exists(containsDoc(_, doc))) &&
                     c.phrases.forall { case (ph, sl) => phraseAt(ph, sl, doc) } &&

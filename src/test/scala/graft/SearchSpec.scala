@@ -70,6 +70,8 @@ class SearchSpec extends AnyFunSuite {
   private def satisfies(doc: Long, q: ParsedQuery): Boolean =
     q.required.forall(hasTerm(doc, _)) &&
       q.requiredAny.forall(g => g.exists(hasTerm(doc, _))) &&
+      (q.minShouldMatch == 0 ||
+        q.scoring.map(_._1).distinct.count(hasTerm(doc, _)) >= q.minShouldMatch) &&
       !q.excluded.exists(hasTerm(doc, _)) &&
       q.phrases.forall(hasPhrase(doc, _)) &&
       !q.excludedPhrases.exists(hasPhrase(doc, _)) &&
@@ -660,6 +662,47 @@ class SearchSpec extends AnyFunSuite {
     val viaGroup = Search.topKRaw(handle, Seq(1 -> "+zzzoov|merge join"), 10, analyzer)(1)
     val viaPlain = Search.topKRaw(handle, Seq(1 -> "+merge join"), 10, analyzer)(1)
     assert(viaGroup.toSeq == viaPlain.toSeq)
+  }
+
+  // ------------------------------------------------------ minimum should match
+
+  test("parser: msm directive") {
+    val q = QueryParser.parse(1, "merge join fast msm:2", analyzer)
+    assert(q.minShouldMatch == 2)
+    assert(q.scoring.map(_._1) == Seq("merge", "join", "fast"))
+    // position-independent and filter-composable
+    val q2 = QueryParser.parse(2, "msm:2 merge join url:2/1", analyzer)
+    assert(q2.minShouldMatch == 2 && q2.filters.length == 1)
+    // absent = 0
+    assert(QueryParser.parse(3, "merge join", analyzer).minShouldMatch == 0)
+  }
+
+  test("parser: msm loud errors") {
+    def bad(s: String): Unit =
+      assertThrows[QueryParser.ParseException](QueryParser.parse(1, s, analyzer))
+    bad("merge msm:0")          // non-positive
+    bad("merge msm:-1")
+    bad("merge msm:x")          // non-numeric
+    bad("merge msm:2 msm:3")    // duplicate directive
+    bad("merge -msm:2")         // negated directive
+    bad("merge +msm:2")         // required directive
+    bad("msm:2")                // no scoring terms to count
+    bad("c* merge msm:2")       // wildcard would shift the count index-dependently
+    bad("joi~1 merge msm:2")    // fuzzy likewise
+  }
+
+  test("msm retrieval: rank- and score-identical to the counted brute force") {
+    assertIdentical(QuerySet.msm, 10)
+    // N == |terms| equals the all-required query, exact arrays
+    val viaMsm = Search.topKRaw(handle, Seq(1 -> "merge join msm:2"), 10, analyzer)(1)
+    val viaReq = Search.topKRaw(handle, Seq(1 -> "+merge +join"), 10, analyzer)(1)
+    assert(viaMsm.toSeq == viaReq.toSeq)
+    // msm:1 is the bare-OR default, exact arrays
+    val viaOne = Search.topKRaw(handle, Seq(1 -> "merge join msm:1"), 10, analyzer)(1)
+    val viaBare = Search.topKRaw(handle, Seq(1 -> "merge join"), 10, analyzer)(1)
+    assert(viaOne.toSeq == viaBare.toSeq)
+    // more in-vocab terms demanded than exist → empty
+    assert(Search.topKRaw(handle, Seq(1 -> "merge zzzoov msm:2"), 10, analyzer)(1).isEmpty)
   }
 
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
