@@ -271,6 +271,24 @@ object QuerySet {
     8 -> "merge join fast -batch msm:2", // msm × exclusion
     9 -> "\"merge join\" vector msm:3",  // phrase terms count toward N
     10 -> "merge join batch msm:2 url:2/1") // msm × metadata filter
+
+  /** The collapse fixture (q_collapse) — the DSL surface re-ranked
+    * one-result-per-group (group = docId % 100, the site-key stand-in on
+    * this single-host synthetic corpus): bare OR, boosts, required,
+    * excluded, phrases, metadata filters, OR groups, msm, and a wildcard
+    * expansion, each now returning each group's best doc ranked by group
+    * bests. */
+  val collapse: Seq[(Int, String)] = Seq(
+    1 -> "merge join",                // bare OR, many matching groups
+    2 -> "window^3.0 batch stream",   // boosts change which doc wins a group
+    3 -> "+key merge slow",           // required conjunction
+    4 -> "merge join -batch",         // exclusion
+    5 -> "\"merge join\" vector",     // phrase constraint
+    6 -> "batch stream url:2/1",      // metadata filter × collapse
+    7 -> "merge|join window",         // OR group
+    8 -> "merge join fast msm:2",     // msm × collapse
+    9 -> "wind* batch",               // wildcard expansion × collapse
+    10 -> "fast -\"slow merge\"")     // excluded phrase
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -328,7 +346,7 @@ object IndexQueries {
     * 1-based within the window), which is exactly what the search_after
     * cursor must reproduce. */
   private def searchDslOracle(fixtures: Seq[(Int, String)],
-      rankLo: Int, rankHi: Int): String = {
+      rankLo: Int, rankHi: Int, collapseSql: Option[String] = None): String = {
     val parsed = fixtures.map { case (qid, s) =>
       graft.query.QueryParser.parse(qid, s, Tokenizers.default)
     }
@@ -435,6 +453,18 @@ object IndexQueries {
          |  WHERE 1=1$conds
          |  GROUP BY w.query_id, tf.doc_id""".stripMargin
     }
+    // under collapse, a per-(query, group) window keeps each group's best
+    // doc first (same rounded-score ordering discipline as the global
+    // rank), then the global ranking runs over the group bests only
+    val rankSrc = collapseSql match {
+      case None => "scores"
+      case Some(g) =>
+        s"""(SELECT query_id, doc_id, score FROM (
+           |  SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id, ($g)
+           |                            ORDER BY round(score, 6) DESC, doc_id) AS grank
+           |  FROM scores) WHERE grank = 1)""".stripMargin
+    }
     s"""WITH $corpusCte,
        |scores AS (
        |${branches.mkString("\nUNION ALL\n")}
@@ -443,7 +473,7 @@ object IndexQueries {
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
-       |  FROM scores
+       |  FROM $rankSrc
        |)
        |SELECT CAST(query_id AS INTEGER) AS query_id,
        |       CAST(rank - ${rankLo - 1} AS INTEGER) AS rank,
@@ -875,6 +905,22 @@ object IndexQueries {
       rankedReport(spark,
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.msm, k = 40,
           Tokenizers.default), kWand = 40)),
+
+    // RESULT COLLAPSING (field collapse / site dedup): the DSL fixture
+    // set re-ranked one-result-per-group — each group's best doc, top-k
+    // groups by their bests. The group key is ONE codegen'd Column over
+    // the docstats row (docId % 100 here — the site-key stand-in on this
+    // single-host corpus; a host regexp over url in production) riding
+    // the url slot that already ships to the bucket cogroup: no extra
+    // pass, no extra shuffle. Exactness is two-level (bucket-local
+    // group-aware WAND threshold + group-aware global reduce —
+    // Wand.topKCollapsed); the oracle re-derives it as a per-(query,
+    // group) best-doc window under the same brute-force score CTE.
+    "q_collapse" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.collapse, k = 40,
+          Tokenizers.default,
+          collapse = Some(col("docId") % 100)), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
     // page 1 at k=10 (exact), cursor on its last (score, docId), fetch the
@@ -1748,6 +1794,11 @@ object IndexQueries {
       // msm:N — the count constraint as a HAVING count(DISTINCT term)
       // membership subquery
       "q_msm" -> searchDslOracle(QuerySet.msm, rankLo = 1, rankHi = 10),
+
+      // collapse — the engine's docId % 100 group key re-derived as a
+      // per-(query, group) best-doc window before the global ranking
+      "q_collapse" -> searchDslOracle(QuerySet.collapse, rankLo = 1, rankHi = 10,
+        collapseSql = Some("doc_id % 100")),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

@@ -79,8 +79,10 @@ object Search {
     * Returns queryId → ranked (score, docId), exactly like [[Wand.topK]]. */
   def topKRaw(index: IndexHandle, raw: Seq[(Int, String)], k: Int,
       analyzer: TokenizerStrategy,
-      metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
-    topK(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }, k, metrics)
+      metrics: Option[Wand.WandMetrics] = None,
+      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
+    topK(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }, k,
+      metrics, collapse)
 
   /** One `field:value` filter → a Column over the docstats row. The only
     * field [[QueryParser]] admits is `url` (raw substring). */
@@ -90,10 +92,14 @@ object Search {
   }
 
   /** Run already-parsed queries: one WAND pass per distinct filter
-    * signature, queryIds preserved across the regrouping. */
+    * signature, queryIds preserved across the regrouping. `collapse`
+    * (a Column over the docstats row, e.g. a site key from url) switches
+    * the whole batch to one-result-per-group ranking — see
+    * [[Wand.topKCollapsed]]. */
   def topK(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
-      metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
-    page(index, queries, k, after = Map.empty, metrics)
+      metrics: Option[Wand.WandMetrics] = None,
+      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
+    page(index, queries, k, after = Map.empty, metrics, collapse)
 
   /** DEEP PAGINATION over the full DSL surface: the next k results
     * strictly after each query's `(score, docId)` cursor (its previous
@@ -102,7 +108,8 @@ object Search {
     * Queries absent from `after` return their first page. */
   def page(index: IndexHandle, queries0: Seq[ParsedQuery], k: Int,
       after: Map[Int, (Double, Long)],
-      metrics: Option[Wand.WandMetrics] = None): Map[Int, Array[(Double, Long)]] = {
+      metrics: Option[Wand.WandMetrics] = None,
+      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] = {
     // wildcards/fuzzies resolve against the dictionary first (no-op when
     // absent); ALL the batch's fuzzy needles share one expansion job
     val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
@@ -125,7 +132,8 @@ object Search {
         if (sig.isEmpty) None else Some(sig.map(filterColumn).reduce(_ && _))
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
         metrics, boundKey = None, docFilter = docFilter, constraints = cons,
-        pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) })
+        pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
+        collapse = collapse)
     }.toMap
   }
 

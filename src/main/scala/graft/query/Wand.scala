@@ -17,7 +17,8 @@ final case class QuerySpec(queryId: Int, terms: Seq[String],
   require(boosts.values.forall(_ > 0.0), s"non-positive boost in $boosts")
   def boost(term: String): Double = boosts.getOrElse(term, 1.0)
 }
-final case class ScoredDoc(queryId: Int, docId: Long, score: Double)
+final case class ScoredDoc(queryId: Int, docId: Long, score: Double,
+    group: String = "")
 
 /** k-way sorted-array intersection with galloping (exponential) search:
   * driven by the smallest list, each probe doubles its step then binary
@@ -433,6 +434,58 @@ object Wand {
     def ranked: Array[(Double, Long)] = pq.dequeueAll.toArray.reverse
   }
 
+  /** Bounded GROUP-COLLAPSED top-k: keeps each group's best-(score desc,
+    * docId asc) doc and the top-k groups ranked by that best — the "one
+    * result per site" collector. Same admission/tie discipline as
+    * [[TopKHeap]], so WAND's skip-ties-at-θ rule stays exact (DAAT visits
+    * docIds ascending).
+    *
+    * Lazy-deletion heap: improving a group's best leaves a stale pq entry
+    * that purges at the next threshold read, so offers stay O(log n).
+    * Evicting the worst group when a new group is admitted at capacity is
+    * exact: the k better group-bests each lower-bound their group's FINAL
+    * best, so the evicted group's current best can never rank top-k; if a
+    * LATER doc of that group beats the then-current threshold, the group
+    * simply re-enters as new. The threshold (the kth-best group-best) is a
+    * sound WAND pruning bound: a doc scoring ≤ θ either fails to improve
+    * its group (its group's best already ≥ its score) or becomes a
+    * group-best that k groups already beat. */
+  private[query] final class CollapseTopK(k: Int) {
+    private val best = new java.util.HashMap[String, (Double, Long)]()
+    // pop the WORST live entry: order by (score asc, docId desc)
+    private val ord: Ordering[(Double, Long, String)] =
+      Ordering.by[(Double, Long, String), Double](_._1).reverse.orElseBy(_._2)
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, String)](ord)
+    private def live(e: (Double, Long, String)): Boolean = {
+      val b = best.get(e._3); b != null && b._1 == e._1 && b._2 == e._2
+    }
+    private def purge(): Unit =
+      while (pq.nonEmpty && !live(pq.head)) { pq.dequeue(); () }
+    def threshold: Double =
+      if (best.size < k) Double.NegativeInfinity else { purge(); pq.head._1 }
+    def offer(score: Double, docId: Long, group: String): Unit = {
+      val cur = best.get(group)
+      if (cur == null) {
+        if (best.size >= k) {
+          purge()
+          val (ws, wd, wg) = pq.head
+          // a distinct doc can't tie on BOTH keys: equal score + equal
+          // docId would be the same doc, and then cur != null
+          if (score < ws || (score == ws && docId > wd)) return
+          pq.dequeue(); best.remove(wg); ()
+        }
+        best.put(group, (score, docId)); pq.enqueue((score, docId, group))
+      } else if (score > cur._1 || (score == cur._1 && docId < cur._2)) {
+        best.put(group, (score, docId)); pq.enqueue((score, docId, group))
+      }
+    }
+    /** Ranked best-first (score desc, docId asc), one row per group. */
+    def ranked: Array[(Double, Long)] = {
+      import scala.jdk.CollectionConverters._
+      best.values.asScala.toArray.sortBy { case (s, d) => (-s, d) }
+    }
+  }
+
   /** Exact WAND over one bucket for one query. `docLens` is indexed by each
     * cursor's `field` (a single-element array on the plain BM25 path); the
     * exact evaluation reads every at-pivot cursor's OWN (field docLen,
@@ -464,9 +517,17 @@ object Wand {
       initTheta: Double = Double.NegativeInfinity,
       admit: Long => Boolean = null,
       afterScore: Double = Double.PositiveInfinity,
-      afterDoc: Long = -1L
+      afterDoc: Long = -1L,
+      groupOf: Long => String = null
   ): Array[(Double, Long)] = {
-    val heap = new TopKHeap(k, initTheta)
+    // groupOf (null = no collapse) keys the group-collapsed collector:
+    // the result is then the bucket's top-k GROUP-bests, the threshold the
+    // kth-best group-best (sound — see CollapseTopK). Seeding is disabled
+    // by the caller under collapse, so initTheta is -inf there.
+    val heap = if (groupOf == null) new TopKHeap(k, initTheta) else null
+    val cheap = if (groupOf != null) new CollapseTopK(k) else null
+    def curTheta: Double =
+      if (heap != null) heap.threshold else math.max(cheap.threshold, initTheta)
     val cursors = cursors0.filter(!_.exhausted)
     if (cursors.isEmpty) return Array.empty
     val n = cursors.length
@@ -488,7 +549,7 @@ object Wand {
     while (!done) {
       resort()
       // pivot: smallest prefix whose term-UB sum exceeds threshold
-      val theta = heap.threshold
+      val theta = curTheta
       var ub = 0.0
       var p = -1
       var i = 0
@@ -536,8 +597,10 @@ object Wand {
             }
             if (!dead) {
               metrics.foreach(_.evals.add(1L))
-              if (score < afterScore || (score == afterScore && pivotDoc > afterDoc))
-                heap.offer(score, pivotDoc)
+              if (score < afterScore || (score == afterScore && pivotDoc > afterDoc)) {
+                if (heap != null) heap.offer(score, pivotDoc)
+                else cheap.offer(score, pivotDoc, groupOf(pivotDoc))
+              }
             }
           }
           // advance every cursor sitting at pivotDoc
@@ -550,7 +613,7 @@ object Wand {
         }
       }
     }
-    heap.ranked
+    if (heap != null) heap.ranked else cheap.ranked
   }
 
   /** Bucket-count cap for the predicate-pushdown docstats path; beyond it
@@ -745,6 +808,30 @@ object Wand {
     runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
       docFilter = Some(filter))
 
+  /** COLLAPSED exact top-k: one result per GROUP — the best-scoring doc
+    * of each of the k best groups, where a doc's group is `collapseKey`
+    * (any Column over the docstats row: docId, url, docLen — e.g. a host
+    * extracted from url), ranked by their bests. The "field collapse" /
+    * site-dedup of a web SERP. Exact by a two-level argument: bucket-
+    * locally the kth-best group-best is a sound WAND threshold (a doc
+    * scoring ≤ θ either can't improve its group or is beaten by k groups —
+    * [[CollapseTopK]]), and a group in the GLOBAL top-k has its best doc
+    * inside some bucket's local top-k group-bests (k better groups locally
+    * would imply k better groups globally). Cost shape over [[topK]]: the
+    * collapse key is ONE codegen'd expression on the already bucket-pruned
+    * docstats scan, riding the url slot that already ships to the cogroup
+    * — no extra pass, no extra shuffle; candidates carry the group string
+    * to the bounded group-aware reduce. The stats-only threshold seed is
+    * UNSOUND under collapse (a term's df ≥ k guaranteed docs may collapse
+    * into fewer than k groups) and is disabled. Composes with filters and
+    * constraints; not with search_after (a collapsed ranking has no stable
+    * per-doc cursor — enforced loudly). */
+  def topKCollapsed(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      collapseKey: org.apache.spark.sql.Column,
+      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
+      collapse = Some(collapseKey))
+
   /** DEEP PAGINATION (search_after): the next k docs STRICTLY after each
     * query's `(score, docId)` cursor in the global (score desc, docId asc)
     * ranking — page N+1 given page N's last row, exactly, without
@@ -856,10 +943,13 @@ object Wand {
       docFilter: Option[org.apache.spark.sql.Column] = None,
       globalStats: Option[(Long, Double, Map[String, Long])] = None,
       constraints: Map[Int, Constraints] = Map.empty,
-      pageAfter: Map[Int, (Double, Long)] = Map.empty): Map[Int, Array[(Double, Long)]] = {
+      pageAfter: Map[Int, (Double, Long)] = Map.empty,
+      collapse: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
+    require(collapse.isEmpty || pageAfter.isEmpty,
+      "collapse does not compose with search_after (no stable per-doc cursor)")
     val spark = fields.head._1.spark
     import spark.implicits._
     val m0 = fields.head._1.manifest
@@ -938,7 +1028,8 @@ object Wand {
     if (qSpecs.values.forall(_.isEmpty)) return empty
 
     val seedSound =
-      docFilter.isEmpty && (nF == 1 || fields.forall(_._1.manifest.tombVersion < 0))
+      docFilter.isEmpty && collapse.isEmpty &&
+        (nF == 1 || fields.forall(_._1.manifest.tombVersion < 0))
     val thetaSeed: Map[Int, Double] =
       if (!seedSound) Map.empty
       // seeding is UNSOUND for a constrained query (its df >= k guaranteed
@@ -1047,9 +1138,17 @@ object Wand {
         case Some(p) => when(p, col("docLen")).otherwise(lit(-1)).cast("int")
         case None    => col("docLen")
       }
-      pruned.toDF().select(col("docId"), col("url"), dlCol.as("docLen"))
+      // under collapse the group key (one codegen'd expression over the
+      // docstats row, computed AFTER docFilter reads the raw url) rides
+      // the url slot into the cogroup — docstats already ship url there
+      val keyCol = collapse match {
+        case Some(c) => coalesce(c.cast("string"), lit("")).as("url")
+        case None    => col("url")
+      }
+      pruned.toDF().select(col("docId"), keyCol, dlCol.as("docLen"))
         .as[DocStat].map(s => (f, s))
     }.reduce(_ union _).union(tombSentinels)
+    val doCollapse = collapse.isDefined
 
     val bQ = spark.sparkContext.broadcast(qSpecs)
     val bAfter = spark.sparkContext.broadcast(pageAfter)
@@ -1066,11 +1165,18 @@ object Wand {
         if (blockArr.isEmpty) Iterator.empty
         else {
           val docLens = Array.fill(nF)(new java.util.HashMap[Long, Integer]())
+          // collapse: docId → group key, from the SAME stats rows (the key
+          // rides the url slot). putIfAbsent: a tombstone sentinel's ""
+          // may win the slot, but a sentineled doc is never scored, so its
+          // group is never consulted
+          val docGroup =
+            if (doCollapse) new java.util.HashMap[Long, String]() else null
           // iterator order after the shuffle is arbitrary: a -1 tombstone
           // sentinel must win over the doc's real norm either way round
           stats.foreach { case (f, s) =>
             if (s.docLen == -1) docLens(f).put(s.docId, Integer.valueOf(-1))
             else docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen))
+            if (docGroup != null) { docGroup.putIfAbsent(s.docId, s.url); () }
             ()
           }
           val byFieldTerm: Map[(Int, Int), Array[DecodedBlock]] =
@@ -1172,18 +1278,31 @@ object Wand {
               }
               val (aScore, aDoc) =
                 bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
-              wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc).iterator
-                .map { case (s, d) => ScoredDoc(qid, d, s) }
+              val groupOf: Long => String =
+                if (docGroup == null) null else docGroup.get(_)
+              wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc,
+                groupOf).iterator
+                .map { case (s, d) =>
+                  ScoredDoc(qid, d, s, if (docGroup == null) "" else docGroup.get(d))
+                }
             }
           }
         }
     }
 
-    // reduce: per-query global top-k with a bounded heap (no full sort)
+    // reduce: per-query global top-k with a bounded heap (no full sort);
+    // under collapse the same group-aware collector merges the buckets'
+    // group-bests (a group spanning buckets collapses here)
     val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
-      val heap = new TopKHeap(kk)
-      it.foreach(c => heap.offer(c.score, c.docId))
-      (qid, heap.ranked.map { case (s, d) => (s, d) })
+      if (doCollapse) {
+        val ck = new CollapseTopK(kk)
+        it.foreach(c => ck.offer(c.score, c.docId, c.group))
+        (qid, ck.ranked)
+      } else {
+        val heap = new TopKHeap(kk)
+        it.foreach(c => heap.offer(c.score, c.docId))
+        (qid, heap.ranked.map { case (s, d) => (s, d) })
+      }
     }.collect().toMap
     queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Array.empty)).toMap
   }

@@ -705,6 +705,46 @@ class SearchSpec extends AnyFunSuite {
     assert(Search.topKRaw(handle, Seq(1 -> "merge zzzoov msm:2"), 10, analyzer)(1).isEmpty)
   }
 
+  // --------------------------------------------------------------- collapse
+
+  /** Grouped brute force: the full constrained ranking's FIRST doc per
+    * group (first occurrence in (score desc, docId asc) order IS the
+    * group's best with the right tie-break), then take k. */
+  private def wantCollapsed(q: ParsedQuery, k: Int): Array[(Double, Long)] = {
+    val boosts = q.scoring.filter(_._2 != 1.0).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    oracle.topK(q.scoring.map(_._1), Int.MaxValue, boosts)
+      .filter { case (_, d) => satisfies(d, q) }
+      .filter { case (_, d) => seen.add(d % 100) }
+      .take(k)
+  }
+
+  test("collapsed retrieval: rank- and score-identical to the grouped brute force") {
+    import org.apache.spark.sql.functions.col
+    val key = Some(col("docId") % 100)
+    val got = Search.topKRaw(handle, QuerySet.collapse, 10, analyzer, collapse = key)
+    QuerySet.collapse.foreach { case (qid, s) =>
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
+      val w = wantCollapsed(q, 10)
+      val g = got(qid)
+      assert(g.length == w.length, s"[$s] size: got ${g.length} want ${w.length}")
+      g.zip(w).zipWithIndex.foreach { case (((gs, gd), (ws, wd)), i) =>
+        assert(gd == wd, s"[$s] rank ${i + 1}: docId got $gd want $wd")
+        assert(gs == ws, s"[$s] rank ${i + 1}: score got $gs want $ws (EXACT)")
+      }
+      val groups = g.map(_._2 % 100)
+      assert(groups.distinct.length == groups.length, s"[$s] duplicate group in results")
+    }
+    // k beyond the group count returns every matching group exactly once
+    val big = Search.topKRaw(handle, Seq(1 -> "merge join"), 500, analyzer, collapse = key)(1)
+    val wq = Search.expand(handle, QueryParser.parse(1, "merge join", analyzer))
+    assert(big.toSeq == wantCollapsed(wq, 500).toSeq)
+    // no stable per-doc cursor under a collapsed ranking — loud error
+    assertThrows[IllegalArgumentException](
+      Search.page(handle, Seq(QueryParser.parse(1, "merge join", analyzer)),
+        10, after = Map(1 -> (1.0, 5L)), collapse = key))
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
