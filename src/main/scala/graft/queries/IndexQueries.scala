@@ -289,6 +289,23 @@ object QuerySet {
     8 -> "merge join fast msm:2",     // msm × collapse
     9 -> "wind* batch",               // wildcard expansion × collapse
     10 -> "fast -\"slow merge\"")     // excluded phrase
+
+  /** The total-hits fixture (q_hits) — exact match counts over the whole
+    * constraint surface, including two zero-hit shapes (OOV-only scoring,
+    * unsatisfiable required term). */
+  val hits: Seq[(Int, String)] = Seq(
+    1 -> "merge join",            // plain OR union
+    2 -> "+key merge slow",       // conjunction narrows
+    3 -> "merge join -batch",     // exclusion
+    4 -> "\"merge join\" vector", // phrase constraint
+    5 -> "batch stream url:2/1",  // metadata filter
+    6 -> "merge join fast msm:2", // msm count constraint
+    7 -> "wind* batch",           // wildcard widens the union
+    8 -> "joi~1 stream",          // fuzzy widens the union
+    9 -> "merge|join window",     // OR group
+    10 -> "zzzoov",               // OOV-only scoring → 0
+    11 -> "+zzzoov merge",        // unsatisfiable required → 0
+    12 -> "fast -\"slow merge\"") // excluded phrase
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -347,10 +364,61 @@ object IndexQueries {
     * cursor must reproduce. */
   private def searchDslOracle(fixtures: Seq[(Int, String)],
       rankLo: Int, rankHi: Int, collapseSql: Option[String] = None): String = {
+    val branches = dslScoreBranches(fixtures)
+    // under collapse, a per-(query, group) window keeps each group's best
+    // doc first (same rounded-score ordering discipline as the global
+    // rank), then the global ranking runs over the group bests only
+    val rankSrc = collapseSql match {
+      case None => "scores"
+      case Some(g) =>
+        s"""(SELECT query_id, doc_id, score FROM (
+           |  SELECT query_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY query_id, ($g)
+           |                            ORDER BY round(score, 6) DESC, doc_id) AS grank
+           |  FROM scores) WHERE grank = 1)""".stripMargin
+    }
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM $rankSrc
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id,
+       |       CAST(rank - ${rankLo - 1} AS INTEGER) AS rank,
+       |       doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rank >= $rankLo AND rank <= $rankHi
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The count oracle: exact hits per query — count of the same
+    * per-(query, doc) brute-force branch rows, zero-filled per fixture id
+    * so no-match queries still compare. */
+  private def searchDslCountOracle(fixtures: Seq[(Int, String)]): String = {
+    val branches = dslScoreBranches(fixtures)
+    val vals = fixtures.map(f => s"(${f._1})").mkString(", ")
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT CAST(v.query_id AS INTEGER) AS query_id,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+       |FROM (VALUES $vals) AS v(query_id)
+       |LEFT JOIN (SELECT query_id, count(*) AS hits FROM scores GROUP BY query_id) h
+       |  ON h.query_id = v.query_id
+       |ORDER BY v.query_id""".stripMargin
+  }
+
+  /** One per-(query, doc) brute-force score branch per fixture — the
+    * shared body of the ranked and the count oracles. */
+  private def dslScoreBranches(fixtures: Seq[(Int, String)]): Seq[String] = {
     val parsed = fixtures.map { case (qid, s) =>
       graft.query.QueryParser.parse(qid, s, Tokenizers.default)
     }
-    val branches = parsed.map { q =>
+    parsed.map { q =>
       // scoring source: explicit VALUES ∪ one dictionary-LIKE SELECT per
       // scoring wildcard, minus explicit terms and earlier wildcards'
       // ranges (the engine's "explicit and earlier clauses win" weights)
@@ -453,33 +521,6 @@ object IndexQueries {
          |  WHERE 1=1$conds
          |  GROUP BY w.query_id, tf.doc_id""".stripMargin
     }
-    // under collapse, a per-(query, group) window keeps each group's best
-    // doc first (same rounded-score ordering discipline as the global
-    // rank), then the global ranking runs over the group bests only
-    val rankSrc = collapseSql match {
-      case None => "scores"
-      case Some(g) =>
-        s"""(SELECT query_id, doc_id, score FROM (
-           |  SELECT query_id, doc_id, score,
-           |         row_number() OVER (PARTITION BY query_id, ($g)
-           |                            ORDER BY round(score, 6) DESC, doc_id) AS grank
-           |  FROM scores) WHERE grank = 1)""".stripMargin
-    }
-    s"""WITH $corpusCte,
-       |scores AS (
-       |${branches.mkString("\nUNION ALL\n")}
-       |),
-       |ranked AS (
-       |  SELECT query_id, doc_id, score,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
-       |  FROM $rankSrc
-       |)
-       |SELECT CAST(query_id AS INTEGER) AS query_id,
-       |       CAST(rank - ${rankLo - 1} AS INTEGER) AS rank,
-       |       doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rank >= $rankLo AND rank <= $rankHi
-       |ORDER BY query_id, rank""".stripMargin
   }
 
   private def cleanedDocs(spark: SparkSession, sfDir: String): DataFrame =
@@ -921,6 +962,20 @@ object IndexQueries {
         Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.collapse, k = 40,
           Tokenizers.default,
           collapse = Some(col("docId") % 100)), kWand = 40)),
+
+    // TOTAL HITS ("About N results", exact): match counts over the full
+    // DSL constraint surface. Count mode strips scoring and the heap from
+    // the WAND kernel — each bucket counts the admitted union of its
+    // scoring-term postings and ships ONE partial-count row, so the
+    // shuffle is O(candidate buckets), not O(matching docs). The oracle
+    // counts the same brute-force branch rows, zero-filled per query.
+    "q_hits" -> ((spark, sfDir) => {
+      import spark.implicits._
+      Search.countRaw(IndexCache.handle(spark, sfDir), QuerySet.hits,
+          Tokenizers.default)
+        .toSeq.sortBy(_._1).toDF("query_id", "hits")
+        .orderBy("query_id")
+    }),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
     // page 1 at k=10 (exact), cursor on its last (score, docId), fetch the
@@ -1799,6 +1854,9 @@ object IndexQueries {
       // per-(query, group) best-doc window before the global ranking
       "q_collapse" -> searchDslOracle(QuerySet.collapse, rankLo = 1, rankHi = 10,
         collapseSql = Some("doc_id % 100")),
+
+      // total hits — count of the same brute-force branch rows
+      "q_hits" -> searchDslCountOracle(QuerySet.hits),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

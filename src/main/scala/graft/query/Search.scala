@@ -117,10 +117,22 @@ object Search {
       if (needles.isEmpty) Map.empty[String, Seq[String]]
       else index.expandFuzzy(needles, MaxExpansions)
     val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
-    // canonical signature so `url:a -url:b` == `-url:b url:a` share a pass
+    grouped(queries).flatMap { case (docFilter, group, cons) =>
+      Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
+        metrics, boundKey = None, docFilter = docFilter, constraints = cons,
+        pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
+        collapse = collapse)
+    }.toMap
+  }
+
+  /** Batch compile: group by canonical filter signature (so `url:a -url:b`
+    * == `-url:b url:a` share a WAND pass), each group carrying its compiled
+    * docFilter Column and per-query constraint set. */
+  private def grouped(queries: Seq[ParsedQuery])
+      : Iterator[(Option[Column], Seq[ParsedQuery], Map[Int, Wand.Constraints])] = {
     def signature(q: ParsedQuery): Seq[FieldFilter] =
       q.filters.distinct.sortBy(f => (f.field, f.value, f.negated))
-    queries.groupBy(signature).iterator.flatMap { case (sig, group) =>
+    queries.groupBy(signature).iterator.map { case (sig, group) =>
       val cons = group.flatMap { q =>
         val c = Wand.Constraints(q.required, q.excluded, q.phrases,
           q.excludedPhrases, q.requiredAny, minMatch = q.minShouldMatch,
@@ -130,10 +142,35 @@ object Search {
       }.toMap
       val docFilter: Option[Column] =
         if (sig.isEmpty) None else Some(sig.map(filterColumn).reduce(_ && _))
-      Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
-        metrics, boundKey = None, docFilter = docFilter, constraints = cons,
-        pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
-        collapse = collapse)
+      (docFilter, group, cons)
+    }
+  }
+
+  /** Exact TOTAL HITS per query — the "About N results" figure, exact:
+    * documents containing at least one scoring term AND satisfying every
+    * constraint and metadata filter (Lucene totalHits semantics for a
+    * bool-should query). Same compile path as [[topK]] (wildcard/fuzzy
+    * expansion first, one pass per distinct filter signature), but the
+    * kernel runs in count mode: no scoring flops, no heap, and each
+    * bucket ships ONE partial-count row — the shuffle is O(candidate
+    * buckets), not O(matching docs), which is what makes an exact count
+    * affordable at 10^12 docs. OOV-only queries and unsatisfiable
+    * constraints count 0. */
+  def countRaw(index: IndexHandle, raw: Seq[(Int, String)],
+      analyzer: TokenizerStrategy): Map[Int, Long] =
+    count(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) })
+
+  def count(index: IndexHandle, queries0: Seq[ParsedQuery]): Map[Int, Long] = {
+    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
+    val fm =
+      if (needles.isEmpty) Map.empty[String, Seq[String]]
+      else index.expandFuzzy(needles, MaxExpansions)
+    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    grouped(queries).flatMap { case (docFilter, group, cons) =>
+      Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k = 1,
+        metrics = None, boundKey = None, docFilter = docFilter,
+        constraints = cons, countOnly = true)
+        .map { case (qid, arr) => qid -> arr.headOption.map(_._2).getOrElse(0L) }
     }.toMap
   }
 

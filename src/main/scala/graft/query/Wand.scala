@@ -944,12 +944,18 @@ object Wand {
       globalStats: Option[(Long, Double, Map[String, Long])] = None,
       constraints: Map[Int, Constraints] = Map.empty,
       pageAfter: Map[Int, (Double, Long)] = Map.empty,
-      collapse: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] = {
+      collapse: Option[org.apache.spark.sql.Column] = None,
+      countOnly: Boolean = false): Map[Int, Array[(Double, Long)]] = {
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
     require(collapse.isEmpty || pageAfter.isEmpty,
       "collapse does not compose with search_after (no stable per-doc cursor)")
+    // countOnly: exact TOTAL HITS per query — no scoring, no heap; each
+    // bucket emits ONE partial-count row (docId slot = count), the reduce
+    // sums. Single-field, no ranking knobs to compose with.
+    require(!countOnly || (fields.length == 1 && pageAfter.isEmpty && collapse.isEmpty),
+      "countOnly is single-field and composes with filters/constraints only")
     val spark = fields.head._1.spark
     import spark.implicits._
     val m0 = fields.head._1.manifest
@@ -1276,15 +1282,41 @@ object Wand {
                     c.phrases.forall { case (ph, sl) => phraseAt(ph, sl, doc) } &&
                     !c.excludedPhrases.exists { case (ph, sl) => phraseAt(ph, sl, doc) }
               }
-              val (aScore, aDoc) =
-                bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
-              val groupOf: Long => String =
-                if (docGroup == null) null else docGroup.get(_)
-              wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc,
-                groupOf).iterator
-                .map { case (s, d) =>
-                  ScoredDoc(qid, d, s, if (docGroup == null) "" else docGroup.get(d))
+              if (countOnly) {
+                // exact hit count, bucket-local: the union of the scoring
+                // terms' posting docIds (already-decoded blocks), each
+                // checked live (no -1 sentinel) and admitted. ONE partial
+                // row rides the shuffle per (query, bucket), docId = count.
+                val set = new java.util.HashSet[Long]()
+                specs.foreach { case (f, tid, _) =>
+                  byFieldTerm.get((f, tid)).foreach(_.foreach { b =>
+                    val ids = b.ids
+                    var i = 0
+                    while (i < ids.length) { set.add(ids(i)); i += 1 }
+                  })
                 }
+                var cnt = 0L
+                val dit = set.iterator()
+                while (dit.hasNext) {
+                  val d = dit.next()
+                  val len = docLens(0).get(d)
+                  if (len == null)
+                    throw new IllegalStateException(
+                      s"no DocStat for docId $d — docstats pruning/build bug")
+                  if (len.intValue() != -1 && (admit == null || admit(d))) cnt += 1
+                }
+                Iterator.single(ScoredDoc(qid, cnt, 0.0))
+              } else {
+                val (aScore, aDoc) =
+                  bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
+                val groupOf: Long => String =
+                  if (docGroup == null) null else docGroup.get(_)
+                wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc,
+                  groupOf).iterator
+                  .map { case (s, d) =>
+                    ScoredDoc(qid, d, s, if (docGroup == null) "" else docGroup.get(d))
+                  }
+              }
             }
           }
         }
@@ -1294,7 +1326,12 @@ object Wand {
     // under collapse the same group-aware collector merges the buckets'
     // group-bests (a group spanning buckets collapses here)
     val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
-      if (doCollapse) {
+      if (countOnly) {
+        // sum of the buckets' partial counts, one row: (hits, hits)
+        var tot = 0L
+        it.foreach(c => tot += c.docId)
+        (qid, Array((tot.toDouble, tot)))
+      } else if (doCollapse) {
         val ck = new CollapseTopK(kk)
         it.foreach(c => ck.offer(c.score, c.docId, c.group))
         (qid, ck.ranked)

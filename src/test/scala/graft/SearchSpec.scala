@@ -745,6 +745,24 @@ class SearchSpec extends AnyFunSuite {
         10, after = Map(1 -> (1.0, 5L)), collapse = key))
   }
 
+  // ------------------------------------------------------------- total hits
+
+  test("total hits: exact counts vs the brute force, including zero-hit shapes") {
+    val got = Search.countRaw(handle, QuerySet.hits, analyzer)
+    QuerySet.hits.foreach { case (qid, s) =>
+      // a hit = a doc containing >= 1 (dictionary-expanded) scoring term
+      // that satisfies every constraint and filter
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
+      val want = allDocs
+        .count(d => q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q)).toLong
+      assert(got(qid) == want, s"[$s] hits: got ${got(qid)} want $want")
+    }
+    // the two zero-hit shapes actually hit zero (not vacuous)
+    assert(got(10) == 0L && got(11) == 0L)
+    // and a live one is actually nonzero
+    assert(got(1) > 0L)
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
