@@ -306,6 +306,26 @@ object QuerySet {
     10 -> "zzzoov",               // OOV-only scoring → 0
     11 -> "+zzzoov merge",        // unsatisfiable required → 0
     12 -> "fast -\"slow merge\"") // excluded phrase
+
+  /** The fixture synonym table (q_synonyms): one OOV member (`quick`
+    * matches no posting — the harmless-OOV discipline), one 3-way in-vocab
+    * group, one 2-way group exercised in required/excluded roles. */
+  lazy val synTable: graft.query.Synonyms =
+    graft.query.Synonyms(Tokenizers.default, Seq(
+      Seq("fast", "quick"),
+      Seq("scan", "filter", "query"),
+      Seq("batch", "stream")))
+
+  /** The synonym fixture — every clause role under expansion. */
+  val synonyms: Seq[(Int, String)] = Seq(
+    1 -> "fast merge",          // OOV member rides along, changes nothing
+    2 -> "scan window",         // 3-way expansion widens the union
+    3 -> "scan filter^2.0",     // member collision: explicit weight wins
+    4 -> "+batch slow",         // required relaxes to any-of-group
+    5 -> "-batch merge join",   // exclusion covers the whole group
+    6 -> "\"merge join\" scan", // phrase terms do NOT expand
+    7 -> "batch key url:2/1",   // metadata filter × synonyms
+    8 -> "+scan merge|key")     // DSL OR group + synonym requiredAny
 }
 
 /** Core index-engine queries + their DuckDB oracles.
@@ -363,8 +383,9 @@ object IndexQueries {
     * 1-based within the window), which is exactly what the search_after
     * cursor must reproduce. */
   private def searchDslOracle(fixtures: Seq[(Int, String)],
-      rankLo: Int, rankHi: Int, collapseSql: Option[String] = None): String = {
-    val branches = dslScoreBranches(fixtures)
+      rankLo: Int, rankHi: Int, collapseSql: Option[String] = None,
+      synonyms: Option[graft.query.Synonyms] = None): String = {
+    val branches = dslScoreBranches(fixtures, synonyms)
     // under collapse, a per-(query, group) window keeps each group's best
     // doc first (same rounded-score ordering discipline as the global
     // rank), then the global ranking runs over the group bests only
@@ -413,11 +434,18 @@ object IndexQueries {
   }
 
   /** One per-(query, doc) brute-force score branch per fixture — the
-    * shared body of the ranked and the count oracles. */
-  private def dslScoreBranches(fixtures: Seq[(Int, String)]): Seq[String] = {
-    val parsed = fixtures.map { case (qid, s) =>
+    * shared body of the ranked and the count oracles. Synonym expansion,
+    * when given, applies the engine's OWN pure rewrite post-parse (the one
+    * source of truth for its semantics — it consults no index state, so
+    * unlike wildcards there is nothing index-side to re-derive in SQL;
+    * what the oracle then independently checks is the expanded query's
+    * retrieval). */
+  private def dslScoreBranches(fixtures: Seq[(Int, String)],
+      synonyms: Option[graft.query.Synonyms] = None): Seq[String] = {
+    val parsed0 = fixtures.map { case (qid, s) =>
       graft.query.QueryParser.parse(qid, s, Tokenizers.default)
     }
+    val parsed = synonyms.fold(parsed0)(syn => parsed0.map(syn.rewrite))
     parsed.map { q =>
       // scoring source: explicit VALUES ∪ one dictionary-LIKE SELECT per
       // scoring wildcard, minus explicit terms and earlier wildcards'
@@ -976,6 +1004,17 @@ object IndexQueries {
         .toSeq.sortBy(_._1).toDF("query_id", "hits")
         .orderBy("query_id")
     }),
+
+    // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
+    // role by the pure Synonyms.rewrite (scoring members at the clause
+    // weight, `+term` relaxed to any-of-group, `-term` excluding the
+    // group), then ranked by the unchanged kernel — expansion adds terms,
+    // never machinery. The oracle applies the SAME rewrite (it consults
+    // no index state) and re-derives the expanded retrieval brute-force.
+    "q_synonyms" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Search.topKRaw(IndexCache.handle(spark, sfDir), QuerySet.synonyms, k = 40,
+          Tokenizers.default, synonyms = Some(QuerySet.synTable)), kWand = 40)),
 
     // DEEP PAGINATION (search_after): page 2 of the DSL fixture set — run
     // page 1 at k=10 (exact), cursor on its last (score, docId), fetch the
@@ -1857,6 +1896,11 @@ object IndexQueries {
 
       // total hits — count of the same brute-force branch rows
       "q_hits" -> searchDslCountOracle(QuerySet.hits),
+
+      // synonyms — the engine's pure rewrite applied pre-generation, the
+      // expanded retrieval re-derived brute-force
+      "q_synonyms" -> searchDslOracle(QuerySet.synonyms, rankLo = 1, rankHi = 10,
+        synonyms = Some(QuerySet.synTable)),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

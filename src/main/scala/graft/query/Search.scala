@@ -80,9 +80,10 @@ object Search {
   def topKRaw(index: IndexHandle, raw: Seq[(Int, String)], k: Int,
       analyzer: TokenizerStrategy,
       metrics: Option[Wand.WandMetrics] = None,
-      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
+      collapse: Option[Column] = None,
+      synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] =
     topK(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }, k,
-      metrics, collapse)
+      metrics, collapse, synonyms)
 
   /** One `field:value` filter → a Column over the docstats row. The only
     * field [[QueryParser]] admits is `url` (raw substring). */
@@ -98,18 +99,23 @@ object Search {
     * [[Wand.topKCollapsed]]. */
   def topK(index: IndexHandle, queries: Seq[ParsedQuery], k: Int,
       metrics: Option[Wand.WandMetrics] = None,
-      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
-    page(index, queries, k, after = Map.empty, metrics, collapse)
+      collapse: Option[Column] = None,
+      synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] =
+    page(index, queries, k, after = Map.empty, metrics, collapse, synonyms)
 
   /** DEEP PAGINATION over the full DSL surface: the next k results
     * strictly after each query's `(score, docId)` cursor (its previous
     * page's last row), with every constraint and filter still applied —
     * see [[Wand.topKAfter]] for the cursor semantics and cost shape.
     * Queries absent from `after` return their first page. */
-  def page(index: IndexHandle, queries0: Seq[ParsedQuery], k: Int,
+  def page(index: IndexHandle, queries00: Seq[ParsedQuery], k: Int,
       after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None,
-      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] = {
+      collapse: Option[Column] = None,
+      synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] = {
+    // synonym expansion is a pure rewrite and runs FIRST (it neither
+    // consults the dictionary nor expands wildcard/fuzzy products)
+    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
     // wildcards/fuzzies resolve against the dictionary first (no-op when
     // absent); ALL the batch's fuzzy needles share one expansion job
     val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
@@ -157,10 +163,14 @@ object Search {
     * affordable at 10^12 docs. OOV-only queries and unsatisfiable
     * constraints count 0. */
   def countRaw(index: IndexHandle, raw: Seq[(Int, String)],
-      analyzer: TokenizerStrategy): Map[Int, Long] =
-    count(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) })
+      analyzer: TokenizerStrategy,
+      synonyms: Option[Synonyms] = None): Map[Int, Long] =
+    count(index, raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) },
+      synonyms)
 
-  def count(index: IndexHandle, queries0: Seq[ParsedQuery]): Map[Int, Long] = {
+  def count(index: IndexHandle, queries00: Seq[ParsedQuery],
+      synonyms: Option[Synonyms] = None): Map[Int, Long] = {
+    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
     val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
     val fm =
       if (needles.isEmpty) Map.empty[String, Seq[String]]

@@ -763,6 +763,59 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1) > 0L)
   }
 
+  // --------------------------------------------------------------- synonyms
+
+  test("synonyms: rewrite semantics per clause role") {
+    val syn = QuerySet.synTable
+    // scoring expansion at the clause weight; explicit weight wins
+    val q = syn.rewrite(QueryParser.parse(1, "scan filter^2.0", analyzer))
+    assert(q.scoring == Seq("scan" -> 1.0, "filter" -> 2.0, "query" -> 1.0))
+    // +required relaxes to any-of-group; members score
+    val q2 = syn.rewrite(QueryParser.parse(2, "+batch slow", analyzer))
+    assert(q2.required.isEmpty)
+    assert(q2.requiredAny == Seq(Seq("batch", "stream")))
+    assert(q2.scoring.map(_._1) == Seq("batch", "slow", "stream"))
+    // -excluded covers the whole group
+    val q3 = syn.rewrite(QueryParser.parse(3, "-batch merge", analyzer))
+    assert(q3.excluded.sorted == Seq("batch", "stream"))
+    // phrase terms do not expand; an ungrouped query is untouched
+    val q4 = syn.rewrite(QueryParser.parse(4, "\"merge join\" scan", analyzer))
+    assert(q4.phrases == Seq(Phrase(Seq("merge", "join"))))
+    assert(q4.scoring.map(_._1) == Seq("merge", "join", "scan", "filter", "query"))
+    assert(syn.rewrite(QueryParser.parse(5, "merge slow", analyzer)) ==
+      QueryParser.parse(5, "merge slow", analyzer))
+    // msm × synonym-bearing terms refuses loudly
+    assertThrows[QueryParser.ParseException](
+      syn.rewrite(QueryParser.parse(6, "scan merge msm:2", analyzer)))
+    // construction validation: non-normal member, overlapping groups
+    assertThrows[IllegalArgumentException](
+      Synonyms(analyzer, Seq(Seq("fast", "Top-K"))))
+    assertThrows[IllegalArgumentException](
+      Synonyms(analyzer, Seq(Seq("fast", "quick"), Seq("quick", "slow"))))
+    assertThrows[IllegalArgumentException](Synonyms(analyzer, Seq(Seq("fast"))))
+  }
+
+  test("synonym retrieval: rank- and score-identical to the rewritten brute force") {
+    val got = Search.topKRaw(handle, QuerySet.synonyms, 10, analyzer,
+      synonyms = Some(QuerySet.synTable))
+    QuerySet.synonyms.foreach { case (qid, s) =>
+      val q = Search.expand(handle,
+        QuerySet.synTable.rewrite(QueryParser.parse(qid, s, analyzer)))
+      val w = want(q, 10)
+      val g = got(qid)
+      assert(g.length == w.length, s"[$s] size: got ${g.length} want ${w.length}")
+      g.zip(w).foreach { case ((gs, gd), (ws, wd)) =>
+        assert(gd == wd && gs == ws, s"[$s] got ($gs,$gd) want ($ws,$wd)")
+      }
+    }
+    // counts see the same expansion
+    val cnt = Search.countRaw(handle, Seq(1 -> "scan window"), analyzer,
+      synonyms = Some(QuerySet.synTable))(1)
+    val q = QuerySet.synTable.rewrite(QueryParser.parse(1, "scan window", analyzer))
+    assert(cnt == allDocs.count(d =>
+      q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q)).toLong)
+  }
+
   test("repeated-term phrase (\"batch batch\") verifies true adjacency") {
     val q = QueryParser.parse(1, "\"batch batch\"", analyzer)
     assert(q.phrases == Seq(Phrase(Seq("batch", "batch"))))
