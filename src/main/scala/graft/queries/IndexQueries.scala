@@ -415,6 +415,32 @@ object IndexQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The facet oracle: per-(query, facet value) counts of the brute-force
+    * match rows, top-N by (count desc, value asc); zero-hit queries
+    * contribute no rows (the engine's empty facet list). */
+  private def searchDslFacetOracle(fixtures: Seq[(Int, String)],
+      facetSql: String, topN: Int): String = {
+    val branches = dslScoreBranches(fixtures)
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |fc AS (
+       |  SELECT query_id, CAST($facetSql AS VARCHAR) AS facet, count(*) AS hits
+       |  FROM scores GROUP BY 1, 2
+       |),
+       |rankedf AS (
+       |  SELECT query_id, facet, hits,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY hits DESC, facet) AS rn
+       |  FROM fc
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id, facet,
+       |       CAST(hits AS BIGINT) AS hits
+       |FROM rankedf WHERE rn <= $topN
+       |ORDER BY query_id, hits DESC, facet""".stripMargin
+  }
+
   /** The count oracle: exact hits per query — count of the same
     * per-(query, doc) brute-force branch rows, zero-filled per fixture id
     * so no-match queries still compare. */
@@ -1003,6 +1029,23 @@ object IndexQueries {
           Tokenizers.default)
         .toSeq.sortBy(_._1).toDF("query_id", "hits")
         .orderBy("query_id")
+    }),
+
+    // FACET COUNTS over the match set (the SERP facet panel, exact):
+    // per-facet-value match counts for every DSL fixture query, top-5
+    // values by (count desc, value asc). The facet key (docId % 10 —
+    // standing in for lang/host) rides the collapse slot into the bucket
+    // cogroup; the kernel counts per value per bucket and ships one
+    // partial row per (bucket, value) — never O(matching docs). The
+    // oracle re-groups the brute-force match rows.
+    "q_facets" -> ((spark, sfDir) => {
+      import spark.implicits._
+      Search.facetsRaw(IndexCache.handle(spark, sfDir), QuerySet.hits,
+          Tokenizers.default, (col("docId") % 10).cast("string"), topN = 5)
+        .toSeq.sortBy(_._1)
+        .flatMap { case (qid, fs) => fs.map { case (v, n) => (qid, v, n) } }
+        .toDF("query_id", "facet", "hits")
+        .orderBy(col("query_id"), col("hits").desc, col("facet"))
     }),
 
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
@@ -1901,6 +1944,9 @@ object IndexQueries {
       // expanded retrieval re-derived brute-force
       "q_synonyms" -> searchDslOracle(QuerySet.synonyms, rankLo = 1, rankHi = 10,
         synonyms = Some(QuerySet.synTable)),
+
+      // facets — per-(query, value) counts of the brute-force match rows
+      "q_facets" -> searchDslFacetOracle(QuerySet.hits, "doc_id % 10", topN = 5),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

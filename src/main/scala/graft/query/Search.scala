@@ -184,6 +184,34 @@ object Search {
     }.toMap
   }
 
+  /** EXACT FACET COUNTS over each query's match set — the SERP facet
+    * panel: per facet value (any Column over the docstats row, like
+    * collapse keys), the number of matching docs, top-N values by
+    * (count desc, value asc). Match-set semantics and compile path are
+    * [[count]]'s; the kernel emits one partial row per (bucket, value
+    * present), so the shuffle is O(buckets × present values), never
+    * O(matching docs). Zero-hit queries facet to an empty list. */
+  def facetsRaw(index: IndexHandle, raw: Seq[(Int, String)],
+      analyzer: TokenizerStrategy, facetKey: Column, topN: Int,
+      synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] =
+    facets(index,
+      raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) },
+      facetKey, topN, synonyms)
+
+  def facets(index: IndexHandle, queries00: Seq[ParsedQuery], facetKey: Column,
+      topN: Int, synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] = {
+    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
+    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
+    val fm =
+      if (needles.isEmpty) Map.empty[String, Seq[String]]
+      else index.expandFuzzy(needles, MaxExpansions)
+    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    grouped(queries).flatMap { case (docFilter, group, cons) =>
+      Wand.facetCounts(index, group.map(_.toQuerySpec), facetKey, topN,
+        docFilter = docFilter, constraints = cons)
+    }.toMap
+  }
+
   /** EXPLAIN: the per-term score breakdown of one (query, doc) — the
     * Lucene `explain()` of this engine. One row per scoring term with a
     * posting in the doc: (term, weight, tf, df, idf, doc_len, impact),

@@ -946,15 +946,96 @@ object Wand {
       pageAfter: Map[Int, (Double, Long)] = Map.empty,
       collapse: Option[org.apache.spark.sql.Column] = None,
       countOnly: Boolean = false): Map[Int, Array[(Double, Long)]] = {
+    require(collapse.isEmpty || !countOnly,
+      "countOnly × collapse is facet mode — use facetCounts")
+    val kk = k
+    val doCollapse = collapse.isDefined
+    def onEmpty = queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
+    runFieldsWith(fields, queries, k, metrics, boundKey, docFilter,
+      globalStats, constraints, pageAfter, collapse, countOnly)(onEmpty) { candidates =>
+      val spark = fields.head._1.spark
+      import spark.implicits._
+      // reduce: per-query global top-k with a bounded heap (no full sort);
+      // under collapse the same group-aware collector merges the buckets'
+      // group-bests (a group spanning buckets collapses here)
+      val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
+        if (countOnly) {
+          // sum of the buckets' partial counts, one row: (hits, hits)
+          var tot = 0L
+          it.foreach(c => tot += c.docId)
+          (qid, Array((tot.toDouble, tot)))
+        } else if (doCollapse) {
+          val ck = new CollapseTopK(kk)
+          it.foreach(c => ck.offer(c.score, c.docId, c.group))
+          (qid, ck.ranked)
+        } else {
+          val heap = new TopKHeap(kk)
+          it.foreach(c => heap.offer(c.score, c.docId))
+          (qid, heap.ranked.map { case (s, d) => (s, d) })
+        }
+      }.collect().toMap
+      queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Array.empty[(Double, Long)])).toMap
+    }
+  }
+
+  /** EXACT FACET COUNTS over the match set — the SERP facet panel: for
+    * each query, the per-facet-value count of documents containing ≥ 1
+    * scoring term and passing every constraint/filter, top-N values by
+    * (count desc, value asc). The facet key is any Column over the
+    * docstats row (like collapse), riding the url slot into the bucket
+    * cogroup; the kernel runs in count mode, each bucket emitting one
+    * partial row PER FACET VALUE PRESENT — shuffle is O(buckets × values
+    * present), never O(matching docs). */
+  def facetCounts(index: IndexHandle, queries: Seq[QuerySpec],
+      facetKey: org.apache.spark.sql.Column, topN: Int,
+      metrics: Option[WandMetrics] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None,
+      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Seq[(String, Long)]] = {
+    def onEmpty = queries.map(q => q.queryId -> Seq.empty[(String, Long)]).toMap
+    runFieldsWith(Seq(index -> 1.0), queries, k = 1, metrics, boundKey = None,
+      docFilter = docFilter, constraints = constraints,
+      collapse = Some(facetKey), countOnly = true)(onEmpty) { candidates =>
+      val spark = index.spark
+      import spark.implicits._
+      val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
+        val m = new java.util.HashMap[String, Long]()
+        it.foreach { c =>
+          val prev = m.get(c.group)
+          m.put(c.group, (if (prev == null) 0L else prev) + c.docId)
+          ()
+        }
+        import scala.jdk.CollectionConverters._
+        val top = m.asScala.toSeq.sortBy { case (v, n) => (-n, v) }.take(topN)
+        (qid, top)
+      }.collect().toMap
+      queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Seq.empty)).toMap
+    }
+  }
+
+  /** The shared driver core: everything up to the candidate rows (term
+    * lookup, constraint resolution, threshold seeding, bucket pruning,
+    * the cogroup kernel), generic in the final reduce so ranked / count /
+    * facet surfaces share one implementation. `onEmpty` is the no-hit
+    * result. */
+  private[query] def runFieldsWith[T](fields: Seq[(IndexHandle, Double)], queries: Seq[QuerySpec],
+      k: Int, metrics: Option[WandMetrics], boundKey: Option[String],
+      docFilter: Option[org.apache.spark.sql.Column] = None,
+      globalStats: Option[(Long, Double, Map[String, Long])] = None,
+      constraints: Map[Int, Constraints] = Map.empty,
+      pageAfter: Map[Int, (Double, Long)] = Map.empty,
+      collapse: Option[org.apache.spark.sql.Column] = None,
+      countOnly: Boolean = false)(onEmpty: => T)(
+      reduceFn: Dataset[ScoredDoc] => T): T = {
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
     require(collapse.isEmpty || pageAfter.isEmpty,
       "collapse does not compose with search_after (no stable per-doc cursor)")
-    // countOnly: exact TOTAL HITS per query — no scoring, no heap; each
-    // bucket emits ONE partial-count row (docId slot = count), the reduce
-    // sums. Single-field, no ranking knobs to compose with.
-    require(!countOnly || (fields.length == 1 && pageAfter.isEmpty && collapse.isEmpty),
+    // countOnly: exact match COUNTS per query — no scoring, no heap; each
+    // bucket emits partial-count rows (docId slot = count): ONE per query
+    // plain, one per facet value present under a collapse key (facet
+    // mode). Single-field, no ranking knobs to compose with.
+    require(!countOnly || (fields.length == 1 && pageAfter.isEmpty),
       "countOnly is single-field and composes with filters/constraints only")
     val spark = fields.head._1.spark
     import spark.implicits._
@@ -964,7 +1045,7 @@ object Wand {
       "fielded sub-indexes must share block geometry (bucketRange, blockSize)")
     val nF = fields.length
     val kk = k
-    def empty = queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
+    def empty = onEmpty
     // term-pruned lookups of ONLY the batch's query terms (scale-safe: no
     // full-dictionary collect on the query path). Constraint terms ride in
     // the same lookup: excluded terms never score but their postings must
@@ -1295,6 +1376,10 @@ object Wand {
                     while (i < ids.length) { set.add(ids(i)); i += 1 }
                   })
                 }
+                // facet mode (collapse key present): per-value partial
+                // counts; plain count mode: one total per bucket
+                val perFacet =
+                  if (docGroup == null) null else new java.util.HashMap[String, Long]()
                 var cnt = 0L
                 val dit = set.iterator()
                 while (dit.hasNext) {
@@ -1303,9 +1388,22 @@ object Wand {
                   if (len == null)
                     throw new IllegalStateException(
                       s"no DocStat for docId $d — docstats pruning/build bug")
-                  if (len.intValue() != -1 && (admit == null || admit(d))) cnt += 1
+                  if (len.intValue() != -1 && (admit == null || admit(d))) {
+                    if (perFacet == null) cnt += 1
+                    else {
+                      val g = docGroup.get(d)
+                      val prev = perFacet.get(g)
+                      perFacet.put(g, (if (prev == null) 0L else prev) + 1L)
+                      ()
+                    }
+                  }
                 }
-                Iterator.single(ScoredDoc(qid, cnt, 0.0))
+                if (perFacet == null) Iterator.single(ScoredDoc(qid, cnt, 0.0))
+                else {
+                  import scala.jdk.CollectionConverters._
+                  perFacet.entrySet().iterator().asScala
+                    .map(e => ScoredDoc(qid, e.getValue, 0.0, e.getKey))
+                }
               } else {
                 val (aScore, aDoc) =
                   bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
@@ -1322,25 +1420,6 @@ object Wand {
         }
     }
 
-    // reduce: per-query global top-k with a bounded heap (no full sort);
-    // under collapse the same group-aware collector merges the buckets'
-    // group-bests (a group spanning buckets collapses here)
-    val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
-      if (countOnly) {
-        // sum of the buckets' partial counts, one row: (hits, hits)
-        var tot = 0L
-        it.foreach(c => tot += c.docId)
-        (qid, Array((tot.toDouble, tot)))
-      } else if (doCollapse) {
-        val ck = new CollapseTopK(kk)
-        it.foreach(c => ck.offer(c.score, c.docId, c.group))
-        (qid, ck.ranked)
-      } else {
-        val heap = new TopKHeap(kk)
-        it.foreach(c => heap.offer(c.score, c.docId))
-        (qid, heap.ranked.map { case (s, d) => (s, d) })
-      }
-    }.collect().toMap
-    queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Array.empty)).toMap
+    reduceFn(candidates)
   }
 }

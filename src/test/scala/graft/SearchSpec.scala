@@ -763,6 +763,26 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1) > 0L)
   }
 
+  // ----------------------------------------------------------------- facets
+
+  test("facets: exact per-value match counts, topN cutoff, zero-hit empties") {
+    import org.apache.spark.sql.functions.col
+    val topN = 3
+    val got = Search.facetsRaw(handle, QuerySet.hits, analyzer,
+      (col("docId") % 10).cast("string"), topN)
+    QuerySet.hits.foreach { case (qid, s) =>
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
+      val matching = allDocs.toSeq
+        .filter(d => q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q))
+      val want = matching.groupBy(d => (d % 10).toString)
+        .map { case (v, ds) => (v, ds.length.toLong) }.toSeq
+        .sortBy { case (v, n) => (-n, v) }.take(topN)
+      assert(got(qid) == want, s"[$s] facets: got ${got(qid)} want $want")
+    }
+    assert(got(10).isEmpty && got(11).isEmpty) // the zero-hit shapes
+    assert(got(1).nonEmpty)
+  }
+
   // --------------------------------------------------------------- synonyms
 
   test("synonyms: rewrite semantics per clause role") {
