@@ -886,9 +886,10 @@ object Wand {
     * tokenized in independent chunks without first concatenating them
     * (midi_tokenizer.py:3084-3198's per-chunk outputs). */
   def topKSharded(shards: Seq[IndexHandle], queries: Seq[QuerySpec], k: Int,
-      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+      metrics: Option[WandMetrics] = None,
+      collapse: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] =
     runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
-      globalStats = Some(shardStats(shards, queries)))
+      globalStats = Some(shardStats(shards, queries)), collapse = collapse)
 
   /** Filtered federation: [[topKSharded]] restricted to documents
     * satisfying a metadata predicate over the docstats row — global
@@ -897,9 +898,11 @@ object Wand {
     * a filter narrows the result set, it does not re-weight terms). */
   def topKShardedFiltered(shards: Seq[IndexHandle], queries: Seq[QuerySpec], k: Int,
       filter: org.apache.spark.sql.Column,
-      metrics: Option[WandMetrics] = None): Map[Int, Array[(Double, Long)]] =
+      metrics: Option[WandMetrics] = None,
+      collapse: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] =
     runFields(shards.map(_ -> 1.0), queries, k, metrics, boundKey = None,
-      docFilter = Some(filter), globalStats = Some(shardStats(shards, queries)))
+      docFilter = Some(filter), globalStats = Some(shardStats(shards, queries)),
+      collapse = collapse)
 
   /** Corpus-global (nDocs, avgdl, per-term df) summed across the shards'
     * manifests and LIVE dictionaries — identical doubles to the merged

@@ -201,6 +201,24 @@ class MergeSpec extends AnyFunSuite {
         assert(math.abs(gs - ws) < 1e-9, s"filtered q=${q.terms} doc $d: $gs vs $ws")
       }
     }
+
+    // COLLAPSED federation: one-result-per-group over the unmerged shards
+    // == the merged index's collapsed ranking (the group key is computed
+    // per shard's docstats; group-bests merge in the group-aware reduce)
+    val key = org.apache.spark.sql.functions.col("docId") % 7
+    val fedC = Wand.topKSharded(shards, QuerySet.queries, 10, collapse = Some(key))
+    val wantC = Wand.topKCollapsed(IndexReader.load(spark, low2), QuerySet.queries, 10, key)
+    QuerySet.queries.foreach { q =>
+      val (g, w) = (fedC(q.queryId).toSeq, wantC(q.queryId).toSeq)
+      assert(g.map(_._2) == w.map(_._2),
+        s"collapsed q=${q.terms}: federated ${g.map(_._2)} != merged ${w.map(_._2)}")
+      val groups = g.map(_._2 % 7)
+      assert(groups.distinct.length == groups.length,
+        s"collapsed q=${q.terms}: duplicate group across shards")
+      g.zip(w).foreach { case ((gs, d), (ws, _)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"collapsed q=${q.terms} doc $d: $gs vs $ws")
+      }
+    }
   }
 
   test("append composes AFTER a merge: the merged index keeps ingesting like any other " +

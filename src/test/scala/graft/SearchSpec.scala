@@ -781,6 +781,16 @@ class SearchSpec extends AnyFunSuite {
     }
     assert(got(10).isEmpty && got(11).isEmpty) // the zero-hit shapes
     assert(got(1).nonEmpty)
+    // facets × synonyms × filter: the panel counts the REWRITTEN match set
+    val sGot = Search.facetsRaw(handle, Seq(1 -> "scan url:2/1"), analyzer,
+      (col("docId") % 10).cast("string"), topN, synonyms = Some(QuerySet.synTable))(1)
+    val sq = QuerySet.synTable.rewrite(QueryParser.parse(1, "scan url:2/1", analyzer))
+    val sWant = allDocs.toSeq
+      .filter(d => sq.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, sq))
+      .groupBy(d => (d % 10).toString)
+      .map { case (v, ds) => (v, ds.length.toLong) }.toSeq
+      .sortBy { case (v, n) => (-n, v) }.take(topN)
+    assert(sGot == sWant, s"synonym facets: got $sGot want $sWant")
   }
 
   // --------------------------------------------------------------- synonyms
