@@ -898,6 +898,19 @@ object IndexQueries {
         Wand.topKSharded(ShardedIndexCache.shards(spark, sfDir), QuerySet.queries, k = 40),
         kWand = 40)),
 
+    // FUNCTION SCORE (doc-value boost): BM25 × a per-doc multiplier from
+    // the docstats row (1 + docId % 3 here, standing in for recency /
+    // quality / pagerank boosts), exact under WAND — every term and
+    // block bound scales by the asserted maxBoost, so pruning weakens by
+    // the boost spread but never misses a boosted doc. The boost value
+    // rides the docstats url slot into the cogroup (one codegen'd
+    // expression); per-doc values are validated against maxBoost loudly.
+    "q_bm25_func" -> ((spark, sfDir) =>
+      rankedReport(spark,
+        Wand.topKBoosted(IndexCache.handle(spark, sfDir), QuerySet.queries, k = 40,
+          boost = lit(1.0) + (col("docId") % 3).cast("double"), maxBoost = 3.0),
+        kWand = 40)),
+
     // FILTERED ranked retrieval: BM25 top-10 restricted to a document
     // metadata predicate (doc_id % 3 = 0 here, standing in for the
     // site:/lang/date-range filters of a search result page). Exact among
@@ -1614,12 +1627,12 @@ object IndexQueries {
   // ----------------------------------------------------------------- oracle
 
   val oracles: Map[String, String] = {
-    def bm25TopSql(cte: String, docWhere: String = ""): String =
+    def bm25TopSql(cte: String, docWhere: String = "", boostSql: String = "1.0"): String =
       s"""WITH $cte,
          |q(query_id, term) AS (VALUES ${QuerySet.sqlValues}),
          |scores AS (
          |  SELECT q.query_id, tf.doc_id,
-         |         sum(${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")}) AS score
+         |         ($boostSql) * sum(${bm25Sql("tf.tf", "dft.df", "doclen.doc_len")}) AS score
          |  FROM q
          |  JOIN tf ON tf.term = q.term
          |  JOIN dft ON dft.term = q.term
@@ -1879,6 +1892,9 @@ object IndexQueries {
            |       CAST(0 AS BIGINT) AS n_violations
            |FROM per_bucket""".stripMargin,
       "q_bm25_topk" -> bm25TopSql(corpusCte),
+      // function score: the same ranking × the per-doc boost expression
+      "q_bm25_func" -> bm25TopSql(corpusCte,
+        boostSql = "1.0 + CAST(tf.doc_id % 3 AS DOUBLE)"),
       // federated shards score with GLOBAL stats == the single-index oracle
       "q_bm25_sharded" -> bm25TopSql(corpusCte),
       "q_bm25_brute" -> bm25TopSql(corpusCte),

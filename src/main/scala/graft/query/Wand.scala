@@ -518,8 +518,14 @@ object Wand {
       admit: Long => Boolean = null,
       afterScore: Double = Double.PositiveInfinity,
       afterDoc: Long = -1L,
-      groupOf: Long => String = null
+      groupOf: Long => String = null,
+      boostOf: Long => Double = null,
+      maxBoost: Double = 1.0
   ): Array[(Double, Long)] = {
+    // boostOf (null = none): FUNCTION SCORE — the exact score is
+    // boostOf(doc) × Σ impacts, with every upper bound (term UB, block
+    // max) scaled by the caller-asserted global maxBoost, so pruning
+    // stays exact (weaker by the boost spread, never wrong)
     // groupOf (null = no collapse) keys the group-collapsed collector:
     // the result is then the bucket's top-k GROUP-bests, the threshold the
     // kth-best group-best (sound — see CollapseTopK). Seeding is disabled
@@ -554,7 +560,7 @@ object Wand {
       var p = -1
       var i = 0
       while (i < n && p < 0) {
-        ub += cursors(order(i)).termUB
+        ub += cursors(order(i)).termUB * maxBoost
         if (ub > theta && cursors(order(i)).curDoc != Long.MaxValue) p = i
         i += 1
       }
@@ -565,10 +571,10 @@ object Wand {
           // block-max refinement: exact-eval only if block maxima can beat θ
           var bmSum = 0.0
           var j = 0
-          while (j <= p) { val c = cursors(order(j)); if (c.curDoc == pivotDoc) { c.advanceTo(pivotDoc); bmSum += c.blockMax }; j += 1 }
+          while (j <= p) { val c = cursors(order(j)); if (c.curDoc == pivotDoc) { c.advanceTo(pivotDoc); bmSum += c.blockMax * maxBoost }; j += 1 }
           // also add UBs of cursors beyond p that are AT pivotDoc
           var j2 = p + 1
-          while (j2 < n) { val c = cursors(order(j2)); if (c.curDoc == pivotDoc) bmSum += c.blockMax; j2 += 1 }
+          while (j2 < n) { val c = cursors(order(j2)); if (c.curDoc == pivotDoc) bmSum += c.blockMax * maxBoost; j2 += 1 }
           if (bmSum > theta && (admit == null || admit(pivotDoc))) {
             // exact evaluation: sum impacts in cursor order — cursors are
             // pre-sorted by (field, termId) at construction, Double accum.
@@ -597,6 +603,7 @@ object Wand {
             }
             if (!dead) {
               metrics.foreach(_.evals.add(1L))
+              if (boostOf != null) score *= boostOf(pivotDoc)
               if (score < afterScore || (score == afterScore && pivotDoc > afterDoc)) {
                 if (heap != null) heap.offer(score, pivotDoc)
                 else cheap.offer(score, pivotDoc, groupOf(pivotDoc))
@@ -832,6 +839,26 @@ object Wand {
     runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
       collapse = Some(collapseKey))
 
+  /** FUNCTION SCORE (doc-value boost): exact top-k under
+    * score' = boost(doc) × BM25(query, doc), where `boost` is any Column
+    * over the docstats row (recency from an ingest timestamp, a quality
+    * signal, pagerank — Lucene's FunctionScoreQuery in multiply mode) and
+    * `maxBoost` is the caller-asserted global bound on its values
+    * (validated per doc, loudly). Pruning stays EXACT: every term upper
+    * bound and block max scales by maxBoost, so no boosted doc can hide
+    * above a pruned bound — the cost of a wide boost spread is weaker
+    * pruning, never a wrong ranking. The boost value rides the docstats
+    * url slot into the bucket cogroup (one codegen'd expression on the
+    * bucket-pruned scan — no extra pass or shuffle); the stats-only
+    * threshold seed disables (per-doc boosts void the df ≥ k bound).
+    * Composes with docFilter; excludes collapse/count modes. */
+  def topKBoosted(index: IndexHandle, queries: Seq[QuerySpec], k: Int,
+      boost: org.apache.spark.sql.Column, maxBoost: Double,
+      metrics: Option[WandMetrics] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None): Map[Int, Array[(Double, Long)]] =
+    runFields(Seq(index -> 1.0), queries, k, metrics, boundKey = None,
+      docFilter = docFilter, funcScore = Some((boost, maxBoost)))
+
   /** DEEP PAGINATION (search_after): the next k docs STRICTLY after each
     * query's `(score, docId)` cursor in the global (score desc, docId asc)
     * ranking — page N+1 given page N's last row, exactly, without
@@ -948,14 +975,15 @@ object Wand {
       constraints: Map[Int, Constraints] = Map.empty,
       pageAfter: Map[Int, (Double, Long)] = Map.empty,
       collapse: Option[org.apache.spark.sql.Column] = None,
-      countOnly: Boolean = false): Map[Int, Array[(Double, Long)]] = {
+      countOnly: Boolean = false,
+      funcScore: Option[(org.apache.spark.sql.Column, Double)] = None): Map[Int, Array[(Double, Long)]] = {
     require(collapse.isEmpty || !countOnly,
       "countOnly × collapse is facet mode — use facetCounts")
     val kk = k
     val doCollapse = collapse.isDefined
     def onEmpty = queries.map(q => q.queryId -> Array.empty[(Double, Long)]).toMap
     runFieldsWith(fields, queries, k, metrics, boundKey, docFilter,
-      globalStats, constraints, pageAfter, collapse, countOnly)(onEmpty) { candidates =>
+      globalStats, constraints, pageAfter, collapse, countOnly, funcScore)(onEmpty) { candidates =>
       val spark = fields.head._1.spark
       import spark.implicits._
       // reduce: per-query global top-k with a bounded heap (no full sort);
@@ -1027,13 +1055,21 @@ object Wand {
       constraints: Map[Int, Constraints] = Map.empty,
       pageAfter: Map[Int, (Double, Long)] = Map.empty,
       collapse: Option[org.apache.spark.sql.Column] = None,
-      countOnly: Boolean = false)(onEmpty: => T)(
+      countOnly: Boolean = false,
+      funcScore: Option[(org.apache.spark.sql.Column, Double)] = None)(onEmpty: => T)(
       reduceFn: Dataset[ScoredDoc] => T): T = {
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
     require(collapse.isEmpty || pageAfter.isEmpty,
       "collapse does not compose with search_after (no stable per-doc cursor)")
+    // funcScore rides the same url slot as collapse — one at a time; it
+    // multiplies ranked scores, so it has no meaning in count mode
+    require(funcScore.isEmpty ||
+      (collapse.isEmpty && !countOnly && fields.length == 1),
+      "funcScore is single-field and excludes collapse/count modes")
+    funcScore.foreach { case (_, mb) =>
+      require(mb > 0.0 && !mb.isInfinite, s"maxBoost must be finite positive, got $mb") }
     // countOnly: exact match COUNTS per query — no scoring, no heap; each
     // bucket emits partial-count rows (docId slot = count): ONE per query
     // plain, one per facet value present under a collapse key (facet
@@ -1118,7 +1154,7 @@ object Wand {
     if (qSpecs.values.forall(_.isEmpty)) return empty
 
     val seedSound =
-      docFilter.isEmpty && collapse.isEmpty &&
+      docFilter.isEmpty && collapse.isEmpty && funcScore.isEmpty &&
         (nF == 1 || fields.forall(_._1.manifest.tombVersion < 0))
     val thetaSeed: Map[Int, Double] =
       if (!seedSound) Map.empty
@@ -1228,10 +1264,11 @@ object Wand {
         case Some(p) => when(p, col("docLen")).otherwise(lit(-1)).cast("int")
         case None    => col("docLen")
       }
-      // under collapse the group key (one codegen'd expression over the
-      // docstats row, computed AFTER docFilter reads the raw url) rides
-      // the url slot into the cogroup — docstats already ship url there
-      val keyCol = collapse match {
+      // under collapse (or funcScore) the group key / boost value (one
+      // codegen'd expression over the docstats row, computed AFTER
+      // docFilter reads the raw url) rides the url slot into the cogroup
+      // — docstats already ship url there
+      val keyCol = collapse.orElse(funcScore.map(_._1)) match {
         case Some(c) => coalesce(c.cast("string"), lit("")).as("url")
         case None    => col("url")
       }
@@ -1239,6 +1276,8 @@ object Wand {
         .as[DocStat].map(s => (f, s))
     }.reduce(_ union _).union(tombSentinels)
     val doCollapse = collapse.isDefined
+    val doFunc = funcScore.isDefined
+    val fsMax = funcScore.map(_._2).getOrElse(1.0)
 
     val bQ = spark.sparkContext.broadcast(qSpecs)
     val bAfter = spark.sparkContext.broadcast(pageAfter)
@@ -1261,12 +1300,26 @@ object Wand {
           // group is never consulted
           val docGroup =
             if (doCollapse) new java.util.HashMap[Long, String]() else null
+          // funcScore: docId → boost, parsed from the same url slot;
+          // sentinel rows carry "" and are skipped (a sentineled doc is
+          // never scored). Values are validated against maxBoost loudly —
+          // a silent over-bound boost would break pruning exactness.
+          val docBoost =
+            if (doFunc) new java.util.HashMap[Long, java.lang.Double]() else null
           // iterator order after the shuffle is arbitrary: a -1 tombstone
           // sentinel must win over the doc's real norm either way round
           stats.foreach { case (f, s) =>
             if (s.docLen == -1) docLens(f).put(s.docId, Integer.valueOf(-1))
             else docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen))
             if (docGroup != null) { docGroup.putIfAbsent(s.docId, s.url); () }
+            if (docBoost != null && s.url.nonEmpty) {
+              val v = java.lang.Double.parseDouble(s.url)
+              if (!(v > 0.0) || v > fsMax)
+                throw new IllegalStateException(
+                  s"funcScore boost $v for docId ${s.docId} outside (0, maxBoost=$fsMax]")
+              docBoost.putIfAbsent(s.docId, java.lang.Double.valueOf(v))
+              ()
+            }
             ()
           }
           val byFieldTerm: Map[(Int, Int), Array[DecodedBlock]] =
@@ -1412,8 +1465,17 @@ object Wand {
                   bAfter.value.getOrElse(qid, (Double.PositiveInfinity, -1L))
                 val groupOf: Long => String =
                   if (docGroup == null) null else docGroup.get(_)
+                val boostOf: Long => Double =
+                  if (docBoost == null) null
+                  else (d: Long) => {
+                    val v = docBoost.get(d)
+                    if (v == null)
+                      throw new IllegalStateException(
+                        s"no funcScore boost for docId $d — docstats pruning/build bug")
+                    v.doubleValue()
+                  }
                 wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc,
-                  groupOf).iterator
+                  groupOf, boostOf, if (doFunc) fsMax else 1.0).iterator
                   .map { case (s, d) =>
                     ScoredDoc(qid, d, s, if (docGroup == null) "" else docGroup.get(d))
                   }

@@ -763,6 +763,31 @@ class SearchSpec extends AnyFunSuite {
     assert(got(1) > 0L)
   }
 
+  // ---------------------------------------------------------- function score
+
+  test("function score: rank- and score-identical to the boosted brute force") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val boost = lit(1.0) + (col("docId") % 3).cast("double")
+    val got = Wand.topKBoosted(handle, QuerySet.queries, 10, boost, maxBoost = 3.0)
+    QuerySet.queries.foreach { q =>
+      val want = oracle.topK(q.terms, Int.MaxValue)
+        .map { case (s, d) => (s * (1.0 + (d % 3)), d) }
+        .sortBy { case (s, d) => (-s, d) }.take(10).toSeq
+      val g = got(q.queryId).toSeq
+      assert(g == want, s"q=${q.terms}: got $g want $want (EXACT)")
+    }
+    // a uniform 1.0 boost is the plain ranking, exact arrays
+    val one = Wand.topKBoosted(handle, QuerySet.queries, 10, lit(1.0), maxBoost = 1.0)
+    val plain = Wand.topK(handle, QuerySet.queries, 10)
+    QuerySet.queries.foreach(q => assert(one(q.queryId).toSeq == plain(q.queryId).toSeq))
+    // an over-maxBoost per-doc value fails LOUDLY, never silently misranks
+    val e = intercept[Exception](
+      Wand.topKBoosted(handle, QuerySet.queries.take(1), 10, boost, maxBoost = 2.0))
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("outside")), causes(e).toString)
+  }
+
   // ----------------------------------------------------------------- facets
 
   test("facets: exact per-value match counts, topN cutoff, zero-hit empties") {
