@@ -388,7 +388,14 @@ object IndexQueries {
     val branches = dslScoreBranches(fixtures, synonyms)
     // under collapse, a per-(query, group) window keeps each group's best
     // doc first (same rounded-score ordering discipline as the global
-    // rank), then the global ranking runs over the group bests only
+    // rank), then the global ranking runs over the group bests only.
+    // Residual comparison risk, same class as the pagination oracle's
+    // 6dp-collision guard: the engine selects a group's best by EXACT
+    // doubles while this window compares at round-6 — two same-group
+    // docs whose exact scores differ only below 1e-6 (without being an
+    // exact tie) would pick different representatives and fail the row
+    // LOUDLY (never silently wrong); exact ties agree (docId asc both
+    // sides)
     val rankSrc = collapseSql match {
       case None => "scores"
       case Some(g) =>

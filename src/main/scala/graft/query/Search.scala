@@ -113,22 +113,27 @@ object Search {
       metrics: Option[Wand.WandMetrics] = None,
       collapse: Option[Column] = None,
       synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] = {
-    // synonym expansion is a pure rewrite and runs FIRST (it neither
-    // consults the dictionary nor expands wildcard/fuzzy products)
-    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
-    // wildcards/fuzzies resolve against the dictionary first (no-op when
-    // absent); ALL the batch's fuzzy needles share one expansion job
-    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
-    val fm =
-      if (needles.isEmpty) Map.empty[String, Seq[String]]
-      else index.expandFuzzy(needles, MaxExpansions)
-    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    val queries = compile(index, queries00, synonyms)
     grouped(queries).flatMap { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
         metrics, boundKey = None, docFilter = docFilter, constraints = cons,
         pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
         collapse = collapse)
     }.toMap
+  }
+
+  /** Shared batch compile: synonym rewrite first (a pure rewrite — it
+    * neither consults the dictionary nor expands wildcard/fuzzy
+    * products), then ONE batched fuzzy-needle expansion job for the whole
+    * batch, then per-query dictionary expansion. */
+  private def compile(index: IndexHandle, queries00: Seq[ParsedQuery],
+      synonyms: Option[Synonyms]): Seq[ParsedQuery] = {
+    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
+    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
+    val fm =
+      if (needles.isEmpty) Map.empty[String, Seq[String]]
+      else index.expandFuzzy(needles, MaxExpansions)
+    queries0.map(expand(index, _, MaxExpansions, Some(fm)))
   }
 
   /** Batch compile: group by canonical filter signature (so `url:a -url:b`
@@ -170,12 +175,7 @@ object Search {
 
   def count(index: IndexHandle, queries00: Seq[ParsedQuery],
       synonyms: Option[Synonyms] = None): Map[Int, Long] = {
-    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
-    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
-    val fm =
-      if (needles.isEmpty) Map.empty[String, Seq[String]]
-      else index.expandFuzzy(needles, MaxExpansions)
-    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    val queries = compile(index, queries00, synonyms)
     grouped(queries).flatMap { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k = 1,
         metrics = None, boundKey = None, docFilter = docFilter,
@@ -200,12 +200,7 @@ object Search {
 
   def facets(index: IndexHandle, queries00: Seq[ParsedQuery], facetKey: Column,
       topN: Int, synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] = {
-    val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
-    val needles = queries0.flatMap(_.fuzzies.map(_.term)).distinct
-    val fm =
-      if (needles.isEmpty) Map.empty[String, Seq[String]]
-      else index.expandFuzzy(needles, MaxExpansions)
-    val queries = queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    val queries = compile(index, queries00, synonyms)
     grouped(queries).flatMap { case (docFilter, group, cons) =>
       Wand.facetCounts(index, group.map(_.toQuerySpec), facetKey, topN,
         docFilter = docFilter, constraints = cons)

@@ -21,6 +21,9 @@ import graft.tokenize.TokenizerStrategy
   *  - `msm:N` refuses synonym-bearing scoring terms loudly: expansion
   *    would inflate the distinct-term count one concept at a time, the
   *    same index/vocabulary-dependent shift that bars wildcard × msm
+  *  - an expansion that makes a term both excluded and positive (e.g.
+  *    `-batch stream` under a batch↔stream group — an always-empty
+  *    query) refuses loudly, matching the parser's contradiction rule
   *
   * An out-of-vocabulary member is harmless everywhere: it scores nothing,
   * satisfies nothing, and excludes nothing — the standard OOV discipline.
@@ -60,6 +63,15 @@ final case class Synonyms private (groups: Seq[Seq[String]]) {
       keep
     }
     val excluded = q.excluded.flatMap(groupOf).distinct
+    // expansion must not manufacture the contradiction the parser refuses
+    // for explicit terms ("term both excluded and positive"): with groups
+    // [[batch, stream]], "-batch stream" would expand to scoring
+    // {stream, batch} × excluded {batch, stream} — an always-empty query.
+    // Refuse loudly, matching the grammar's discipline
+    val exSet = excluded.toSet
+    val clash = scoring.keysIterator.find(exSet.contains)
+    clash.foreach(t => throw QueryParser.ParseException(
+      s"term '$t' is both excluded and positive after synonym expansion"))
     q.copy(scoring = scoring.toSeq, required = required,
       excluded = excluded, requiredAny = requiredAny.toSeq)
   }

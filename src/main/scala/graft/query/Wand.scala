@@ -1300,12 +1300,17 @@ object Wand {
           // group is never consulted
           val docGroup =
             if (doCollapse) new java.util.HashMap[Long, String]() else null
-          // funcScore: docId → boost, parsed from the same url slot;
-          // sentinel rows carry "" and are skipped (a sentineled doc is
-          // never scored). Values are validated against maxBoost loudly —
-          // a silent over-bound boost would break pruning exactness.
+          // funcScore: docId → boost, riding the same url slot; sentinel
+          // rows carry "" and are skipped (a sentineled doc is never
+          // scored). Raw strings here — parse + range-validation happen
+          // LAZILY per scored doc (boostOf below), so a boost expression
+          // that is garbage or out-of-bound for docs the filter excludes
+          // (or tombstones kill) can never fail the job; validation stays
+          // loud for every doc that actually scores (a silent over-bound
+          // boost would break pruning exactness). Parsed values memoize
+          // in place.
           val docBoost =
-            if (doFunc) new java.util.HashMap[Long, java.lang.Double]() else null
+            if (doFunc) new java.util.HashMap[Long, AnyRef]() else null
           // iterator order after the shuffle is arbitrary: a -1 tombstone
           // sentinel must win over the doc's real norm either way round
           stats.foreach { case (f, s) =>
@@ -1313,11 +1318,7 @@ object Wand {
             else docLens(f).putIfAbsent(s.docId, Integer.valueOf(s.docLen))
             if (docGroup != null) { docGroup.putIfAbsent(s.docId, s.url); () }
             if (docBoost != null && s.url.nonEmpty) {
-              val v = java.lang.Double.parseDouble(s.url)
-              if (!(v > 0.0) || v > fsMax)
-                throw new IllegalStateException(
-                  s"funcScore boost $v for docId ${s.docId} outside (0, maxBoost=$fsMax]")
-              docBoost.putIfAbsent(s.docId, java.lang.Double.valueOf(v))
+              docBoost.putIfAbsent(s.docId, s.url)
               ()
             }
             ()
@@ -1467,12 +1468,24 @@ object Wand {
                   if (docGroup == null) null else docGroup.get(_)
                 val boostOf: Long => Double =
                   if (docBoost == null) null
-                  else (d: Long) => {
-                    val v = docBoost.get(d)
-                    if (v == null)
+                  else (d: Long) => docBoost.get(d) match {
+                    case null =>
                       throw new IllegalStateException(
                         s"no funcScore boost for docId $d — docstats pruning/build bug")
-                    v.doubleValue()
+                    case v: java.lang.Double => v.doubleValue()
+                    case raw: String =>
+                      val v = try java.lang.Double.parseDouble(raw) catch {
+                        case _: NumberFormatException =>
+                          throw new IllegalStateException(
+                            s"non-numeric funcScore boost '$raw' for docId $d")
+                      }
+                      if (!(v > 0.0) || v > fsMax)
+                        throw new IllegalStateException(
+                          s"funcScore boost $v for docId $d outside (0, maxBoost=$fsMax]")
+                      docBoost.put(d, java.lang.Double.valueOf(v))
+                      v
+                    case other =>
+                      throw new IllegalStateException(s"unexpected boost slot $other")
                   }
                 wandBucket(cursors, docLens, kk, metrics, theta0, admit, aScore, aDoc,
                   groupOf, boostOf, if (doFunc) fsMax else 1.0).iterator

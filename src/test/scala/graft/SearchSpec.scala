@@ -786,6 +786,20 @@ class SearchSpec extends AnyFunSuite {
     def causes(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
     assert(causes(e).exists(m => m != null && m.contains("outside")), causes(e).toString)
+    // validation is LAZY per scored doc: a boost that is garbage outside
+    // the filter (here: -1.0 for every docId % 3 != 0) cannot fail the
+    // filtered run, and the filtered boosted ranking stays exact
+    import org.apache.spark.sql.functions.when
+    val partialBoost = when(col("docId") % 3 === 0, lit(2.0)).otherwise(lit(-1.0))
+    val gotF = Wand.topKBoosted(handle, QuerySet.queries, 10, partialBoost,
+      maxBoost = 2.0, docFilter = Some(col("docId") % 3 === 0))
+    QuerySet.queries.foreach { q =>
+      val want = oracle.topK(q.terms, Int.MaxValue)
+        .filter { case (_, d) => d % 3 == 0 }
+        .map { case (s, d) => (s * 2.0, d) }
+        .sortBy { case (s, d) => (-s, d) }.take(10).toSeq
+      assert(gotF(q.queryId).toSeq == want, s"filtered-boost q=${q.terms}")
+    }
   }
 
   // ----------------------------------------------------------------- facets
@@ -842,6 +856,13 @@ class SearchSpec extends AnyFunSuite {
     // msm × synonym-bearing terms refuses loudly
     assertThrows[QueryParser.ParseException](
       syn.rewrite(QueryParser.parse(6, "scan merge msm:2", analyzer)))
+    // expansion-manufactured contradiction (scoring member of an excluded
+    // group → always-empty query) refuses loudly, like the parser's own
+    // explicit-contradiction rule
+    assertThrows[QueryParser.ParseException](
+      syn.rewrite(QueryParser.parse(7, "-batch stream", analyzer)))
+    assertThrows[QueryParser.ParseException](
+      syn.rewrite(QueryParser.parse(8, "quick -fast merge", analyzer)))
     // construction validation: non-normal member, overlapping groups
     assertThrows[IllegalArgumentException](
       Synonyms(analyzer, Seq(Seq("fast", "Top-K"))))
