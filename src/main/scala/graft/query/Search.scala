@@ -207,6 +207,54 @@ object Search {
     }.toMap
   }
 
+  /** One SERP request: the query string plus every knob of the surface. */
+  final case class SearchRequest(
+      query: String,
+      k: Int = 10,
+      collapse: Option[Column] = None,
+      facetKey: Option[Column] = None,
+      facetTopN: Int = 10,
+      synonyms: Option[Synonyms] = None,
+      after: Option[(Double, Long)] = None)
+
+  /** One SERP response: ranked hits, EXACT total, facet panel, and the
+    * cursor for the next page (absent under collapse — a collapsed
+    * ranking has no stable per-doc cursor — or on an empty page). Under
+    * collapse, `total` still counts matching DOCS, not groups. */
+  final case class SearchResponse(
+      hits: Array[(Double, Long)],
+      total: Long,
+      facets: Seq[(String, Long)],
+      nextCursor: Option[(Double, Long)])
+
+  /** THE search endpoint — one request, one response, two passes total:
+    * the ranked WAND pass (with constraints/filters/collapse/cursor),
+    * plus ONE count-mode pass that yields the exact total AND the facet
+    * panel together when `facetKey` is set ([[Wand.facetCountsWithTotal]]
+    * — the per-value counts partition the match set, so their sum is the
+    * total for free), or just the total otherwise. */
+  def run(index: IndexHandle, req: SearchRequest,
+      analyzer: TokenizerStrategy): SearchResponse = {
+    val parsed = Seq(QueryParser.parse(1, req.query, analyzer))
+    val hits = page(index, parsed, req.k,
+      after = req.after.map(1 -> _).toMap, collapse = req.collapse,
+      synonyms = req.synonyms)(1)
+    val (total, facetsOut) = req.facetKey match {
+      case Some(fk) =>
+        val compiled = compile(index, parsed, req.synonyms)
+        grouped(compiled).map { case (docFilter, group, cons) =>
+          Wand.facetCountsWithTotal(index, group.map(_.toQuerySpec), fk,
+            req.facetTopN, docFilter = docFilter, constraints = cons)(1)
+        }.next()
+      case None =>
+        (count(index, parsed, req.synonyms)(1), Seq.empty[(String, Long)])
+    }
+    val cursor =
+      if (req.collapse.isDefined) None
+      else hits.lastOption.filter(_ => hits.length == req.k)
+    SearchResponse(hits, total, facetsOut, cursor)
+  }
+
   /** EXPLAIN: the per-term score breakdown of one (query, doc) — the
     * Lucene `explain()` of this engine. One row per scoring term with a
     * posting in the doc: (term, weight, tf, df, idf, doc_len, impact),

@@ -1021,8 +1021,20 @@ object Wand {
       facetKey: org.apache.spark.sql.Column, topN: Int,
       metrics: Option[WandMetrics] = None,
       docFilter: Option[org.apache.spark.sql.Column] = None,
-      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Seq[(String, Long)]] = {
-    def onEmpty = queries.map(q => q.queryId -> Seq.empty[(String, Long)]).toMap
+      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Seq[(String, Long)]] =
+    facetCountsWithTotal(index, queries, facetKey, topN, metrics, docFilter,
+      constraints).map { case (qid, (_, fs)) => qid -> fs }
+
+  /** [[facetCounts]] plus the query's EXACT total hits from the SAME
+    * pass — the per-value counts partition the match set, so their
+    * pre-cutoff sum IS the total; a SERP needs one ranked pass + this. */
+  def facetCountsWithTotal(index: IndexHandle, queries: Seq[QuerySpec],
+      facetKey: org.apache.spark.sql.Column, topN: Int,
+      metrics: Option[WandMetrics] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None,
+      constraints: Map[Int, Constraints] = Map.empty): Map[Int, (Long, Seq[(String, Long)])] = {
+    def onEmpty =
+      queries.map(q => q.queryId -> (0L, Seq.empty[(String, Long)])).toMap
     runFieldsWith(Seq(index -> 1.0), queries, k = 1, metrics, boundKey = None,
       docFilter = docFilter, constraints = constraints,
       collapse = Some(facetKey), countOnly = true)(onEmpty) { candidates =>
@@ -1030,16 +1042,19 @@ object Wand {
       import spark.implicits._
       val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
         val m = new java.util.HashMap[String, Long]()
+        var total = 0L
         it.foreach { c =>
           val prev = m.get(c.group)
           m.put(c.group, (if (prev == null) 0L else prev) + c.docId)
+          total += c.docId
           ()
         }
         import scala.jdk.CollectionConverters._
         val top = m.asScala.toSeq.sortBy { case (v, n) => (-n, v) }.take(topN)
-        (qid, top)
-      }.collect().toMap
-      queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Seq.empty)).toMap
+        (qid, total, top)
+      }.collect()
+      val byId = reduced.map(r => r._1 -> ((r._2, r._3))).toMap
+      queries.map(q => q.queryId -> byId.getOrElse(q.queryId, (0L, Seq.empty))).toMap
     }
   }
 

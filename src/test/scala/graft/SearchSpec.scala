@@ -832,6 +832,95 @@ class SearchSpec extends AnyFunSuite {
     assert(sGot == sWant, s"synonym facets: got $sGot want $sWant")
   }
 
+  // ----------------------------------------------------------- SERP endpoint
+
+  test("the SERP endpoint: one request == its parts, with a working cursor") {
+    import org.apache.spark.sql.functions.col
+    val fk = (col("docId") % 10).cast("string")
+    val req = Search.SearchRequest("merge join -batch", k = 5,
+      facetKey = Some(fk), facetTopN = 3)
+    val parsed = Seq(QueryParser.parse(1, req.query, analyzer))
+    val r = Search.run(handle, req, analyzer)
+    assert(r.hits.toSeq == Search.topK(handle, parsed, 5)(1).toSeq)
+    assert(r.total == Search.count(handle, parsed)(1))
+    assert(r.facets == Search.facets(handle, parsed, fk, 3)(1))
+    assert(r.facets.map(_._2).sum <= r.total) // cutoff panel ≤ the total
+    // walking nextCursor pages reproduces the full exact ranking
+    var cur: Option[(Double, Long)] = None
+    val walked = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var done = false
+    while (!done) {
+      val pg = Search.run(handle, req.copy(after = cur), analyzer)
+      walked ++= pg.hits
+      cur = pg.nextCursor
+      done = cur.isEmpty
+    }
+    assert(walked.toSeq == Search.topK(handle, parsed, 100000)(1).toSeq)
+    // collapse: no cursor, total still counts DOCS (not groups)
+    val rc = Search.run(handle, req.copy(collapse = Some(col("docId") % 100)), analyzer)
+    assert(rc.nextCursor.isEmpty && rc.total == r.total)
+    assert(rc.hits.length <= r.total)
+    // synonyms thread through the ranked AND the count/facet pass
+    val rs = Search.run(handle,
+      Search.SearchRequest("scan", facetKey = Some(fk),
+        synonyms = Some(QuerySet.synTable)), analyzer)
+    assert(rs.total ==
+      Search.count(handle, Seq(QueryParser.parse(1, "scan", analyzer)),
+        Some(QuerySet.synTable))(1))
+    assert(rs.facets.nonEmpty)
+    // a zero-hit request: empty page, zero total, no cursor, empty panel
+    val rz = Search.run(handle,
+      Search.SearchRequest("zzzoov", facetKey = Some(fk)), analyzer)
+    assert(rz.hits.isEmpty && rz.total == 0L &&
+      rz.facets.isEmpty && rz.nextCursor.isEmpty)
+  }
+
+  // -------------------------------------------- tombstones × the count modes
+
+  test("deletes compose with collapse, hits, and facets (sentinel paths)") {
+    import org.apache.spark.sql.functions.col
+    // tombstone a docId range on a dedicated copy of the fixture index
+    val delDir = "/tmp/graft_test_index/search_del"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(delDir))
+    IndexBuilder.build(spark, sfDir, delDir,
+      IndexConfig(blockSize = 16, bucketRange = 64, nChunks = 3, postingsBuckets = 4))
+    val (dLo, dHi) = (40L, 120L)
+    IndexBuilder.delete(spark, delDir, (dLo until dHi))
+    val dh = IndexReader.load(spark, delDir)
+    val live: Set[Long] = allDocs.filterNot(d => d >= dLo && d < dHi)
+    def liveSat(d: Long, q: ParsedQuery): Boolean =
+      live(d) && q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q)
+    val fixtures = Seq(1 -> "merge join", 2 -> "+key merge slow", 3 -> "batch url:2/1")
+    val parsed = fixtures.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }
+    // hits: counts over live docs only
+    val cnt = Search.count(dh, parsed)
+    parsed.foreach(q => assert(cnt(q.queryId) == live.count(d => liveSat(d, q)).toLong,
+      s"[${q.queryId}] deleted-count"))
+    // facets: per-value counts over live docs only
+    val fc = Search.facets(dh, parsed, (col("docId") % 10).cast("string"), 100)
+    parsed.foreach { q =>
+      val want = live.toSeq.filter(d => liveSat(d, q))
+        .groupBy(d => (d % 10).toString)
+        .map { case (v, ds) => (v, ds.length.toLong) }.toSeq
+        .sortBy { case (v, n) => (-n, v) }
+      assert(fc(q.queryId) == want, s"[${q.queryId}] deleted-facets")
+    }
+    // collapse: group bests drawn from live docs only (exact scores —
+    // the deleted index keeps LIVE df, so impacts change vs `oracle`;
+    // assert docIds against the per-group-best of the deleted ranking)
+    val ck = Some(col("docId") % 100)
+    val got = Search.topK(dh, parsed, 10, collapse = ck)
+    val plain = Search.topK(dh, parsed, 500)
+    parsed.foreach { q =>
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val want = plain(q.queryId).filter { case (_, d) => seen.add(d % 100) }.take(10)
+      assert(got(q.queryId).toSeq == want.toSeq, s"[${q.queryId}] deleted-collapse")
+      got(q.queryId).foreach { case (_, d) =>
+        assert(live(d), s"[${q.queryId}] tombstoned doc $d surfaced")
+      }
+    }
+  }
+
   // --------------------------------------------------------------- synonyms
 
   test("synonyms: rewrite semantics per clause role") {
