@@ -307,6 +307,19 @@ object QuerySet {
     11 -> "+zzzoov merge",        // unsatisfiable required → 0
     12 -> "fast -\"slow merge\"") // excluded phrase
 
+  /** The hybrid-retrieval fixture (q_hybrid_rrf) — plain scoring queries
+    * fused with a vector probe (`vec_id == query_id`; the embedding and
+    * document id spaces align 1:1 in the testdata). Fixture 7 is
+    * OOV-only on the text side, pinning the pure-vector fallthrough. */
+  val hybrid: Seq[(Int, String)] = Seq(
+    1 -> "merge join",
+    2 -> "batch stream window",
+    3 -> "key scan",
+    4 -> "fast slow",
+    5 -> "vector merge",
+    6 -> "window batch",
+    7 -> "zzzoov")
+
   /** The fixture synonym table (q_synonyms): one OOV member (`quick`
     * matches no posting — the harmless-OOV discipline), one 3-way in-vocab
     * group, one 2-way group exercised in required/excluded roles. */
@@ -464,6 +477,119 @@ object IndexQueries {
        |LEFT JOIN (SELECT query_id, count(*) AS hits FROM scores GROUP BY query_id) h
        |  ON h.query_id = v.query_id
        |ORDER BY v.query_id""".stripMargin
+  }
+
+  /** The SERP oracle: one long-format result for [[graft.query.Search.run]]
+    * — the ranked page (kind='hit'), the exact total per fixture id
+    * (kind='total', zero-filled), and the facet panel (kind='facet') all
+    * derived from the SAME brute-force score CTE the component oracles
+    * use, composed by UNION ALL so a drift in any one surface of the
+    * endpoint fails the single row. */
+  private def searchDslSerpOracle(fixtures: Seq[(Int, String)],
+      facetSql: String, topN: Int): String = {
+    val branches = dslScoreBranches(fixtures)
+    val vals = fixtures.map(f => s"(${f._1})").mkString(", ")
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM scores
+       |),
+       |fc AS (
+       |  SELECT query_id, CAST($facetSql AS VARCHAR) AS facet, count(*) AS hits
+       |  FROM scores GROUP BY 1, 2
+       |),
+       |rankedf AS (
+       |  SELECT query_id, facet, hits,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY hits DESC, facet) AS rn
+       |  FROM fc
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(query_id AS INTEGER) AS query_id, 'hit' AS kind,
+       |         CAST(rank AS INTEGER) AS rank, CAST(doc_id AS VARCHAR) AS item,
+       |         round(score, 4) AS val
+       |  FROM ranked WHERE rank <= 10
+       |  UNION ALL
+       |  SELECT CAST(v.query_id AS INTEGER), 'total', 0, '',
+       |         CAST(coalesce(h.hits, 0) AS DOUBLE)
+       |  FROM (VALUES $vals) AS v(query_id)
+       |  LEFT JOIN (SELECT query_id, count(*) AS hits FROM scores GROUP BY query_id) h
+       |    ON h.query_id = v.query_id
+       |  UNION ALL
+       |  SELECT CAST(query_id AS INTEGER), 'facet', CAST(rn AS INTEGER), facet,
+       |         CAST(hits AS DOUBLE)
+       |  FROM rankedf WHERE rn <= $topN
+       |)
+       |ORDER BY query_id, kind, rank, item""".stripMargin
+  }
+
+  /** The hybrid oracle: RRF over the two component oracles' OWN rank
+    * derivations — the brute-force BM25 CTE windowed to `window` ranks
+    * (rounded-key ordering, same as the ranked oracle) FULL OUTER JOINed
+    * with the brute-force cosine CTE at the same window (rounded before
+    * ranking, same as q_ann_brute; probes are `vec_id == query_id`,
+    * self-excluded), RRF = coalesce(1/(c+bm_rank), 0) +
+    * coalesce(1/(c+vec_rank), 0) summed in the engine's list order so
+    * the doubles are bit-identical; fused ties break by doc_id. */
+  private def hybridRrfOracle(fixtures: Seq[(Int, String)], window: Int,
+      c: Int, k: Int): String = {
+    val branches = dslScoreBranches(fixtures)
+    val probes = fixtures.map(_._1).mkString(", ")
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |bm AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM scores
+       |),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id IN ($probes)),
+       |vscored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         round(
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(generate_series(1, len(e.emb)), i -> q.qemb[i] * e.emb[i])),
+       |             (acc, x) -> acc + x)
+       |           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                 list_transform(q.qemb, x -> x * x)), (acc, x) -> acc + x))
+       |              * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                  list_transform(e.emb, x -> x * x)), (acc, x) -> acc + x))), 6) AS cos
+       |  FROM q JOIN e ON e.vec_id <> q.query_id
+       |),
+       |vr AS (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id) AS rk
+       |  FROM vscored
+       |),
+       |fused AS (
+       |  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+       |         coalesce(b.doc_id, v.vec_id) AS doc_id,
+       |         coalesce(1.0 / ($c + b.rank), 0.0) + coalesce(1.0 / ($c + v.rk), 0.0) AS rrf
+       |  FROM (SELECT * FROM bm WHERE rank <= $window) b
+       |  FULL OUTER JOIN (SELECT * FROM vr WHERE rk <= $window) v
+       |    ON v.query_id = b.query_id AND v.vec_id = b.doc_id
+       |),
+       |fr AS (
+       |  SELECT query_id, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       |       doc_id, round(rrf, 6) AS rrf
+       |FROM fr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** One per-(query, doc) brute-force score branch per fixture — the
@@ -1066,6 +1192,63 @@ object IndexQueries {
         .flatMap { case (qid, fs) => fs.map { case (v, n) => (qid, v, n) } }
         .toDF("query_id", "facet", "hits")
         .orderBy(col("query_id"), col("hits").desc, col("facet"))
+    }),
+
+    // THE SERP ENDPOINT (Search.run): one request per fixture → ranked
+    // hits + EXACT total + facet panel in TWO passes (the ranked WAND
+    // pass, plus one count-mode pass whose per-value counts partition
+    // the match set so the total falls out of the same reduce). Reported
+    // long-format — kind ∈ {hit, total, facet} — against a composite
+    // oracle sharing ONE brute-force score CTE, so drift in any surface
+    // of the endpoint fails this single row. k=40 headroom + re-rank by
+    // the rounded comparison key, same discipline as rankedReport.
+    "q_serp" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val h = IndexCache.handle(spark, sfDir)
+      def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(s: Double) = BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = QuerySet.hits.flatMap { case (qid, s) =>
+        val r = Search.run(h, Search.SearchRequest(s, k = 40,
+          facetKey = Some((col("docId") % 10).cast("string")), facetTopN = 5),
+          Tokenizers.default)
+        val ranked = r.hits.toSeq.map { case (sc, d) => (d, sc) }
+          .sortBy { case (d, sc) => (-r6(sc), d) }
+        if (r.hits.length == 40 && ranked.length > 10)
+          require(r6(ranked(9)._2) != r6(r.hits.last._1),
+            s"query $qid: rounded-score tie spans the WAND k=40 boundary — raise headroom")
+        val hitRows = ranked.take(10).zipWithIndex.map { case ((d, sc), i) =>
+          (qid, "hit", i + 1, d.toString, r4(sc)) }
+        val totalRow = Seq((qid, "total", 0, "", r.total.toDouble))
+        val facetRows = r.facets.zipWithIndex.map { case ((v, n), i) =>
+          (qid, "facet", i + 1, v, n.toDouble) }
+        hitRows ++ totalRow ++ facetRows
+      }
+      rows.toDF("query_id", "kind", "rank", "item", "val")
+        .orderBy("query_id", "kind", "rank", "item")
+    }),
+
+    // HYBRID RETRIEVAL (BM25 ∪ dense-vector cosine, RRF-fused): the
+    // modern two-modality search surface. Each modality contributes a
+    // W=20 rank window (BM25 via WAND with the rounded-key re-rank +
+    // boundary guard; cosine via the brute probe path, rounded before
+    // ranking on BOTH sides), fused by reciprocal-rank fusion
+    // score(d) = Σ 1/(60 + rank). The fusion is O(queries × W) driver
+    // work over already-reduced lists — no new scan or shuffle; at scale
+    // the vector side swaps to IVF/PQ unchanged (fusion consumes ranks,
+    // not scores). Fixture 7 is OOV-only on the text side (pure-vector
+    // fallthrough). The oracle recomposes BOTH component oracles' CTEs
+    // and the same coalesce-summed RRF.
+    "q_hybrid_rrf" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val fused = Hybrid.topK(IndexCache.handle(spark, sfDir), QuerySet.hybrid,
+        graft.pipeline.Similarity.embeddings(spark, sfDir), Tokenizers.default,
+        k = 10)
+      fused.toSeq.sortBy(_._1).flatMap { case (qid, arr) =>
+        arr.zipWithIndex.map { case ((s, d), i) =>
+          (qid, i + 1, d,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("query_id", "rank", "doc_id", "rrf").orderBy("query_id", "rank")
     }),
 
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
@@ -1970,6 +2153,14 @@ object IndexQueries {
 
       // facets — per-(query, value) counts of the brute-force match rows
       "q_facets" -> searchDslFacetOracle(QuerySet.hits, "doc_id % 10", topN = 5),
+
+      // the SERP endpoint — hits + exact total + facet panel composed
+      // over ONE shared brute-force CTE (kind-discriminated long format)
+      "q_serp" -> searchDslSerpOracle(QuerySet.hits, "doc_id % 10", topN = 5),
+
+      // hybrid BM25 ∪ vector RRF — both component oracles' rank CTEs
+      // recomposed with the same coalesce-summed fusion
+      "q_hybrid_rrf" -> hybridRrfOracle(QuerySet.hybrid, window = 20, c = 60, k = 10),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

@@ -991,4 +991,71 @@ class SearchSpec extends AnyFunSuite {
     // and the full constrained-oracle equality
     assertIdentical(Seq(1 -> "\"batch batch\""), 40)
   }
+
+  // ------------------------------------------------------- hybrid retrieval
+
+  test("RRF fusion math: both-list sum, single-list coalesce, ties, cutoff") {
+    val bm: Map[Int, Seq[Long]] = Map(1 -> Seq(10L, 20L, 30L))
+    val vec: Map[Int, Seq[Long]] = Map(1 -> Seq(20L, 40L), 2 -> Seq(5L))
+    val fused = Hybrid.rrf(Seq(bm, vec), k = 10, c = 60)
+    // doc 20: rank 2 in bm + rank 1 in vec
+    val f1 = fused(1).toMap.map(_.swap)
+    assert(f1(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(f1(10L) == 1.0 / 61 && f1(30L) == 1.0 / 63 && f1(40L) == 1.0 / 62)
+    // both-list doc outranks every single-list doc here
+    assert(fused(1).head._2 == 20L)
+    // exact tie (10 in bm rank1 only vs nothing) — ties break docId asc:
+    // 30 (1/63) vs nothing else at that value; construct a real tie:
+    val tied = Hybrid.rrf(Seq(Map(1 -> Seq(7L)), Map(1 -> Seq(3L))), k = 10)
+    assert(tied(1).map(_._2).toSeq == Seq(3L, 7L)) // equal 1/61, docId asc
+    // query present in only one list still fuses
+    assert(fused(2).toSeq == Seq((1.0 / 61, 5L)))
+    // k cutoff
+    assert(Hybrid.rrf(Seq(bm, vec), k = 2)(1).length == 2)
+  }
+
+  test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = graft.pipeline.Similarity.embeddings(spark, sfDir)
+    val got = Hybrid.topK(handle, QuerySet.hybrid, emb, analyzer, k = 10)
+    // independent cosine recompute in plain Scala (same left-fold order)
+    val vecs: Map[Long, Array[Double]] = emb
+      .select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    QuerySet.hybrid.foreach { case (qid, s) =>
+      // bm window: the spec's own exact brute ranking, re-ranked by the
+      // rounded comparison key (the engine's fusion-feeding discipline)
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
+      val bmW = want(q, Int.MaxValue).toSeq
+        .map { case (sc, d) => (d, sc) }
+        .sortBy { case (d, sc) => (-r6(sc), d) }
+        .take(20).map(_._1)
+      // vec window: rounded-before-ranked cosine vs probe vec_id == qid
+      val probe = vecs(qid.toLong)
+      val vecW = vecs.toSeq.filter(_._1 != qid.toLong)
+        .map { case (id, v) => (id, r6(cos(probe, v))) }
+        .sortBy { case (id, c0) => (-c0, id) }
+        .take(20).map(_._1)
+      val want10 = (bmW.zipWithIndex.toMap.keySet ++ vecW.toSet).toSeq.map { d =>
+        val b = bmW.indexOf(d); val v = vecW.indexOf(d)
+        val sc = (if (b >= 0) 1.0 / (60 + b + 1) else 0.0) +
+          (if (v >= 0) 1.0 / (60 + v + 1) else 0.0)
+        (sc, d)
+      }.sortBy { case (sc, d) => (-sc, d) }.take(10)
+      assert(got(qid).toSeq == want10,
+        s"[$s] hybrid fusion: got ${got(qid).toSeq} want $want10")
+      if (qid == 7) { // OOV text side → pure-vector fallthrough
+        assert(got(qid).map(_._2).toSeq == vecW.take(10))
+        got(qid).zipWithIndex.foreach { case ((sc, _), i) =>
+          assert(sc == 1.0 / (60 + i + 1)) }
+      }
+    }
+  }
 }
