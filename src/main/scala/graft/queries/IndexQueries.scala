@@ -320,6 +320,18 @@ object QuerySet {
     6 -> "window batch",
     7 -> "zzzoov")
 
+  /** The rescore fixture (q_rescore) — plain scoring queries whose
+    * consecutive bigrams sometimes occur adjacently in docs (the bonus
+    * must actually reorder windows to test anything). Fixture 6 has an
+    * OOV bigram member (no bonus on either side). */
+  val rescore: Seq[(Int, String)] = Seq(
+    1 -> "merge join",
+    2 -> "batch stream window",
+    3 -> "key merge slow",
+    4 -> "slow merge",
+    5 -> "vector merge join",
+    6 -> "zzzoov merge")
+
   /** The fixture synonym table (q_synonyms): one OOV member (`quick`
     * matches no posting — the harmless-OOV discipline), one 3-way in-vocab
     * group, one 2-way group exercised in required/excluded roles. */
@@ -589,6 +601,55 @@ object IndexQueries {
        |)
        |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
        |       doc_id, round(rrf, 6) AS rrf
+       |FROM fr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The rescore oracle: the brute-force ranked CTE cut to the same
+    * W-rank window (rounded-key ordering), then per fixture one
+    * adjacency-EXISTS over `tok` per deduped consecutive bigram —
+    * fscore = score + β × Σ CASE — re-ranked by (round(fscore, 6),
+    * doc_id). OOV bigram members never match tok, contributing 0 like
+    * the engine's failed dictionary lookup. */
+  private def rescoreOracle(fixtures: Seq[(Int, String)], window: Int,
+      k: Int, beta: Double): String = {
+    val branches = dslScoreBranches(fixtures)
+    val parsed = fixtures.map { case (qid, s) =>
+      graft.query.QueryParser.parse(qid, s, Tokenizers.default) }
+    val finals = parsed.map { q =>
+      val ts = q.scoring.map(_._1)
+      val bgs = ts.zip(ts.drop(1)).distinct
+      val bonus =
+        if (bgs.isEmpty) "0"
+        else bgs.map { case (a, b) =>
+          s"""(CASE WHEN EXISTS (SELECT 1 FROM tok p0
+             |      JOIN tok p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+             |        AND p1.term = '$b'
+             |      WHERE p0.doc_id = w.doc_id AND p0.term = '$a') THEN 1 ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+      s"""  SELECT w.query_id, w.doc_id, w.score + $beta * ($bonus) AS fscore
+         |  FROM win w WHERE w.rank <= $window AND w.query_id = ${q.queryId}""".stripMargin
+    }
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |win AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM scores
+       |),
+       |final AS (
+       |${finals.mkString("\nUNION ALL\n")}
+       |),
+       |fr AS (
+       |  SELECT query_id, doc_id, fscore,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(fscore, 6) DESC, doc_id) AS rank
+       |  FROM final
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       |       doc_id, round(fscore, 4) AS score
        |FROM fr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1249,6 +1310,26 @@ object IndexQueries {
             BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }.toDF("query_id", "rank", "doc_id", "rrf").orderBy("query_id", "rank")
+    }),
+
+    // TWO-STAGE RESCORING (the Lucene/ES rescore-window pattern): exact
+    // BM25 cuts a W=20 window (rounded-key re-rank + boundary guard);
+    // stage 2 adds β=2.0 per distinct query bigram occurring ADJACENTLY
+    // in the doc and re-ranks the window. Stage 2 decodes positional
+    // postings for the candidate BUCKETS only — (termId, bucket) both
+    // pushed to the postings scan, so decode cost scales with the
+    // window, not the posting lists. Oracle: the same window from the
+    // ranked CTE + one adjacency-EXISTS per bigram over tok.
+    "q_rescore" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val got = Rescore.topK(IndexCache.handle(spark, sfDir), QuerySet.rescore,
+        Tokenizers.default, k = 10)
+      got.toSeq.sortBy(_._1).flatMap { case (qid, arr) =>
+        arr.zipWithIndex.map { case ((s, d), i) =>
+          (qid, i + 1, d,
+            BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
     }),
 
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
@@ -2161,6 +2242,10 @@ object IndexQueries {
       // hybrid BM25 ∪ vector RRF — both component oracles' rank CTEs
       // recomposed with the same coalesce-summed fusion
       "q_hybrid_rrf" -> hybridRrfOracle(QuerySet.hybrid, window = 20, c = 60, k = 10),
+
+      // two-stage rescoring — the ranked CTE's W-window + one
+      // adjacency-EXISTS per bigram, re-ranked on the bonused score
+      "q_rescore" -> rescoreOracle(QuerySet.rescore, window = 20, k = 10, beta = 2.0),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

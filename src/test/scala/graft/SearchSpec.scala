@@ -1014,6 +1014,51 @@ class SearchSpec extends AnyFunSuite {
     assert(Hybrid.rrf(Seq(bm, vec), k = 2)(1).length == 2)
   }
 
+  test("rescore: bigram-adjacency bonus == tokenizer-ground-truth recomputation") {
+    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Rescore.topK(handle, QuerySet.rescore, analyzer, k = 10)
+    var anyBonus = false
+    QuerySet.rescore.foreach { case (qid, s) =>
+      val q = QueryParser.parse(qid, s, analyzer)
+      // base window: the spec's exact brute ranking, re-ranked by the
+      // rounded comparison key (the engine's window-cut discipline)
+      val window = want(q, Int.MaxValue).toSeq
+        .map { case (sc, d) => (d, sc) }
+        .sortBy { case (d, sc) => (-r6(sc), d) }
+        .take(20)
+      // bonus from the spec's own tokenizer-derived positions map (ground
+      // truth independent of the index's positional decode)
+      val ts = q.scoring.map(_._1)
+      val bgs = ts.zip(ts.drop(1)).distinct
+      def adjacent(d: Long, a: String, b: String): Boolean = {
+        val pa = positions.getOrElse((d, a), Array.empty[Int])
+        val pb = positions.getOrElse((d, b), Array.empty[Int]).toSet
+        pa.exists(p => pb.contains(p + 1))
+      }
+      val want10 = window.map { case (d, sc) =>
+        val n = bgs.count { case (a, b) => adjacent(d, a, b) }
+        if (n > 0) anyBonus = true
+        (sc + 2.0 * n, d)
+      }.sortBy { case (fs, d) => (-r6(fs), d) }.take(10)
+      assert(got(qid).toSeq == want10,
+        s"[$s] rescore: got ${got(qid).toSeq} want $want10")
+      if (qid == 6) { // OOV bigram member → pure base ranking inside the window
+        assert(got(qid).toSeq == window.take(10).map { case (d, sc) => (sc, d) })
+      }
+    }
+    assert(anyBonus, "fixture must exercise a nonzero bonus somewhere")
+    // the bonus actually reorders at least one window (a no-op rescorer
+    // would pass the equality above vacuously if bonuses never fired)
+    val reordered = QuerySet.rescore.exists { case (qid, s) =>
+      val q = QueryParser.parse(qid, s, analyzer)
+      val base10 = want(q, Int.MaxValue).toSeq
+        .map { case (sc, d) => (d, sc) }
+        .sortBy { case (d, sc) => (-r6(sc), d) }.take(10).map(_._1)
+      got(qid).map(_._2).toSeq != base10
+    }
+    assert(reordered, "the bonus must reorder at least one fixture window")
+  }
+
   test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
