@@ -332,6 +332,16 @@ object QuerySet {
     5 -> "vector merge join",
     6 -> "zzzoov merge")
 
+  /** The significant-terms fixture (q_sig_terms) — match windows with
+    * enough docs for the min-fg floor to bite; fixture 5 is OOV (empty
+    * window → no rows on either side). */
+  val significant: Seq[(Int, String)] = Seq(
+    1 -> "merge join",
+    2 -> "batch stream",
+    3 -> "window",
+    4 -> "key scan slow",
+    5 -> "zzzoov")
+
   /** The fixture synonym table (q_synonyms): one OOV member (`quick`
     * matches no posting — the harmless-OOV discipline), one 3-way in-vocab
     * group, one 2-way group exercised in required/excluded roles. */
@@ -651,6 +661,54 @@ object IndexQueries {
        |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
        |       doc_id, round(fscore, 4) AS score
        |FROM fr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The significant-terms oracle: the ranked CTE's W-window joined to
+    * `tok` for foreground counts (count DISTINCT doc per term == the
+    * engine's one-pair-per-posting count), dft/gstats for the background
+    * rate, the JLH score expression op-for-op identical to the engine's
+    * column tree, ranked by (round(score, 6) desc, term). */
+  private def significantOracle(fixtures: Seq[(Int, String)], window: Int,
+      topN: Int, minFg: Long): String = {
+    val branches = dslScoreBranches(fixtures)
+    s"""WITH $corpusCte,
+       |scores AS (
+       |${branches.mkString("\nUNION ALL\n")}
+       |),
+       |win AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+       |  FROM scores
+       |),
+       |sample AS (SELECT query_id, doc_id FROM win WHERE rank <= $window),
+       |wsz AS (SELECT query_id, count(*) AS w_n FROM sample GROUP BY query_id),
+       |fgt AS (
+       |  SELECT s.query_id, t.term, count(DISTINCT t.doc_id) AS fg
+       |  FROM sample s JOIN tok t ON t.doc_id = s.doc_id
+       |  GROUP BY s.query_id, t.term
+       |  HAVING count(DISTINCT t.doc_id) >= $minFg
+       |),
+       |scoredt AS (
+       |  SELECT f.query_id, f.term, f.fg,
+       |         (CAST(f.fg AS DOUBLE) / CAST(z.w_n AS DOUBLE)
+       |            - CAST(d.df AS DOUBLE) / CAST(g.n AS DOUBLE))
+       |         * ((CAST(f.fg AS DOUBLE) / CAST(z.w_n AS DOUBLE))
+       |            / (CAST(d.df AS DOUBLE) / CAST(g.n AS DOUBLE))) AS score
+       |  FROM fgt f
+       |  JOIN wsz z ON z.query_id = f.query_id
+       |  JOIN dft d ON d.term = f.term
+       |  CROSS JOIN gstats g
+       |),
+       |rk AS (
+       |  SELECT query_id, term, fg, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 6) DESC, term) AS rank
+       |  FROM scoredt
+       |)
+       |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+       |       term, CAST(fg AS BIGINT) AS fg, round(score, 4) AS score
+       |FROM rk WHERE rank <= $topN ORDER BY query_id, rank""".stripMargin
   }
 
   /** One per-(query, doc) brute-force score branch per fixture — the
@@ -1331,6 +1389,19 @@ object IndexQueries {
         }
       }.toDF("query_id", "rank", "doc_id", "score").orderBy("query_id", "rank")
     }),
+
+    // SIGNIFICANT TERMS over the match window (the search-analytics
+    // aggregation behind "related searches"): terms overrepresented in
+    // the TOP-W matched docs vs the corpus, JLH-scored
+    // (fgRate−bgRate)×(fgRate/bgRate), min-fg ≥ 2, top-10 by (rounded
+    // score, term). Forward terms of the sample docs decode from posting
+    // blocks in the sample BUCKETS only (cost ∝ W×bucketRange/corpus);
+    // fg counting is one hash agg; the dictionary streams once per batch
+    // against the broadcast fg side. Oracle: the ranked CTE's window
+    // joined to tok, the same score expression op-for-op.
+    "q_sig_terms" -> ((spark, sfDir) =>
+      Significant.terms(IndexCache.handle(spark, sfDir), QuerySet.significant,
+        Tokenizers.default, topN = 10)),
 
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
     // role by the pure Synonyms.rewrite (scoring members at the clause
@@ -2246,6 +2317,11 @@ object IndexQueries {
       // two-stage rescoring — the ranked CTE's W-window + one
       // adjacency-EXISTS per bigram, re-ranked on the bonused score
       "q_rescore" -> rescoreOracle(QuerySet.rescore, window = 20, k = 10, beta = 2.0),
+
+      // significant terms — the same window joined to tok, JLH-scored
+      // op-for-op against dft/gstats background rates
+      "q_sig_terms" -> significantOracle(QuerySet.significant, window = 20,
+        topN = 10, minFg = 2),
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

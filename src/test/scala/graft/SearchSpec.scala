@@ -1059,6 +1059,45 @@ class SearchSpec extends AnyFunSuite {
     assert(reordered, "the bonus must reorder at least one fixture window")
   }
 
+  test("significant terms: JLH over the match window == ground-truth recomputation") {
+    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Significant.terms(handle, QuerySet.significant, analyzer, topN = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .groupBy(_._1)
+    val n = allDocs.size.toDouble
+    val vocab = positions.keysIterator.map(_._2).toSet
+    def df(t: String): Long = allDocs.count(d => hasTerm(d, t)).toLong
+    QuerySet.significant.foreach { case (qid, s) =>
+      val q = Search.expand(handle, QueryParser.parse(qid, s, analyzer))
+      val window = want(q, Int.MaxValue).toSeq
+        .map { case (sc, d) => (d, sc) }
+        .sortBy { case (d, sc) => (-r6(sc), d) }
+        .take(20).map(_._1)
+      val wn = window.length.toDouble
+      val expected = vocab.toSeq.map { t =>
+        val fg = window.count(d => hasTerm(d, t)).toLong
+        (t, fg)
+      }.filter(_._2 >= 2).map { case (t, fg) =>
+        val fgRate = fg.toDouble / wn
+        val bgRate = df(t).toDouble / n
+        (t, fg, (fgRate - bgRate) * (fgRate / bgRate))
+      }.sortBy { case (t, _, sc) => (-r6(sc), t) }.take(10)
+      val g = got.getOrElse(qid, Array.empty).sortBy(_._2).toSeq
+      assert(g.length == expected.length, s"[$s] size: got ${g.length} want ${expected.length}")
+      g.zip(expected).zipWithIndex.foreach { case (((_, rk, gt, gfg, gsc), (wt, wfg, wsc)), i) =>
+        assert(rk == i + 1 && gt == wt && gfg == wfg,
+          s"[$s] rank ${i + 1}: got ($gt,$gfg) want ($wt,$wfg)")
+        assert(math.abs(gsc -
+          BigDecimal(wsc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-4,
+          s"[$s] rank ${i + 1}: score got $gsc want $wsc")
+      }
+      if (qid == 5) assert(g.isEmpty, "OOV query must produce no significant terms")
+      // the query's own terms surface as significant (sanity of the contrast)
+      if (qid == 1) assert(g.map(_._3).toSet.intersect(Set("merge", "join")).nonEmpty)
+    }
+  }
+
   test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
