@@ -342,6 +342,21 @@ object QuerySet {
     4 -> "key scan slow",
     5 -> "zzzoov")
 
+  /** The percolation fixture (q_percolate) — the constraint surface
+    * minus vocabulary-expanding clauses (wildcards/fuzzies are refused:
+    * no dictionary to expand against), incl. two zero-match shapes. */
+  val percolate: Seq[(Int, String)] = Seq(
+    1 -> "merge join",
+    2 -> "+key merge slow",
+    3 -> "merge join -batch",
+    4 -> "\"merge join\" vector",
+    5 -> "batch stream url:2/1",
+    6 -> "merge join fast msm:2",
+    7 -> "merge|join window",
+    8 -> "zzzoov",
+    9 -> "+zzzoov merge",
+    10 -> "fast -\"slow merge\"")
+
   /** The fixture synonym table (q_synonyms): one OOV member (`quick`
     * matches no posting — the harmless-OOV discipline), one 3-way in-vocab
     * group, one 2-way group exercised in required/excluded roles. */
@@ -1403,6 +1418,20 @@ object IndexQueries {
       Significant.terms(IndexCache.handle(spark, sfDir), QuerySet.significant,
         Tokenizers.default, topN = 10)),
 
+    // PERCOLATION (reverse search): stored queries broadcast, ONE map
+    // pass over the docs — tokenize once, evaluate every query against
+    // the doc-local term→positions map. No index, no join, no shuffle:
+    // the alerting/routing surface of a streaming crawl loop. Match
+    // membership is IDENTICAL to the index path's (≥ 1 scoring term +
+    // all constraints), which the oracle states directly: the distinct
+    // (query, doc) rows of the shared brute-force CTE.
+    "q_percolate" -> ((spark, sfDir) => {
+      val docs = Pages.cleaned(Pages.withInjections(spark, sfDir))
+      val parsed = QuerySet.percolate.map { case (qid, s) =>
+        QueryParser.parse(qid, s, Tokenizers.default) }
+      Percolate.matches(docs, parsed, Tokenizers.default)
+    }),
+
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
     // role by the pure Synonyms.rewrite (scoring members at the clause
     // weight, `+term` relaxed to any-of-group, `-term` excluding the
@@ -2322,6 +2351,18 @@ object IndexQueries {
       // op-for-op against dft/gstats background rates
       "q_sig_terms" -> significantOracle(QuerySet.significant, window = 20,
         topN = 10, minFg = 2),
+
+      // percolation — match membership IS the brute-force CTE's distinct
+      // (query, doc) rows
+      "q_percolate" -> {
+        val branches = dslScoreBranches(QuerySet.percolate)
+        s"""WITH $corpusCte,
+           |scores AS (
+           |${branches.mkString("\nUNION ALL\n")}
+           |)
+           |SELECT CAST(query_id AS INTEGER) AS query_id, doc_id
+           |FROM scores GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      },
       // explain: per-term breakdown of each boosted query's rank-1 doc;
       // the oracle re-derives the rank-1 selection AND every component
       "q_explain" ->

@@ -1,0 +1,74 @@
+package graft.query
+
+import graft.tokenize.TokenizerStrategy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reverse search — the Lucene/ES percolator: stored queries, streamed
+  * docs. For each incoming doc, which stored queries match it? This is
+  * the alerting/routing surface of a crawl pipeline ("notify saved
+  * searches of new matching docs", "route docs to subscribed topics"),
+  * and the dual of the index: the QUERY set is the persisted side, the
+  * docs flow through.
+  *
+  * Scale shape: the stored-query set is the small side by construction
+  * and broadcasts inside the task closure; matching is ONE map pass over
+  * the docs — tokenize once per doc, then evaluate every query against
+  * the doc-local term→positions map — no index, no join, no shuffle,
+  * which is exactly the per-micro-batch shape a streaming ingest needs
+  * (compose with DedupIngest's batch loop). Match semantics are
+  * IDENTICAL to the index path's count/retrieval membership: ≥ 1 scoring
+  * term present AND every constraint satisfied (required / requiredAny /
+  * msm / excluded / phrases incl. slop / excluded phrases / url
+  * filters), so a percolate hit today IS a search hit after indexing.
+  *
+  * Queries needing a vocabulary to expand (wildcards, fuzzies) are
+  * refused loudly — percolation has no dictionary; synonyms (a pure
+  * rewrite) thread through like everywhere else.
+  */
+object Percolate {
+
+  def matches(docs: DataFrame, queries0: Seq[ParsedQuery],
+      analyzer: TokenizerStrategy,
+      synonyms: Option[Synonyms] = None): DataFrame = {
+    val queries = synonyms.fold(queries0)(syn => queries0.map(syn.rewrite))
+    queries.foreach { q =>
+      require(q.wildcards.isEmpty && q.fuzzies.isEmpty,
+        s"query ${q.queryId}: percolation cannot expand wildcards/fuzzies (no dictionary)")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("url"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (docId, url, text) =>
+        val pos: Map[String, Array[Int]] = analyzer.tokenize(text)
+          .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+        def has(t: String) = pos.contains(t)
+        // ordered-window phrase check: extend every valid prefix-end
+        // position by any next-term position within (p, p + 1 + slop]
+        def phraseOk(ph: Phrase): Boolean = {
+          var cand = pos.getOrElse(ph.terms.head, Array.empty[Int])
+          var i = 1
+          while (i < ph.terms.length && cand.nonEmpty) {
+            val next = pos.getOrElse(ph.terms(i), Array.empty[Int])
+            cand = next.filter(n => cand.exists(p => n > p && n <= p + 1 + ph.slop))
+            i += 1
+          }
+          cand.nonEmpty
+        }
+        queries.iterator.filter { q =>
+          q.scoring.exists(t => has(t._1)) &&
+            q.required.forall(has) &&
+            q.requiredAny.forall(_.exists(has)) &&
+            (q.minShouldMatch == 0 ||
+              q.scoring.map(_._1).distinct.count(has) >= q.minShouldMatch) &&
+            !q.excluded.exists(has) &&
+            q.phrases.forall(phraseOk) &&
+            !q.excludedPhrases.exists(phraseOk) &&
+            q.filters.forall(f => url.contains(f.value) != f.negated)
+        }.map(q => (q.queryId, docId))
+      }
+      .toDF("query_id", "doc_id")
+      .orderBy("query_id", "doc_id")
+  }
+}

@@ -1098,6 +1098,41 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("percolate: reverse search == ground-truth constraint evaluation") {
+    val docs = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    val parsed = QuerySet.percolate.map { case (qid, s) =>
+      QueryParser.parse(qid, s, analyzer) }
+    val got = Percolate.matches(docs, parsed, analyzer)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val want = (for {
+      q <- parsed
+      d <- allDocs
+      if q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q)
+    } yield (q.queryId, d)).toSet
+    assert(got == want, s"percolate mismatch: extra=${got -- want} missing=${want -- got}")
+    // the zero-match shapes really produce nothing
+    assert(!got.exists(p => p._1 == 8 || p._1 == 9))
+    // a percolate hit IS a search hit after indexing (membership duality)
+    val cnt = Search.count(handle, parsed)
+    parsed.foreach(q => assert(
+      got.count(_._1 == q.queryId).toLong == cnt(q.queryId),
+      s"[${q.queryId}] percolate count != index count"))
+    // synonyms thread the same pure rewrite
+    val sg = Percolate.matches(docs, Seq(QueryParser.parse(1, "scan window", analyzer)),
+      analyzer, synonyms = Some(QuerySet.synTable))
+      .collect().map(_.getLong(1)).toSet
+    val sq = QuerySet.synTable.rewrite(QueryParser.parse(1, "scan window", analyzer))
+    assert(sg == allDocs.filter(d =>
+      sq.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, sq)))
+    // vocabulary-expanding clauses are refused loudly
+    intercept[IllegalArgumentException] {
+      Percolate.matches(docs, Seq(QueryParser.parse(1, "wind* batch", analyzer)), analyzer)
+    }
+    intercept[IllegalArgumentException] {
+      Percolate.matches(docs, Seq(QueryParser.parse(1, "joi~1 batch", analyzer)), analyzer)
+    }
+  }
+
   test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
