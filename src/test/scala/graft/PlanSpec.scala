@@ -107,4 +107,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"pair aggregation lacks map-side partials:\n${plan.take(2000)}")
   }
+
+  test("percolate: the matching pass is map-only (no join, no aggregate)") {
+    import graft.query.{Percolate, QueryParser}
+    val docs = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    val parsed = graft.queries.QuerySet.percolate.take(4).map { case (qid, s) =>
+      QueryParser.parse(qid, s, Tokenizers.default) }
+    val plan = planOf(Percolate.matches(docs, parsed, Tokenizers.default))
+    assert(!plan.contains("Join"),
+      s"percolate must not join — queries ride the closure:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"percolate must not aggregate:\n${plan.take(2000)}")
+    // exchanges: the upstream url-dedup window's hash(url) shuffle + the
+    // presentation sort's range partitioning — nothing the matcher adds
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"percolate added a shuffle beyond cleaning + presentation sort:\n${plan.take(2000)}")
+  }
 }
