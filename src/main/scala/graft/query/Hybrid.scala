@@ -26,9 +26,10 @@ import org.apache.spark.sql.DataFrame
   * the fused RRF doubles are bit-identical to the oracle's — fused ties
   * break by docId ascending in both systems.
   *
-  * Reference analog: MidiTok has no retrieval, but the fusion of two
-  * heterogeneous scorers mirrors how its `TokSequence` combines multiple
-  * token streams into one ordered output (midi_tokenizer.py).
+  * Reference analog: MidiTok has no retrieval; the closest structural
+  * shape is `TokSequence.__add__/__iadd__` combining two token streams
+  * into one ordered sequence (classes.py:263-276) — here the combined
+  * streams are rank lists and the order is the fused RRF score.
   */
 object Hybrid {
 

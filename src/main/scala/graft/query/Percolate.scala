@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   * Queries needing a vocabulary to expand (wildcards, fuzzies) are
   * refused loudly — percolation has no dictionary; synonyms (a pure
   * rewrite) thread through like everywhere else.
+  *
+  * No direct reference analog (MidiTok has no queries); the match
+  * semantics are [[Search]]'s own, restated doc-at-a-time — the spec
+  * pins the duality (percolate count == `Search.count` per query).
   */
 object Percolate {
 

@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   * and oracle sides; OOV bigram members contribute nothing on either
   * side.
   *
-  * Reference analog: MidiTok has no ranking, but the two-stage
-  * cheap-pass → exact-pass shape mirrors its fast byte-level pre-check
-  * before full token decode (midi_tokenizer.py).
+  * No direct reference analog (MidiTok has no ranking); the W-window
+  * discipline and bucket-pruned positional decode are [[Wand]]'s own
+  * top-k reduce and the `q_phrase` path's block pruning, composed.
   */
 object Rescore {
 

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * term) on both engine and oracle sides; the score expression tree is
   * op-for-op identical to the oracle SQL's, so the doubles agree.
   *
-  * Reference analog: frequency-driven vocabulary ranking
-  * (midi_tokenizer.py's BPE candidate scoring) re-aimed at a match-set-
-  * vs-corpus contrast.
+  * Reference analog: frequency-driven vocabulary selection —
+  * `MusicTokenizer.train` ranks merge candidates by corpus frequency
+  * (midi_tokenizer.py:2681-2927); here the same contrast runs between a
+  * match-set sample and the corpus instead of within one corpus.
   */
 object Significant {
 
