@@ -1339,19 +1339,14 @@ object IndexQueries {
     "q_serp" -> ((spark, sfDir) => {
       import spark.implicits._
       val h = IndexCache.handle(spark, sfDir)
-      def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       def r4(s: Double) = BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       val rows = QuerySet.hits.flatMap { case (qid, s) =>
         val r = Search.run(h, Search.SearchRequest(s, k = 40,
           facetKey = Some((col("docId") % 10).cast("string")), facetTopN = 5),
           Tokenizers.default)
-        val ranked = r.hits.toSeq.map { case (sc, d) => (d, sc) }
-          .sortBy { case (d, sc) => (-r6(sc), d) }
-        if (r.hits.length == 40 && ranked.length > 10)
-          require(r6(ranked(9)._2) != r6(r.hits.last._1),
-            s"query $qid: rounded-score tie spans the WAND k=40 boundary — raise headroom")
-        val hitRows = ranked.take(10).zipWithIndex.map { case ((d, sc), i) =>
-          (qid, "hit", i + 1, d.toString, r4(sc)) }
+        val hitRows = Search.windowByRoundedKey(r.hits, 40, 10, s"query $qid serp")
+          .zipWithIndex.map { case ((d, sc), i) =>
+            (qid, "hit", i + 1, d.toString, r4(sc)) }
         val totalRow = Seq((qid, "total", 0, "", r.total.toDouble))
         val facetRows = r.facets.zipWithIndex.map { case ((v, n), i) =>
           (qid, "facet", i + 1, v, n.toDouble) }

@@ -63,15 +63,10 @@ object Hybrid {
   def topK(index: IndexHandle, fixtures: Seq[(Int, String)], emb: DataFrame,
       analyzer: TokenizerStrategy, k: Int, window: Int = 20,
       c: Int = 60): Map[Int, Array[(Double, Long)]] = {
-    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val fetch = 2 * window
     val bm = Search.topKRaw(index, fixtures, fetch, analyzer).map { case (qid, arr) =>
-      val ranked = arr.toSeq.map { case (s, d) => (d, s) }
-        .sortBy { case (d, s) => (-r6(s), d) }
-      if (arr.length == fetch && ranked.length > window)
-        require(r6(ranked(window - 1)._2) != r6(arr.last._1),
-          s"query $qid: rounded-score tie spans the fusion window W=$window — raise headroom")
-      qid -> ranked.take(window).map(_._1)
+      qid -> Search.windowByRoundedKey(arr, fetch, window,
+        s"query $qid fusion").map(_._1)
     }
     val vec = Similarity.bruteForceTopK(emb, fixtures.map(_._1.toLong), window)
       .collect()

@@ -45,34 +45,44 @@ object Percolate {
     docs.select(col("doc_id").cast("long"), col("url"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (docId, url, text) =>
-        val pos: Map[String, Array[Int]] = analyzer.tokenize(text)
-          .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
-        def has(t: String) = pos.contains(t)
-        // ordered-window phrase check: extend every valid prefix-end
-        // position by any next-term position within (p, p + 1 + slop]
-        def phraseOk(ph: Phrase): Boolean = {
-          var cand = pos.getOrElse(ph.terms.head, Array.empty[Int])
-          var i = 1
-          while (i < ph.terms.length && cand.nonEmpty) {
-            val next = pos.getOrElse(ph.terms(i), Array.empty[Int])
-            cand = next.filter(n => cand.exists(p => n > p && n <= p + 1 + ph.slop))
-            i += 1
-          }
-          cand.nonEmpty
-        }
-        queries.iterator.filter { q =>
-          q.scoring.exists(t => has(t._1)) &&
-            q.required.forall(has) &&
-            q.requiredAny.forall(_.exists(has)) &&
-            (q.minShouldMatch == 0 ||
-              q.scoring.map(_._1).distinct.count(has) >= q.minShouldMatch) &&
-            !q.excluded.exists(has) &&
-            q.phrases.forall(phraseOk) &&
-            !q.excludedPhrases.exists(phraseOk) &&
-            q.filters.forall(f => url.contains(f.value) != f.negated)
-        }.map(q => (q.queryId, docId))
+        if (text == null) Iterator.empty
+        else percolateOne(docId, url, text, queries, analyzer)
       }
       .toDF("query_id", "doc_id")
       .orderBy("query_id", "doc_id")
+  }
+
+  private def percolateOne(docId: Long, url: String, text: String,
+      queries: Seq[ParsedQuery],
+      analyzer: TokenizerStrategy): Iterator[(Int, Long)] = {
+    val pos: Map[String, Array[Int]] = analyzer.tokenize(text)
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted }
+    def has(t: String) = pos.contains(t)
+    // ordered-window phrase check: extend every valid prefix-end
+    // position by any next-term position within (p, p + 1 + slop]
+    def phraseOk(ph: Phrase): Boolean = {
+      var cand = pos.getOrElse(ph.terms.head, Array.empty[Int])
+      var i = 1
+      while (i < ph.terms.length && cand.nonEmpty) {
+        val next = pos.getOrElse(ph.terms(i), Array.empty[Int])
+        cand = next.filter(n => cand.exists(p => n > p && n <= p + 1 + ph.slop))
+        i += 1
+      }
+      cand.nonEmpty
+    }
+    queries.iterator.filter { q =>
+      q.scoring.exists(t => has(t._1)) &&
+        q.required.forall(has) &&
+        q.requiredAny.forall(_.exists(has)) &&
+        (q.minShouldMatch == 0 ||
+          q.scoring.map(_._1).distinct.count(has) >= q.minShouldMatch) &&
+        !q.excluded.exists(has) &&
+        q.phrases.forall(phraseOk) &&
+        !q.excludedPhrases.exists(phraseOk) &&
+        // a null url fails EVERY url filter, negated or not — SQL
+        // NULL-predicate semantics, matching the index path where a
+        // NULL filter column drops the doc
+        q.filters.forall(f => url != null && (url.contains(f.value) != f.negated))
+    }.map(q => (q.queryId, docId))
   }
 }

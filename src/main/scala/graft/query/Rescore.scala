@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Two-stage retrieval — the Lucene/ES "rescore window" pattern: a first
   * exact BM25 WAND pass produces a W-deep candidate window per query; a
   * second stage adds an exact-adjacency bigram proximity bonus
-  * (final(d) = bm25(d) + β × #distinct query bigrams occurring adjacently
-  * in d) and re-ranks the window. The bonus rewards docs where the query
-  * terms appear AS TYPED, without making adjacency a hard constraint the
-  * way a quoted phrase does.
+  * (final(d) = bm25(d) + β × #distinct consecutive-scoring-term bigrams
+  * occurring adjacently in d; the bigram list derives from the parsed
+  * query's deduped scoring terms, shared with the oracle) and re-ranks
+  * the window — a soft proximity reward, not the hard constraint a
+  * quoted phrase imposes.
   *
   * Scale shape: stage 2 decodes positional postings for the CANDIDATE
   * BUCKETS ONLY — the block filter is (termId IN bigram-terms AND bucket
@@ -39,12 +40,7 @@ object Rescore {
     val fetch = 2 * window
     val base: Map[Int, Seq[(Long, Double)]] =
       Search.topKRaw(index, fixtures, fetch, analyzer).map { case (qid, arr) =>
-        val ranked = arr.toSeq.map { case (s, d) => (d, s) }
-          .sortBy { case (d, s) => (-r6(s), d) }
-        if (arr.length == fetch && ranked.length > window)
-          require(r6(ranked(window - 1)._2) != r6(arr.last._1),
-            s"query $qid: rounded-score tie spans the rescore window W=$window — raise headroom")
-        qid -> ranked.take(window)
+        qid -> Search.windowByRoundedKey(arr, fetch, window, s"query $qid rescore")
       }
     // consecutive scoring-term bigrams, deduped (the oracle derives the
     // same list from the same ParsedQuery)
@@ -66,6 +62,10 @@ object Rescore {
         val bpb = m.bucketRange / m.blockSize
         val ids = dict.valuesIterator.map(_.termId).toSeq
         val buckets = candDocs.map(_ / m.bucketRange).toSeq
+        // candDocs rides the closure so the candidate filter runs INSIDE
+        // the decode pass — only the ~queries×W candidate rows ever ship
+        // to the driver, never every doc sharing a candidate's bucket
+        val cand = candDocs
         index.postings.toDF()
           .filter(col("termId").isin(ids.map(Int.box): _*) &&
             (col("blockId") / lit(bpb)).cast("long").isin(buckets.map(Long.box): _*))
@@ -74,10 +74,12 @@ object Rescore {
             val docIds = graft.codec.VByte.decodeDocIds(b.docIdGaps)
             val tfs = graft.codec.VByte.decodeInts(b.tfs)
             val poss = graft.codec.VByte.decodePositions(b.positions, tfs)
-            docIds.indices.iterator.map(j => (b.termId, docIds(j), poss(j)))
+            docIds.indices.iterator
+              .filter(j => cand(docIds(j)))
+              .map(j => (b.termId, docIds(j), poss(j)))
           }
           .collect()
-          .iterator.filter { case (_, d, _) => candDocs(d) }
+          .iterator
           .map { case (t, d, p) => (t, d) -> p }.toMap
       }
     base.map { case (qid, wnd) =>

@@ -112,15 +112,23 @@ object Search {
       after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None,
       collapse: Option[Column] = None,
-      synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] = {
-    val queries = compile(index, queries00, synonyms)
+      synonyms: Option[Synonyms] = None): Map[Int, Array[(Double, Long)]] =
+    pageCompiled(index, compile(index, queries00, synonyms), k, after,
+      metrics, collapse)
+
+  /** [[page]] over an already-compiled batch — lets [[run]] pay the
+    * wildcard/fuzzy expansion jobs ONCE per request across its two
+    * passes. */
+  private def pageCompiled(index: IndexHandle, queries: Seq[ParsedQuery],
+      k: Int, after: Map[Int, (Double, Long)],
+      metrics: Option[Wand.WandMetrics] = None,
+      collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
     grouped(queries).flatMap { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
         metrics, boundKey = None, docFilter = docFilter, constraints = cons,
         pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
         collapse = collapse)
     }.toMap
-  }
 
   /** Shared batch compile: synonym rewrite first (a pure rewrite — it
     * neither consults the dictionary nor expands wildcard/fuzzy
@@ -174,15 +182,17 @@ object Search {
       synonyms)
 
   def count(index: IndexHandle, queries00: Seq[ParsedQuery],
-      synonyms: Option[Synonyms] = None): Map[Int, Long] = {
-    val queries = compile(index, queries00, synonyms)
+      synonyms: Option[Synonyms] = None): Map[Int, Long] =
+    countCompiled(index, compile(index, queries00, synonyms))
+
+  private def countCompiled(index: IndexHandle,
+      queries: Seq[ParsedQuery]): Map[Int, Long] =
     grouped(queries).flatMap { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k = 1,
         metrics = None, boundKey = None, docFilter = docFilter,
         constraints = cons, countOnly = true)
         .map { case (qid, arr) => qid -> arr.headOption.map(_._2).getOrElse(0L) }
     }.toMap
-  }
 
   /** EXACT FACET COUNTS over each query's match set — the SERP facet
     * panel: per facet value (any Column over the docstats row, like
@@ -235,24 +245,43 @@ object Search {
     * total for free), or just the total otherwise. */
   def run(index: IndexHandle, req: SearchRequest,
       analyzer: TokenizerStrategy): SearchResponse = {
-    val parsed = Seq(QueryParser.parse(1, req.query, analyzer))
-    val hits = page(index, parsed, req.k,
-      after = req.after.map(1 -> _).toMap, collapse = req.collapse,
-      synonyms = req.synonyms)(1)
+    // ONE compile per request: wildcard/fuzzy expansion jobs are shared
+    // by the ranked pass and the count/facet pass
+    val compiled = compile(index,
+      Seq(QueryParser.parse(1, req.query, analyzer)), req.synonyms)
+    val hits = pageCompiled(index, compiled, req.k,
+      after = req.after.map(1 -> _).toMap, collapse = req.collapse)(1)
     val (total, facetsOut) = req.facetKey match {
       case Some(fk) =>
-        val compiled = compile(index, parsed, req.synonyms)
         grouped(compiled).map { case (docFilter, group, cons) =>
           Wand.facetCountsWithTotal(index, group.map(_.toQuerySpec), fk,
             req.facetTopN, docFilter = docFilter, constraints = cons)(1)
         }.next()
       case None =>
-        (count(index, parsed, req.synonyms)(1), Seq.empty[(String, Long)])
+        (countCompiled(index, compiled)(1), Seq.empty[(String, Long)])
     }
     val cursor =
       if (req.collapse.isDefined) None
       else hits.lastOption.filter(_ => hits.length == req.k)
     SearchResponse(hits, total, facetsOut, cursor)
+  }
+
+  /** Cut a `fetch`-deep EXACT result to a `window`-deep window by the
+    * ROUNDED comparison key — (round(score, 6) desc, docId asc), the
+    * oracle's ordering — guarding the cut: if the fetch came back full
+    * and a rounded tie could span the window boundary, fail LOUDLY
+    * instead of silently diverging from an oracle's window. The shared
+    * window discipline of [[Hybrid]], [[Rescore]], [[Significant]], and
+    * the SERP driver row. Returns (docId, exactScore) in window order. */
+  def windowByRoundedKey(arr: Array[(Double, Long)], fetch: Int,
+      window: Int, what: String): Seq[(Long, Double)] = {
+    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ranked = arr.toSeq.map { case (s, d) => (d, s) }
+      .sortBy { case (d, s) => (-r6(s), d) }
+    if (arr.length == fetch && ranked.length > window)
+      require(r6(ranked(window - 1)._2) != r6(arr.last._1),
+        s"$what: rounded-score tie spans the window W=$window — raise headroom")
+    ranked.take(window)
   }
 
   /** EXPLAIN: the per-term score breakdown of one (query, doc) — the

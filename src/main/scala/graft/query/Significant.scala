@@ -39,16 +39,11 @@ object Significant {
       minFg: Long = 2): DataFrame = {
     val spark = index.spark
     import spark.implicits._
-    def r6(s: Double) = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val fetch = 2 * window
     val base: Map[Int, Seq[Long]] =
       Search.topKRaw(index, fixtures, fetch, analyzer).map { case (qid, arr) =>
-        val ranked = arr.toSeq.map { case (s, d) => (d, s) }
-          .sortBy { case (d, s) => (-r6(s), d) }
-        if (arr.length == fetch && ranked.length > window)
-          require(r6(ranked(window - 1)._2) != r6(arr.last._1),
-            s"query $qid: rounded-score tie spans the sample window W=$window — raise headroom")
-        qid -> ranked.take(window).map(_._1)
+        qid -> Search.windowByRoundedKey(arr, fetch, window,
+          s"query $qid sample").map(_._1)
       }
     val sample: Seq[(Int, Long)] = base.toSeq.flatMap { case (qid, ds) => ds.map(qid -> _) }
     if (sample.isEmpty)

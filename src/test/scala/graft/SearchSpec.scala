@@ -1131,6 +1131,18 @@ class SearchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Percolate.matches(docs, Seq(QueryParser.parse(1, "joi~1 batch", analyzer)), analyzer)
     }
+    // raw-crawl-record hygiene: a null url fails every url filter (SQL
+    // NULL semantics — excluded, never an NPE); a null text matches nothing
+    import spark.implicits._
+    val weird = Seq(
+      (900001L, null.asInstanceOf[String], "merge join batch"),
+      (900002L, "https://example.org/42/2", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "text")
+    val wq = Seq(QueryParser.parse(1, "merge join url:2/1", analyzer),
+      QueryParser.parse(2, "merge join", analyzer))
+    val wGot = Percolate.matches(weird, wq, analyzer)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(wGot == Set(2 -> 900001L), s"null-hygiene: got $wGot")
   }
 
   test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
