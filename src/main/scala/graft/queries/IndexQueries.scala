@@ -1427,6 +1427,26 @@ object IndexQueries {
       Percolate.matches(docs, parsed, Tokenizers.default)
     }),
 
+    // SORT-BY-FIELD retrieval: the match set ordered by a DOC VALUE
+    // instead of relevance (the `sort: [{date: desc}]` surface; here
+    // doc length — "longest matching docs first"). The key is one
+    // zero-padded codegen'd expression riding the collapse slot; each
+    // bucket ships its top-10 admitted (key, docId) rows — shuffle
+    // O(buckets × k), never O(matching docs) — and the global reduce
+    // cuts the same (key desc, docId asc) order. Oracle: the shared
+    // brute-force CTE's distinct match rows joined to doclen, the same
+    // lpad key, the same rank window.
+    "q_sort_by" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val key = lpad(col("docLen").cast("string"), 10, "0")
+      val got = Search.sortByRaw(IndexCache.handle(spark, sfDir),
+        QuerySet.percolate, Tokenizers.default, key, k = 10)
+      got.toSeq.sortBy(_._1).flatMap { case (qid, rows) =>
+        rows.zipWithIndex.map { case ((k0, d), i) => (qid, i + 1, d, k0) }
+      }.toDF("query_id", "rank", "doc_id", "key")
+        .orderBy("query_id", "rank")
+    }),
+
     // QUERY-TIME SYNONYMS: the fixture table expanded onto every clause
     // role by the pure Synonyms.rewrite (scoring members at the clause
     // weight, `+term` relaxed to any-of-group, `-term` excluding the
@@ -2346,6 +2366,28 @@ object IndexQueries {
       // op-for-op against dft/gstats background rates
       "q_sig_terms" -> significantOracle(QuerySet.significant, window = 20,
         topN = 10, minFg = 2),
+
+      // sort-by-field — the same distinct match rows joined to doclen,
+      // ordered by the identical zero-padded key
+      "q_sort_by" -> {
+        val branches = dslScoreBranches(QuerySet.percolate)
+        s"""WITH $corpusCte,
+           |scores AS (
+           |${branches.mkString("\nUNION ALL\n")}
+           |),
+           |matches AS (SELECT query_id, doc_id FROM scores GROUP BY 1, 2),
+           |keyed AS (
+           |  SELECT m.query_id, m.doc_id,
+           |         lpad(CAST(l.doc_len AS VARCHAR), 10, '0') AS key,
+           |         row_number() OVER (PARTITION BY m.query_id
+           |           ORDER BY lpad(CAST(l.doc_len AS VARCHAR), 10, '0') DESC,
+           |                    m.doc_id) AS rank
+           |  FROM matches m JOIN doclen l ON l.doc_id = m.doc_id
+           |)
+           |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rank AS INTEGER) AS rank,
+           |       doc_id, key
+           |FROM keyed WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
 
       // percolation — match membership IS the brute-force CTE's distinct
       // (query, doc) rows

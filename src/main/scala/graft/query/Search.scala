@@ -217,6 +217,26 @@ object Search {
     }.toMap
   }
 
+  /** SORT-BY-FIELD over the full DSL surface: each query's match set
+    * ordered by a sortable-string-encoded doc-value key instead of
+    * relevance — see [[Wand.topKByKey]] for the encoding contract and the
+    * O(buckets × k) cost shape. Compile path is [[count]]'s. */
+  def sortByRaw(index: IndexHandle, raw: Seq[(Int, String)],
+      analyzer: TokenizerStrategy, sortKey: Column, k: Int,
+      synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] =
+    sortBy(index,
+      raw.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) },
+      sortKey, k, synonyms)
+
+  def sortBy(index: IndexHandle, queries00: Seq[ParsedQuery], sortKey: Column,
+      k: Int, synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] = {
+    val queries = compile(index, queries00, synonyms)
+    grouped(queries).flatMap { case (docFilter, group, cons) =>
+      Wand.topKByKey(index, group.map(_.toQuerySpec), sortKey, k,
+        docFilter = docFilter, constraints = cons)
+    }.toMap
+  }
+
   /** One SERP request: the query string plus every knob of the surface. */
   final case class SearchRequest(
       query: String,

@@ -1058,6 +1058,53 @@ object Wand {
     }
   }
 
+  /** (key desc, docId asc) — the sort-by-field candidate order, shared by
+    * the bucket-local and the global top-k cuts. Serializable: it rides
+    * the cogroup closure. */
+  private[query] val KeyDocOrdering: java.util.Comparator[(String, Long)] =
+    new java.util.Comparator[(String, Long)] with Serializable {
+      override def compare(a: (String, Long), b: (String, Long)): Int = {
+        val c = b._1.compareTo(a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
+  /** SORT-BY-FIELD retrieval: each query's match set (same admission as
+    * [[runFields]] count mode — ≥ 1 scoring term + every constraint and
+    * filter) ordered by a DOC-VALUE key instead of relevance — the
+    * `sort: [{date: desc}]` surface (freshness, doc length, any docstats
+    * expression). `sortKey` must be a STRING-ORDER-SORTABLE encoding
+    * (zero-pad numerics — `lpad(cast(v AS string), w, '0')` — the
+    * classic sortable-doc-value trick; ascending order = complement the
+    * encoding); it rides the collapse slot into the cogroup, so the cost
+    * shape is the facet pass's: each bucket ships its top-k admitted
+    * (key, docId) rows — shuffle O(buckets × k), never O(matching docs)
+    * — and the global reduce cuts the same order. Returns per query the
+    * top-k (key, docId) by (key desc, docId asc). */
+  def topKByKey(index: IndexHandle, queries: Seq[QuerySpec],
+      sortKey: org.apache.spark.sql.Column, k: Int,
+      metrics: Option[WandMetrics] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None,
+      constraints: Map[Int, Constraints] = Map.empty): Map[Int, Seq[(String, Long)]] = {
+    def onEmpty = queries.map(q => q.queryId -> Seq.empty[(String, Long)]).toMap
+    runFieldsWith(Seq(index -> 1.0), queries, k = 1, metrics, boundKey = None,
+      docFilter = docFilter, constraints = constraints,
+      collapse = Some(sortKey), countOnly = true, sortDocs = k)(onEmpty) { candidates =>
+      val spark = index.spark
+      import spark.implicits._
+      val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
+        val ts = new java.util.TreeSet[(String, Long)](KeyDocOrdering)
+        it.foreach { c =>
+          ts.add((c.group, c.docId))
+          if (ts.size > k) { ts.pollLast(); () }
+        }
+        import scala.jdk.CollectionConverters._
+        (qid, ts.iterator().asScala.toSeq)
+      }.collect().toMap
+      queries.map(q => q.queryId -> reduced.getOrElse(q.queryId, Seq.empty)).toMap
+    }
+  }
+
   /** The shared driver core: everything up to the candidate rows (term
     * lookup, constraint resolution, threshold seeding, bucket pruning,
     * the cogroup kernel), generic in the final reduce so ranked / count /
@@ -1071,8 +1118,14 @@ object Wand {
       pageAfter: Map[Int, (Double, Long)] = Map.empty,
       collapse: Option[org.apache.spark.sql.Column] = None,
       countOnly: Boolean = false,
-      funcScore: Option[(org.apache.spark.sql.Column, Double)] = None)(onEmpty: => T)(
+      funcScore: Option[(org.apache.spark.sql.Column, Double)] = None,
+      sortDocs: Int = 0)(onEmpty: => T)(
       reduceFn: Dataset[ScoredDoc] => T): T = {
+    // sortDocs > 0: SORT-BY-KEY mode — count-mode admission, but each
+    // bucket emits its top-`sortDocs` admitted docs by (key desc, docId
+    // asc) instead of counts; requires the key (collapse) column
+    require(sortDocs == 0 || (countOnly && collapse.isDefined),
+      "sortDocs requires countOnly with a sort-key (collapse) column")
     require(fields.nonEmpty, "at least one field")
     require(constraints.isEmpty || fields.length == 1,
       "constrained (parsed-query) retrieval is single-field")
@@ -1448,6 +1501,28 @@ object Wand {
                     while (i < ids.length) { set.add(ids(i)); i += 1 }
                   })
                 }
+                if (sortDocs > 0) {
+                  // SORT-BY-KEY mode: the bucket's top-`sortDocs` admitted
+                  // docs by (key desc, docId asc) — the key is the collapse
+                  // Column riding the url slot. Candidates ride the shuffle
+                  // k-per-bucket; docId carries the REAL docId here.
+                  val ts = new java.util.TreeSet[(String, Long)](KeyDocOrdering)
+                  val dit = set.iterator()
+                  while (dit.hasNext) {
+                    val d = dit.next()
+                    val len = docLens(0).get(d)
+                    if (len == null)
+                      throw new IllegalStateException(
+                        s"no DocStat for docId $d — docstats pruning/build bug")
+                    if (len.intValue() != -1 && (admit == null || admit(d))) {
+                      ts.add((docGroup.get(d), d))
+                      if (ts.size > sortDocs) { ts.pollLast(); () }
+                    }
+                  }
+                  import scala.jdk.CollectionConverters._
+                  ts.iterator().asScala
+                    .map { case (key, d) => ScoredDoc(qid, d, 0.0, key) }
+                } else {
                 // facet mode (collapse key present): per-value partial
                 // counts; plain count mode: one total per bucket
                 val perFacet =
@@ -1475,6 +1550,7 @@ object Wand {
                   import scala.jdk.CollectionConverters._
                   perFacet.entrySet().iterator().asScala
                     .map(e => ScoredDoc(qid, e.getValue, 0.0, e.getKey))
+                }
                 }
               } else {
                 val (aScore, aDoc) =

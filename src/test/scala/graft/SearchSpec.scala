@@ -1145,6 +1145,27 @@ class SearchSpec extends AnyFunSuite {
     assert(wGot == Set(2 -> 900001L), s"null-hygiene: got $wGot")
   }
 
+  test("sort-by-field: match set ordered by a doc value == ground truth") {
+    import org.apache.spark.sql.functions.{col, lpad}
+    // per-doc term counts from the spec's tokenizer ground truth
+    val doclens: Map[Long, Int] =
+      positions.toSeq.groupBy(_._1._1).map { case (d, vs) => d -> vs.map(_._2.length).sum }
+    val key = lpad(col("docLen").cast("string"), 10, "0")
+    val got = Search.sortByRaw(handle, QuerySet.percolate, analyzer, key, k = 10)
+    val desc = Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)
+    QuerySet.percolate.foreach { case (qid, s) =>
+      val q = QueryParser.parse(qid, s, analyzer)
+      val want = allDocs.toSeq
+        .filter(d => q.scoring.exists(t => hasTerm(d, t._1)) && satisfies(d, q))
+        .map(d => (f"${doclens(d)}%010d", d))
+        .sorted(desc)
+        .take(10)
+      assert(got(qid) == want, s"[$s] sort-by: got ${got(qid)} want $want")
+    }
+    // the zero-match shapes sort to empty
+    assert(got(8).isEmpty && got(9).isEmpty)
+  }
+
   test("hybrid BM25 ∪ vector RRF == independent recomposition of both modalities") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
