@@ -1069,6 +1069,16 @@ object Wand {
       }
     }
 
+  /** The ONE bounded-cut idiom for sort-by-key — shared by the
+    * bucket-local kernel and the global reduce so the two cuts are
+    * provably identical: admit, then evict the lowest-priority element
+    * when over capacity. */
+  private[query] def boundedAdd(ts: java.util.TreeSet[(String, Long)],
+      elem: (String, Long), k: Int): Unit = {
+    ts.add(elem)
+    if (ts.size > k) { ts.pollLast(); () }
+  }
+
   /** SORT-BY-FIELD retrieval: each query's match set (same admission as
     * [[runFields]] count mode — ≥ 1 scoring term + every constraint and
     * filter) ordered by a DOC-VALUE key instead of relevance — the
@@ -1080,12 +1090,21 @@ object Wand {
     * shape is the facet pass's: each bucket ships its top-k admitted
     * (key, docId) rows — shuffle O(buckets × k), never O(matching docs)
     * — and the global reduce cuts the same order. Returns per query the
-    * top-k (key, docId) by (key desc, docId asc). */
+    * top-k (key, docId) by (key desc, docId asc).
+    *
+    * NULL keys: the collapse slot coalesces a null key to "" — the
+    * SMALLEST string — so null-keyed docs sort LAST under a plain desc
+    * encoding but would surface FIRST under a complement-encoded
+    * ascending key. Callers whose key column is nullable should coalesce
+    * explicitly to the sentinel their encoding sorts last. */
   def topKByKey(index: IndexHandle, queries: Seq[QuerySpec],
       sortKey: org.apache.spark.sql.Column, k: Int,
       metrics: Option[WandMetrics] = None,
       docFilter: Option[org.apache.spark.sql.Column] = None,
       constraints: Map[Int, Constraints] = Map.empty): Map[Int, Seq[(String, Long)]] = {
+    // k <= 0 would zero sortDocs and silently fall into FACET mode
+    // (O(buckets × distinct keys) shuffle) before reducing to nothing
+    require(k > 0, s"topKByKey requires k > 0, got $k")
     def onEmpty = queries.map(q => q.queryId -> Seq.empty[(String, Long)]).toMap
     runFieldsWith(Seq(index -> 1.0), queries, k = 1, metrics, boundKey = None,
       docFilter = docFilter, constraints = constraints,
@@ -1094,10 +1113,7 @@ object Wand {
       import spark.implicits._
       val reduced = candidates.groupByKey(_.queryId).mapGroups { (qid, it) =>
         val ts = new java.util.TreeSet[(String, Long)](KeyDocOrdering)
-        it.foreach { c =>
-          ts.add((c.group, c.docId))
-          if (ts.size > k) { ts.pollLast(); () }
-        }
+        it.foreach(c => boundedAdd(ts, (c.group, c.docId), k))
         import scala.jdk.CollectionConverters._
         (qid, ts.iterator().asScala.toSeq)
       }.collect().toMap
@@ -1514,10 +1530,8 @@ object Wand {
                     if (len == null)
                       throw new IllegalStateException(
                         s"no DocStat for docId $d — docstats pruning/build bug")
-                    if (len.intValue() != -1 && (admit == null || admit(d))) {
-                      ts.add((docGroup.get(d), d))
-                      if (ts.size > sortDocs) { ts.pollLast(); () }
-                    }
+                    if (len.intValue() != -1 && (admit == null || admit(d)))
+                      boundedAdd(ts, (docGroup.get(d), d), sortDocs)
                   }
                   import scala.jdk.CollectionConverters._
                   ts.iterator().asScala
