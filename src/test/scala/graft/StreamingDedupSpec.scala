@@ -385,4 +385,68 @@ class StreamingDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("manifest"), s"unexpected error: ${e.getMessage}")
   }
+
+  test("percolate composes with the crawl loop: saved searches fire only on " +
+    "docs the batch actually ADMITTED — a dropped near-dup never alerts") {
+    import spark.implicits._
+    import graft.query.{Percolate, QueryParser}
+    import graft.tokenize.Tokenizers
+    val root = "/tmp/graft_test_index/stream_percolate"
+    graft.queries.IndexCache.deleteRecursively(new java.io.File(root))
+    val indexDir = s"$root/index"
+    val dedupDir = s"$root/dedup"
+    val analyzer = Tokenizers.default
+    val bootstrapPages = Pages.withInjections(spark, sfDir).filter(col("doc_id") < 192)
+    IndexBuilder.buildFrom(spark, bootstrapPages, indexDir, cfg)
+    DedupIngest.bootstrap(spark, bootstrapPages, dedupDir, cfg)
+    val base = Pages.base(spark, sfDir)
+    // batch: fresh docs 200..219 + a near-dup of committed doc 5 (id 260 —
+    // TEXTUALLY a query match, but dedup must drop it)
+    val batch = base.filter(col("doc_id") >= 200 && col("doc_id") < 220)
+      .unionByName(copyOf(5L, 260L))
+    val before = IndexReader.load(spark, indexDir).docstats.collect().map(_.docId).toSet
+    DedupIngest.applyBatch(spark, batch, indexDir, dedupDir, cfg, batchId = 1L)
+    val admitted = IndexReader.load(spark, indexDir).docstats.collect()
+      .map(_.docId).toSet -- before
+    assert(!admitted.contains(260L) && admitted.contains(200L))
+    // saved searches: doc 5's own leading tokens guarantee 260's TEXT matches
+    val d5 = base.filter(col("doc_id") === 5).select("text").as[String].head()
+    val ts = analyzer.terms(d5).distinct
+    val saved: Seq[(Int, String)] = Seq(
+      (1, ts.head),                              // plain term from doc 5
+      (2, s"+${ts.head} ${ts(1)}"),              // required + scoring
+      (3, "\"" + analyzer.terms(d5)(0) + " " + analyzer.terms(d5)(1) + "\""))  // leading bigram phrase
+    val parsed = saved.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }
+    // the alerting pass: percolate ONLY what this trigger admitted
+    val alertDocs = Pages.cleaned(batch).filter(
+      col("doc_id").isin(admitted.toSeq.map(Long.box): _*))
+    val fired = Percolate.matches(alertDocs, parsed, analyzer)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // 260's text matches at least query 1 — but it was dropped, so NO alert
+    assert(analyzer.terms(base.filter(col("doc_id") === 260).select("text")
+      .as[String].head()).contains(ts.head), "fixture broken: 260 should match textually")
+    assert(!fired.exists(_._2 == 260L), "a dedup-dropped doc fired an alert")
+    // ground truth over the admitted docs, tokenizer-side
+    val texts = alertDocs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val want = (for {
+      q <- parsed
+      (d, tx) <- texts
+      pos = analyzer.tokenize(tx).groupBy(_._1)
+        .map { case (t, v) => t -> v.map(_._2).sorted }
+      if q.scoring.exists(t => pos.contains(t._1)) &&
+        q.required.forall(pos.contains) &&
+        q.phrases.forall(ph => {
+          var cand = pos.getOrElse(ph.terms.head, Array.empty[Int])
+          var i = 1
+          while (i < ph.terms.length && cand.nonEmpty) {
+            val next = pos.getOrElse(ph.terms(i), Array.empty[Int])
+            cand = next.filter(n => cand.exists(p => n > p && n <= p + 1 + ph.slop))
+            i += 1
+          }
+          cand.nonEmpty
+        })
+    } yield (q.queryId, d)).toSet
+    assert(fired == want, s"alerting: extra=${fired -- want} missing=${want -- fired}")
+  }
 }
