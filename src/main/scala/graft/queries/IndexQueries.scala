@@ -1340,10 +1340,15 @@ object IndexQueries {
       import spark.implicits._
       val h = IndexCache.handle(spark, sfDir)
       def r4(s: Double) = BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val rows = QuerySet.hits.flatMap { case (qid, s) =>
-        val r = Search.run(h, Search.SearchRequest(s, k = 40,
-          facetKey = Some((col("docId") % 10).cast("string")), facetTopN = 5),
-          Tokenizers.default)
+      // BATCHED endpoint (Search.runAll): one ranked + one count/facet pass
+      // per distinct filter signature across ALL requests — per-request
+      // results identical to Search.run's (SearchSpec asserts it), but the
+      // fixture drops from 2 passes x |requests| to 2 passes x |signatures|.
+      val responses = Search.runAll(h, QuerySet.hits, k = 40,
+        facetKey = Some((col("docId") % 10).cast("string")), facetTopN = 5,
+        Tokenizers.default)
+      val rows = QuerySet.hits.flatMap { case (qid, _) =>
+        val r = responses(qid)
         val hitRows = Search.windowByRoundedKey(r.hits, 40, 10, s"query $qid serp")
           .zipWithIndex.map { case ((d, sc), i) =>
             (qid, "hit", i + 1, d.toString, r4(sc)) }

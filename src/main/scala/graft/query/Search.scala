@@ -55,11 +55,14 @@ object Search {
     * expanded queries pass through untouched. */
   def expand(index: IndexHandle, q: ParsedQuery,
       maxExpansions: Int = MaxExpansions,
-      fuzzyMap: Option[Map[String, Seq[String]]] = None): ParsedQuery =
+      fuzzyMap: Option[Map[String, Seq[String]]] = None,
+      prefixMap: Option[Map[String, Seq[String]]] = None): ParsedQuery =
     if (q.wildcards.isEmpty && q.fuzzies.isEmpty) q
     else {
       val fm = fuzzyMap.getOrElse(
         index.expandFuzzy(q.fuzzies.map(_.term), maxExpansions))
+      val pm = prefixMap.getOrElse(
+        index.expandPrefixes(q.wildcards.map(_.prefix), maxExpansions))
       val scoring = scala.collection.mutable.LinkedHashMap(q.scoring: _*)
       val excluded = scala.collection.mutable.ArrayBuffer(q.excluded: _*)
       val requiredAny = scala.collection.mutable.ArrayBuffer(q.requiredAny: _*)
@@ -69,7 +72,7 @@ object Search {
           exp.foreach(t => if (!scoring.contains(t)) scoring(t) = weight)
           if (op2 == '+') requiredAny += exp
       }
-      q.wildcards.foreach(w => fold(index.expandPrefix(w.prefix, maxExpansions), w.weight, w.op))
+      q.wildcards.foreach(w => fold(pm(w.prefix), w.weight, w.op))
       q.fuzzies.foreach(f => fold(fm.getOrElse(f.term, Seq.empty), f.weight, f.op))
       q.copy(scoring = scoring.toSeq, excluded = excluded.distinct.toSeq,
         requiredAny = requiredAny.toSeq, wildcards = Seq.empty, fuzzies = Seq.empty)
@@ -132,8 +135,10 @@ object Search {
 
   /** Shared batch compile: synonym rewrite first (a pure rewrite — it
     * neither consults the dictionary nor expands wildcard/fuzzy
-    * products), then ONE batched fuzzy-needle expansion job for the whole
-    * batch, then per-query dictionary expansion. */
+    * products), then ONE batched fuzzy-needle expansion job and ONE
+    * batched wildcard-prefix expansion job for the whole batch
+    * ([[IndexHandle.expandPrefixes]] — previously one dictionary-scan job
+    * per wildcard CLAUSE), then per-query dictionary expansion. */
   private def compile(index: IndexHandle, queries00: Seq[ParsedQuery],
       synonyms: Option[Synonyms]): Seq[ParsedQuery] = {
     val queries0 = synonyms.fold(queries00)(s => queries00.map(s.rewrite))
@@ -141,7 +146,11 @@ object Search {
     val fm =
       if (needles.isEmpty) Map.empty[String, Seq[String]]
       else index.expandFuzzy(needles, MaxExpansions)
-    queries0.map(expand(index, _, MaxExpansions, Some(fm)))
+    val prefixes = queries0.flatMap(_.wildcards.map(_.prefix)).distinct
+    val pm =
+      if (prefixes.isEmpty) Map.empty[String, Seq[String]]
+      else index.expandPrefixes(prefixes, MaxExpansions)
+    queries0.map(expand(index, _, MaxExpansions, Some(fm), Some(pm)))
   }
 
   /** Batch compile: group by canonical filter signature (so `url:a -url:b`
@@ -284,6 +293,43 @@ object Search {
       if (req.collapse.isDefined) None
       else hits.lastOption.filter(_ => hits.length == req.k)
     SearchResponse(hits, total, facetsOut, cursor)
+  }
+
+  /** THE BATCHED SERP ENDPOINT: N requests sharing one knob set (k,
+    * facetKey, facetTopN, synonyms) answered with ONE ranked pass and ONE
+    * count/facet pass per distinct filter signature — instead of [[run]]'s
+    * 2 passes (≈ 6 Spark jobs) PER REQUEST. The underlying driver
+    * ([[Wand.runFieldsWith]]) batches arbitrarily many queries per pass
+    * and evaluates them independently, so each request's hits, exact
+    * total, facet panel and cursor are IDENTICAL to its solo [[run]]
+    * (SearchSpec asserts runAll == N × run). This is the shape a service
+    * answering concurrent search requests must take: per-request job
+    * dispatch costs O(requests) Spark jobs of pure driver overhead,
+    * batched dispatch costs O(distinct filter signatures). */
+  def runAll(index: IndexHandle, reqs: Seq[(Int, String)], k: Int,
+      facetKey: Option[Column], facetTopN: Int,
+      analyzer: TokenizerStrategy,
+      synonyms: Option[Synonyms] = None): Map[Int, SearchResponse] = {
+    val compiled = compile(index,
+      reqs.map { case (qid, s) => QueryParser.parse(qid, s, analyzer) }, synonyms)
+    val hits = pageCompiled(index, compiled, k, after = Map.empty)
+    val totFacets: Map[Int, (Long, Seq[(String, Long)])] = facetKey match {
+      case Some(fk) =>
+        grouped(compiled).flatMap { case (docFilter, group, cons) =>
+          Wand.facetCountsWithTotal(index, group.map(_.toQuerySpec), fk,
+            facetTopN, docFilter = docFilter, constraints = cons)
+        }.toMap
+      case None =>
+        countCompiled(index, compiled).map { case (qid, n) =>
+          qid -> (n, Seq.empty[(String, Long)])
+        }
+    }
+    reqs.map { case (qid, _) =>
+      val h = hits.getOrElse(qid, Array.empty[(Double, Long)])
+      val (total, fs) = totFacets.getOrElse(qid, (0L, Seq.empty[(String, Long)]))
+      val cursor = h.lastOption.filter(_ => h.length == k)
+      qid -> SearchResponse(h, total, fs, cursor)
+    }.toMap
   }
 
   /** Cut a `fetch`-deep EXACT result to a `window`-deep window by the

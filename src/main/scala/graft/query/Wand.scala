@@ -195,6 +195,44 @@ final case class IndexHandle(spark: SparkSession, dir: String, manifest: IndexMa
     hits.sorted.toSeq
   }
 
+  /** Wildcard expansion for a whole BATCH of prefixes in ONE dictionary
+    * scan (the per-clause [[expandPrefix]] pays one Spark job per prefix;
+    * a 12-clause batch was 12 jobs of pure overhead at fixture scale).
+    * The OR-of-StartsWith predicate still pushes to the parquet dictionary
+    * scan, so the scan touches only the prefixes' term ranges. Expansion
+    * results are IDENTICAL per prefix (same terms, same loud cap). The
+    * collect is bounded by `|prefixes| · (max+1)` rows: if the limit is
+    * hit, some prefix must exceed `max` (pigeonhole), and the per-prefix
+    * path re-runs to attribute the loud error precisely. */
+  def expandPrefixes(prefixes: Seq[String], max: Int): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    val ps = prefixes.distinct
+    if (ps.isEmpty) return Map.empty
+    ps.foreach(p => require(p.nonEmpty, "empty wildcard prefix"))
+    if (ps.lengthCompare(1) == 0) return Map(ps.head -> expandPrefix(ps.head, max))
+    val pred = ps.map(p => col("term").startsWith(p)).reduce(_ || _)
+    val cap = ps.length * (max + 1)
+    val hits = dictionary.filter(pred)
+      .select("term").as[String]
+      .flatMap(t => ps.iterator.filter(t.startsWith(_)).map(p => (p, t)))
+      .limit(cap).collect()
+    if (hits.length >= cap) {
+      // someone exceeds the cap — re-derive per prefix for the precise error
+      ps.foreach(p => expandPrefix(p, max))
+    }
+    val byPrefix = hits.groupBy(_._1)
+    val out = ps.map { p =>
+      p -> byPrefix.getOrElse(p, Array.empty[(String, String)])
+        .map(_._2).distinct.sorted.toSeq
+    }.toMap
+    out.foreach { case (p, terms) =>
+      if (terms.length > max)
+        throw new IllegalArgumentException(
+          s"wildcard '$p*' expands to more than $max terms — narrow the prefix or raise maxExpansions")
+    }
+    out
+  }
+
   /** Fuzzy expansion for a whole BATCH of needles in one job: needle →
     * every dictionary term within edit distance 1 (ascending; includes the
     * needle itself when in-vocab). The SymSpell shape shared with the

@@ -875,6 +875,46 @@ class SearchSpec extends AnyFunSuite {
       rz.facets.isEmpty && rz.nextCursor.isEmpty)
   }
 
+  test("runAll: the batched SERP endpoint == N independent Search.run calls") {
+    import org.apache.spark.sql.functions.col
+    val fk = (col("docId") % 10).cast("string")
+    // the full q_serp fixture surface: filters (two signatures), phrases,
+    // msm, wildcard + fuzzy expansion, OR groups, both zero-hit shapes
+    val batched = Search.runAll(handle, QuerySet.hits, k = 7,
+      facetKey = Some(fk), facetTopN = 3, analyzer)
+    QuerySet.hits.foreach { case (qid, s) =>
+      val solo = Search.run(handle,
+        Search.SearchRequest(s, k = 7, facetKey = Some(fk), facetTopN = 3),
+        analyzer)
+      val b = batched(qid)
+      assert(b.hits.toSeq == solo.hits.toSeq, s"[$s] hits differ")
+      assert(b.total == solo.total, s"[$s] total differs")
+      assert(b.facets == solo.facets, s"[$s] facets differ")
+      assert(b.nextCursor == solo.nextCursor, s"[$s] cursor differs")
+    }
+    // no facet key: totals still exact, panels empty
+    val noFacet = Search.runAll(handle, QuerySet.hits.take(3), k = 7,
+      facetKey = None, facetTopN = 3, analyzer)
+    QuerySet.hits.take(3).foreach { case (qid, s) =>
+      val solo = Search.run(handle, Search.SearchRequest(s, k = 7), analyzer)
+      assert(noFacet(qid).total == solo.total && noFacet(qid).facets.isEmpty)
+      assert(noFacet(qid).hits.toSeq == solo.hits.toSeq)
+    }
+  }
+
+  test("expandPrefixes: one batched scan == per-prefix expandPrefix") {
+    val prefixes = Seq("s", "ba", "me", "zz", "c", "wind")
+    val batched = handle.expandPrefixes(prefixes, Search.MaxExpansions)
+    prefixes.foreach { p =>
+      assert(batched(p) == handle.expandPrefix(p, Search.MaxExpansions),
+        s"prefix '$p' expansion differs")
+    }
+    // the loud cap survives batching (pigeonhole limit + precise re-check)
+    val e = intercept[IllegalArgumentException](
+      handle.expandPrefixes(Seq("s", "b"), 1))
+    assert(e.getMessage.contains("expands to more than"))
+  }
+
   // -------------------------------------------- tombstones × the count modes
 
   test("deletes compose with collapse, hits, and facets (sentinel paths)") {
