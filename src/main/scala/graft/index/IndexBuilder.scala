@@ -294,14 +294,19 @@ object IndexBuilder {
   def dictionaryRanked(td: Dataset[TermDoc], partitions: Int): (Dataset[TermEntry], Long, () => Unit) = {
     val spark = td.sparkSession
     import spark.implicits._
+    // persist the vocab-sized stats BEFORE the range exchange: GlobalRank's
+    // range sampling is its own pass over the input, which would otherwise
+    // re-tokenize the whole corpus a second time (the stats relation is
+    // |vocab| rows — cache cost is trivial, the saved pass is a full scan)
     val stats = td.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .persist()
     val ranked = graft.plans.GlobalRank.withRowNumber(
       stats, Seq(col("df").desc, col("term").asc), "rn", partitions)
     val ds = ranked.df
       .select((col("rn") - 1).cast("int").as("termId"),
         col("term"), col("df").cast("long"), col("cf").cast("long"))
       .as[TermEntry]
-    (ds, ranked.total, ranked.release)
+    (ds, ranked.total, () => { ranked.release(); stats.unpersist(); () })
   }
 
   /** Convenience wrapper (tests/ad-hoc); leaks the rank cache — production
@@ -682,13 +687,25 @@ object IndexBuilder {
     val tok = Tokenizers(cfg.tokenizer)
     Store.mkdirs(indexDir)
 
-    val cleaned = Pages.cleaned(pages, cfg.langs).persist()
+    // project to the columns the build actually reads (doc_id, url, text)
+    // BEFORE caching: persist would otherwise materialize every input
+    // column — including the html payload, which the build never touches —
+    // through the cleaning window's exchange and into cache (§2.3: project
+    // before the exchange; an opaque cache defeats column pruning)
+    val cleaned = Pages.cleaned(pages, cfg.langs)
+      .select(col("doc_id"), col("url"), col("text")).persist()
 
     // cheap column aggregates (no tokenize): the docId span that defines the
-    // segment ranges, and the corrupt-row count
+    // segment ranges, and the corrupt-row count — independent jobs, run
+    // CONCURRENTLY (§2.6: overlap independent jobs; the corrupt count scans
+    // raw pages, the doc span materializes the cleaned cache)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val corruptF = Future(pages.filter(col("text").isNull).count())
     val maxDocId = timed("doc-span")(cleaned
       .agg(coalesce(max(col("doc_id").cast("long")), lit(0L))).head().getLong(0))
-    val skippedCorrupt = timed("corrupt-count")(pages.filter(col("text").isNull).count())
+    val skippedCorrupt = timed("corrupt-count")(
+      Await.result(corruptF, scala.concurrent.duration.Duration.Inf))
 
     // -- stage: dictionary ----------------------------------------------
     val td = termDocs(cleaned, tok)
@@ -851,7 +868,16 @@ object IndexBuilder {
     // computers were persisted at build time, so appends keep them even if
     // the caller's cfg carries different defaults
     val ecfg = cfg.copy(postingsBuckets = old.postingsBuckets, metaComputers = old.metaComputers)
-    val cleaned = Pages.cleaned(deltaPages, cfg.langs).persist()
+    val cleaned = Pages.cleaned(deltaPages, cfg.langs)
+      .select(col("doc_id"), col("url"), col("text")).persist()
+
+    // corrupt-row count over the raw delta, overlapped with the append's
+    // own jobs (§2.6) — it is consumed only at the manifest commit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val skippedF = Future(deltaPages.filter(col("text").isNull).count())
+    def awaitSkipped(): Long =
+      Await.result(skippedF, scala.concurrent.duration.Duration.Inf)
 
     val stats = cleaned
       .select(col("doc_id").cast("long"), col("url"), col("text"))
@@ -870,7 +896,7 @@ object IndexBuilder {
         "so they coalesce into one batch)")
     if (nNew == 0) {
       // nothing survived cleaning: no segment, but the cursor still commits
-      val skipped0 = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
+      val skipped0 = old.skippedCorrupt + awaitSkipped()
       val m0 = old.copy(skippedCorrupt = skipped0, lastBatchId = batchId.getOrElse(old.lastBatchId),
         snapshotId = old.snapshotId + 1, operation = "append")
       Manifest.commit(indexDir, m0)
@@ -889,46 +915,67 @@ object IndexBuilder {
       .write.mode("overwrite").parquet(s"$sdir/docstats")
 
     // dictionary v(N+1) from v(N): update df/cf of existing terms, append
-    // NEW terms after vocabSize — all distributed, written multi-file
+    // NEW terms after vocabSize. The delta's term statistics are bounded by
+    // the BATCH's vocabulary — the same bound under which this path has
+    // always collected its posting-build broadcast map — so they collect
+    // ONCE here and drive everything batch-sized on the driver: the fresh
+    // (unseen) terms' ranking (df desc, term — the same unique total order
+    // GlobalRank produced, so termIds are identical), and the posting
+    // build's broadcast dictionary. The CORPUS-sized work stays distributed:
+    // the old dictionary streams once through a broadcast-hash join against
+    // the delta deltas (no full-outer shuffle join, no range-sampling pass)
+    // into the v(N+1) write. Net: 3 fewer Spark jobs and 2 fewer exchanges
+    // per append, same bytes on disk.
     val td = termDocs(cleaned, tok).persist()
     val deltaStats = td.groupBy("term")
       .agg(count(lit(1)).as("d_df"), sum(col("tf")).as("d_cf"))
+      .as[(String, Long, Long)].collect()
+    val deltaMap = deltaStats.map { case (t, ddf, dcf) => t -> ((ddf, dcf)) }.toMap
     val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
-    val joined = oldDict.join(deltaStats, Seq("term"), "full_outer").persist()
-    val updated = joined.filter(col("termId").isNotNull)
-      .select(col("termId"),
-        col("term"),
-        (col("df") + coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
-        (col("cf") + coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
-    val fresh = joined.filter(col("termId").isNull)
-      .select(col("term"), col("d_df").as("df"), col("d_cf").as("cf"))
-    val freshRanked = graft.plans.GlobalRank.withRowNumber(
-      fresh, Seq(col("df").desc, col("term").asc), "rn",
-      spark.sessionState.conf.numShufflePartitions)
-    val freshDict = freshRanked.df.select(
-      (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
-      col("term"), col("df").cast("long"), col("cf").cast("long"))
+    // which delta terms already exist (batch-bounded collect: termId + OLD
+    // df/cf ride along so the posting-build dictionary needs no re-read)
+    val matchedOld: Array[TermEntry] = oldDict
+      .join(deltaStats.map(_._1).toSeq.toDF("term"), Seq("term"), "left_semi")
+      .select("termId", "term", "df", "cf").as[TermEntry].collect()
+    val matchedTerms = matchedOld.iterator.map(_.term).toSet
+    val freshDriver: Array[(String, Long, Long)] = deltaStats
+      .filter { case (t, _, _) => !matchedTerms.contains(t) }
+      .sortBy { case (t, ddf, _) => (-ddf, t) } // (df desc, term asc): ids deterministic
+    val freshDict = freshDriver.zipWithIndex.map { case ((t, ddf, dcf), i) =>
+      TermEntry((old.vocabSize + i).toInt, t, ddf, dcf)
+    }
+    val bDelta = spark.sparkContext.broadcast(deltaMap)
+    val updated = oldDict.toDF().as[TermEntry].mapPartitions { it =>
+      val d = bDelta.value
+      it.map { e =>
+        d.get(e.term) match {
+          case Some((ddf, dcf)) => e.copy(df = e.df + ddf, cf = e.cf + dcf)
+          case None             => e
+        }
+      }
+    }
     val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
-    val vocabSize = old.vocabSize + freshRanked.total
+    val vocabSize = old.vocabSize + freshDict.length
     // deterministic contiguous termId groups (known vocab span) — avoids
-    // repartitionByRange's sampling re-executing the full-outer join
+    // repartitionByRange's sampling re-executing the input
     val perFile = math.max(1L, (vocabSize + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
-    updated.unionByName(freshDict)
+    updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
       .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
       .sortWithinPartitions(col("termId"))
       .write.mode("overwrite").parquet(newDictDir)
-    freshRanked.release()
 
     // postings: the delta segment's blocks under the UPDATED dictionary.
-    // Broadcast map = new dictionary ⋉ delta terms (batch-bounded collect),
-    // head-filtered under a vocabulary cap exactly like the base build.
-    val deltaDict = spark.read.parquet(newDictDir)
-      .join(deltaStats.select("term"), Seq("term"), "left_semi")
-    val headDelta = cfg.vocabCap.fold(deltaDict)(cap => deltaDict.filter(col("termId") < cap))
-    val dict: Map[String, TermEntry] =
-      headDelta.select("termId", "term", "df", "cf").as[TermEntry]
-        .collect().map(e => e.term -> e).toMap
-    joined.unpersist()
+    // Broadcast map = matched old entries (delta-updated) + fresh entries —
+    // fully driver-derived (batch-bounded, no extra job), head-filtered
+    // under a vocabulary cap exactly like the base build.
+    val deltaDictAll: Iterator[TermEntry] =
+      matchedOld.iterator.map { e =>
+        val (ddf, dcf) = deltaMap(e.term)
+        e.copy(df = e.df + ddf, cf = e.cf + dcf)
+      } ++ freshDict.iterator
+    val dict: Map[String, TermEntry] = cfg.vocabCap
+      .fold(deltaDictAll)(cap => deltaDictAll.filter(_.termId < cap))
+      .map(e => e.term -> e).toMap
     postingBlocks(td, dict, ecfg)
       .repartition(ecfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
@@ -936,7 +983,7 @@ object IndexBuilder {
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
 
-    val skipped = old.skippedCorrupt + deltaPages.filter(col("text").isNull).count()
+    val skipped = old.skippedCorrupt + awaitSkipped()
     // old.copy: tombVersion (and any future field) carries over — appends
     // never disturb tombstones or other segments
     val manifest = old.copy(nDocs = old.nDocs + nNew, totalLen = old.totalLen + lenNew,
