@@ -766,21 +766,27 @@ object IndexBuilder {
       val hi = math.min(lo + chunkRange, maxDocId + 1)
       val seg = Segment(lo, hi, 0)
       val sdir = segmentDir(indexDir, seg)
-      if (!success(s"$sdir/docstats")) timed(s"docstats-$chunk") {
-        // termCount == terms().length (spec-pinned) without materializing a
-        // single token string; deterministic bucket clustering (hash on
-        // docId/bucketRange + local sort) keeps row-group docId min/max
-        // tight for the query path's range-predicate pruning
-        cleaned
-          .filter(col("doc_id").cast("long") >= lo && col("doc_id").cast("long") < hi)
-          .select(col("doc_id").cast("long"), col("url"), col("text"))
-          .as[(Long, String, String)]
-          .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
-          .repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
-          .sortWithinPartitions(col("docId"))
-          .write.mode("overwrite").parquet(s"$sdir/docstats")
-        Lineage.append(spark, indexDir, LineageRow(chunk, "docstats", -1L, System.currentTimeMillis(), "committed"))
-      }
+      // the chunk's docstats and postings writes are INDEPENDENT (both read
+      // the cleaned cache, each commits its own _SUCCESS + lineage row) —
+      // overlap them (§2.6) so the postings stage's map tasks back-fill the
+      // docstats write's tail instead of waiting behind it
+      val docstatsF =
+        if (success(s"$sdir/docstats")) Future.unit
+        else Future(timed(s"docstats-$chunk") {
+          // termCount == terms().length (spec-pinned) without materializing a
+          // single token string; deterministic bucket clustering (hash on
+          // docId/bucketRange + local sort) keeps row-group docId min/max
+          // tight for the query path's range-predicate pruning
+          cleaned
+            .filter(col("doc_id").cast("long") >= lo && col("doc_id").cast("long") < hi)
+            .select(col("doc_id").cast("long"), col("url"), col("text"))
+            .as[(Long, String, String)]
+            .map { case (docId, url, text) => DocStat(docId, url, tok.termCount(text)) }
+            .repartition(cfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
+            .sortWithinPartitions(col("docId"))
+            .write.mode("overwrite").parquet(s"$sdir/docstats")
+          Lineage.append(spark, indexDir, LineageRow(chunk, "docstats", -1L, System.currentTimeMillis(), "committed"))
+        })
       if (!success(s"$sdir/postings")) timed(s"postings-$chunk") {
         val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
         val blocks =
@@ -793,6 +799,7 @@ object IndexBuilder {
         val nBlocks = spark.read.parquet(s"$sdir/postings").count()
         Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
       }
+      Await.result(docstatsF, scala.concurrent.duration.Duration.Inf)
       segs += seg
       chunk += 1
     }

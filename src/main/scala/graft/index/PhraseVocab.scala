@@ -51,39 +51,57 @@ object PhraseVocab {
     }.toDF("left", "right").groupBy("left", "right").agg(count(lit(1)).as("cnt"))
   }
 
-  /** Run `numMerges` BPE iterations; returns the merge table and the final
-    * rewritten corpus. */
-  def train(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[MergeStep], Dataset[(Long, Array[String])]) = {
+  /** Adjacent pairs of one document, as an iterator (shared by the RDD
+    * trainer cores). */
+  private def adjacentPairs(ts: Array[String]): Iterator[(String, String)] =
+    if (ts.length < 2) Iterator.empty
+    else (0 until ts.length - 1).iterator.map(i => (ts(i), ts(i + 1)))
+
+  /** Run `numMerges` BPE iterations; returns the merge table, the final
+    * rewritten corpus, and a release handle freeing the trainer's cache
+    * (call it once the final corpus has been consumed).
+    *
+    * The iteration loop runs on the RDD layer (guide §1.2: per-task work):
+    * the corpus caches as JVM OBJECTS (`MEMORY_AND_DISK`), so each of the
+    * loop's full-corpus scans skips the columnar encode/decode a Dataset
+    * cache pays per pass, the per-iteration Catalyst analyze/optimize cost
+    * of a logical plan that grows with every rewrite disappears, and each
+    * iteration is exactly ONE job: `reduceByKey` (map-side combine — the
+    * same partial-aggregation shape as the DF hash agg) + a driver
+    * `takeOrdered(1)` under the (count desc, left, right) total order.
+    * Counts are exact integers and the order is total, so the merge
+    * sequence is bit-identical to the previous DataFrame loop (BpeSpec
+    * asserts equality with the single-threaded reference). */
+  def train(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[MergeStep], Dataset[(Long, Array[String])], () => Unit) = {
     val spark = docs0.sparkSession
     import spark.implicits._
-    var docs = docs0.persist()
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var docs = docs0.rdd.persist(sl)
     // the parent of `docs`; unpersisted only AFTER a job has materialized
-    // `docs` (the pair-count collect), so each iteration runs exactly ONE
-    // Spark job instead of a count + an agg
-    var parent: Dataset[(Long, Array[String])] = null
+    // `docs` (the pair-count job), so each iteration stays one job
+    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[MergeStep]
     var step = 0
     var done = false
     while (step < numMerges && !done) {
-      val top = pairCounts(docs)
-        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
-        .limit(1).collect() // materializes `docs` into its cache
+      val top = docs.flatMap { case (_, ts) => adjacentPairs(ts) }
+        .map((_, 1L)).reduceByKey(_ + _)
+        .takeOrdered(1)(Ordering.by { case ((l, r), c) => (-c, l, r) })
       if (parent != null) { parent.unpersist(); parent = null }
-      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      if (top.isEmpty || top(0)._2 < 2) done = true
       else {
-        val l = top(0).getString(0)
-        val r = top(0).getString(1)
-        val c = top(0).getLong(2)
+        val ((l, r), c) = top(0)
         val m = l + "_" + r
         merges += MergeStep(step, l, r, c, m)
         parent = docs
-        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist()
+        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist(sl)
         step += 1
       }
     }
     // materialize the final rewrite once so the last parent can be dropped
     if (parent != null) { docs.count(); parent.unpersist() }
-    (merges.toSeq, docs)
+    val out = docs
+    (merges.toSeq, spark.createDataset(out), () => { out.unpersist(); () })
   }
 
   /** WordPiece-style training: the merge argmax is the LIKELIHOOD score
@@ -99,42 +117,47 @@ object PhraseVocab {
     * counts — bit-identical in the JVM and the SQL oracle — and ties break
     * on (left, right). Each iteration is ONE Spark action (the pair and
     * unigram aggregations meet in a single top-1 job). */
-  def trainWordPiece(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[WpMergeStep], Dataset[(Long, Array[String])]) = {
+  def trainWordPiece(docs0: Dataset[(Long, Array[String])], numMerges: Int): (Seq[WpMergeStep], Dataset[(Long, Array[String])], () => Unit) = {
     val spark = docs0.sparkSession
     import spark.implicits._
-    var docs = docs0.persist()
-    var parent: Dataset[(Long, Array[String])] = null
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var docs = docs0.rdd.persist(sl)
+    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMergeStep]
     var step = 0
     var done = false
     while (step < numMerges && !done) {
+      // one object-cache scan feeds BOTH aggregations; the pair⋈unigram
+      // scoring joins stay distributed (the unigram relation is the CORPUS
+      // vocabulary — never collected to the driver, same discipline as the
+      // dictionary build's broadcastVocabMax split). The score is one
+      // double multiply + one divide of exact integer counts — bit-
+      // identical to the previous DataFrame loop and the SQL oracle.
       val uni = docs.flatMap { case (_, ts) => ts.iterator }
-        .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
-      val top = pairCounts(docs)
-        .filter(col("cnt") >= 2)
-        .join(uni.select(col("t").as("left"), col("c").as("cl")), "left")
-        .join(uni.select(col("t").as("right"), col("c").as("cr")), "right")
-        .withColumn("score",
-          col("cnt").cast("double") / (col("cl").cast("double") * col("cr").cast("double")))
-        .select("left", "right", "cnt", "score")
-        .orderBy(col("score").desc, col("left").asc, col("right").asc)
-        .limit(1).collect() // materializes `docs` into its cache
+        .map((_, 1L)).reduceByKey(_ + _)
+      val top = docs.flatMap { case (_, ts) => adjacentPairs(ts) }
+        .map((_, 1L)).reduceByKey(_ + _)
+        .filter(_._2 >= 2)
+        .map { case ((l, r), c) => (l, (r, c)) }.join(uni)
+        .map { case (l, ((r, c), cl)) => (r, (l, c, cl)) }.join(uni)
+        .map { case (r, ((l, c, cl), cr)) =>
+          (l, r, c, c.toDouble / (cl.toDouble * cr.toDouble))
+        }
+        .takeOrdered(1)(Ordering.by { case (l, r, _, s) => (-s, l, r) })
       if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty) done = true
       else {
-        val l = top(0).getString(0)
-        val r = top(0).getString(1)
-        val c = top(0).getLong(2)
-        val sc = top(0).getDouble(3)
+        val (l, r, c, sc) = top(0)
         val m = l + "_" + r
         merges += WpMergeStep(step, l, r, c, sc, m)
         parent = docs
-        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist()
+        docs = docs.map { case (id, ts) => (id, applyMerge(ts, l, r, m)) }.persist(sl)
         step += 1
       }
     }
     if (parent != null) { docs.count(); parent.unpersist() }
-    (merges.toSeq, docs)
+    val out = docs
+    (merges.toSeq, spark.createDataset(out), () => { out.unpersist(); () })
   }
 
   /** Apply one E-step fuse pass: every adjacent pair in `qualifying` is
@@ -172,39 +195,42 @@ object PhraseVocab {
       docs0: Dataset[(Long, Array[String])],
       iters: Int,
       cap: Int
-  ): (Seq[Int], Dataset[(Long, Array[String])]) = {
+  ): (Seq[Int], Dataset[(Long, Array[String])], () => Unit) = {
     val spark = docs0.sparkSession
     import spark.implicits._
-    var docs = docs0.persist()
-    var parent: Dataset[(Long, Array[String])] = null
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var docs = docs0.rdd.persist(sl)
+    var parent: org.apache.spark.rdd.RDD[(Long, Array[String])] = null
     val perStep = scala.collection.mutable.ArrayBuffer.empty[Int]
     var step = 0
     var done = false
     while (step < iters && !done) {
+      // unigram model cached for this iteration (it feeds the total-count
+      // reduce AND both scoring joins); the PMI test stays pure int64
       val uni = docs.flatMap { case (_, ts) => ts.iterator }
-        .toDF("t").groupBy("t").agg(count(lit(1)).as("c"))
-      val tot = uni.agg(sum(col("c")).as("total"))
-      val q = pairCounts(docs)
-        .filter(col("cnt") >= 2)
-        .join(uni.select(col("t").as("left"), col("c").as("cl")), "left")
-        .join(uni.select(col("t").as("right"), col("c").as("cr")), "right")
-        .crossJoin(broadcast(tot))
-        .filter(col("cnt") * col("total") > col("cl") * col("cr"))
-        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
-        .limit(cap)
-        .select("left", "right").collect() // materializes `docs` into its cache
+        .map((_, 1L)).reduceByKey(_ + _).persist(sl)
+      val total = uni.map(_._2).fold(0L)(_ + _)
+      val q = docs.flatMap { case (_, ts) => adjacentPairs(ts) }
+        .map((_, 1L)).reduceByKey(_ + _)
+        .filter(_._2 >= 2)
+        .map { case ((l, r), c) => (l, (r, c)) }.join(uni)
+        .map { case (l, ((r, c), cl)) => (r, (l, c, cl)) }.join(uni)
+        .collect { case (r, ((l, c, cl), cr)) if c * total > cl * cr => (l, r, c) }
+        .takeOrdered(cap)(Ordering.by { case (l, r, c) => (-c, l, r) })
+      uni.unpersist()
       if (parent != null) { parent.unpersist(); parent = null }
       if (q.isEmpty) done = true
       else {
-        val set = q.map(r => (r.getString(0), r.getString(1))).toSet
+        val set = q.map { case (l, r, _) => (l, r) }.toSet
         perStep += set.size
         parent = docs
-        docs = docs.map { case (id, ts) => (id, applyFuseSet(ts, set)) }.persist()
+        docs = docs.map { case (id, ts) => (id, applyFuseSet(ts, set)) }.persist(sl)
         step += 1
       }
     }
     if (parent != null) { docs.count(); parent.unpersist() }
-    (perStep.toSeq, docs)
+    val out = docs
+    (perStep.toSeq, spark.createDataset(out), () => { out.unpersist(); () })
   }
 
   /** Single-threaded Unigram-EM reference for tests (the oracle twin). */

@@ -20,7 +20,7 @@ object MergedIndexCache {
   def get(spark: SparkSession, sfDir: String): (Seq[MergeStep], IndexHandle) =
     cache.computeIfAbsent(sfDir, { _ =>
       import spark.implicits._
-      val (merges, finalDocs) = PhraseVocab.train(VocabQueries.tokenDocs(spark, sfDir), NumMerges)
+      val (merges, finalDocs, release) = PhraseVocab.train(VocabQueries.tokenDocs(spark, sfDir), NumMerges)
       // rewritten token streams → pages (input_hint shape); merged units
       // keep their '_' glue, so the whitespace (stripPunct=false) tokenizer
       // round-trips them as single terms
@@ -36,7 +36,7 @@ object MergedIndexCache {
       IndexCache.deleteRecursively(new java.io.File(dir))
       IndexBuilder.buildFrom(spark, pages, dir,
         IndexConfig(tokenizer = TokenizerConfig(stripPunct = false)))
-      finalDocs.unpersist()
+      release()
       (merges, IndexReader.load(spark, dir))
     })
 }
@@ -114,8 +114,8 @@ object VocabQueries {
     // integer counts), so they are emitted UNROUNDED.
     "q_wp_merges" -> ((s, d) => {
       import s.implicits._
-      val (merges, finalDocs) = PhraseVocab.trainWordPiece(tokenDocs(s, d), WpMerges)
-      finalDocs.unpersist()
+      val (merges, _, release) = PhraseVocab.trainWordPiece(tokenDocs(s, d), WpMerges)
+      release()
       merges.toDF("step", "left", "right", "count", "score", "merged").orderBy("step")
     }),
 
@@ -131,14 +131,14 @@ object VocabQueries {
     // this is a mass-update EM cycle — a different aggregation pattern.
     "q_unigram_vocab" -> ((s, d) => {
       import s.implicits._
-      val (_, finalDocs) = PhraseVocab.trainUnigram(tokenDocs(s, d), UniIters, UniCap)
+      val (_, finalDocs, release) = PhraseVocab.trainUnigram(tokenDocs(s, d), UniIters, UniCap)
       // unit table is vocab-sized (≤ base vocab + iters·cap learned units),
       // collected like the merge tables so the cached corpus can be released
       val vocab = finalDocs.flatMap { case (_, ts) => ts.iterator }
         .toDF("term").groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term"))
         .as[(String, Long)].collect().toSeq
-      finalDocs.unpersist()
+      release()
       vocab.toDF("term", "cnt")
     }),
 

@@ -36,7 +36,7 @@ class BpeSpec extends AnyFunSuite {
 
   test("distributed trainer == single-threaded reference on the real corpus") {
     val docs = corpusDocs("/root/testdata/sf0.001")
-    val (distributed, finalDocs) = PhraseVocab.train(docs, 8)
+    val (distributed, finalDocs, release) = PhraseVocab.train(docs, 8)
     val local = PhraseVocab.trainLocal(docs.collect().toSeq.sortBy(_._1).map(_._2), 8)
     assert(distributed == local)
     // rewritten corpus contains merged units and no longer contains the pair
@@ -45,7 +45,7 @@ class BpeSpec extends AnyFunSuite {
       (0 until ts.length - 1).exists(i => ts(i) == l && ts(i + 1) == r)
     }.count()
     assert(bad == 0, s"first merged pair ($l,$r) still present")
-    finalDocs.unpersist()
+    release()
   }
 
   test("merged units get termIds and real posting lists (encode_token_ids analog)") {
@@ -94,7 +94,7 @@ class BpeSpec extends AnyFunSuite {
   test("distributed Unigram trainer == single-threaded reference on the real corpus") {
     import spark.implicits._
     val docs = corpusDocs("/root/testdata/sf0.001")
-    val (dSteps, dFinal) = PhraseVocab.trainUnigram(docs, 3, 100)
+    val (dSteps, dFinal, uniRelease) = PhraseVocab.trainUnigram(docs, 3, 100)
     val (lSteps, lFinal) = PhraseVocab.trainUnigramLocal(
       docs.collect().toSeq.sortBy(_._1).map(_._2), 3, 100)
     assert(dSteps == lSteps, s"per-step candidate counts differ: $dSteps vs $lSteps")
@@ -102,7 +102,7 @@ class BpeSpec extends AnyFunSuite {
       .toDF("t").groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val lCounts = lFinal.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(dCounts == lCounts, "final segmented unit tables differ")
-    dFinal.unpersist()
+    uniRelease()
   }
 
   test("WordPiece: likelihood argmax diverges from the count argmax where it should") {
@@ -120,8 +120,8 @@ class BpeSpec extends AnyFunSuite {
 
   test("distributed WordPiece trainer == single-threaded reference on the real corpus") {
     val docs = corpusDocs("/root/testdata/sf0.001")
-    val (distributed, finalDocs) = PhraseVocab.trainWordPiece(docs, 6)
-    finalDocs.unpersist()
+    val (distributed, _, wpRelease) = PhraseVocab.trainWordPiece(docs, 6)
+    wpRelease()
     val local = PhraseVocab.trainLocalWordPiece(docs.collect().toSeq.sortBy(_._1).map(_._2), 6)
     assert(distributed == local) // includes bit-exact score equality
     assert(distributed.nonEmpty)
@@ -129,10 +129,10 @@ class BpeSpec extends AnyFunSuite {
 
   test("train twice yields identical merges (determinism / resume analog)") {
     val docs = corpusDocs("/root/testdata/sf0.001")
-    val (m1, f1) = PhraseVocab.train(docs, 4)
-    f1.unpersist()
-    val (m2, f2) = PhraseVocab.train(docs, 4)
-    f2.unpersist()
+    val (m1, _, rel1) = PhraseVocab.train(docs, 4)
+    rel1()
+    val (m2, _, rel2) = PhraseVocab.train(docs, 4)
+    rel2()
     assert(m1 == m2)
   }
 }
