@@ -62,11 +62,21 @@ object FieldedIndex {
           "would silently keep the old tokenization — build into a fresh directory")
       return
     }
-    fields.foreach { f =>
-      val fieldPages = pages.select(
-        col("doc_id"), col("url"), col("warc_ts"),
-        col(f.textCol).as("text"), col("lang"))
-      IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+    // per-field sub-index builds are independent (separate dirs, each with
+    // its own staged commits) — overlap them (optimization guide §2.6) so
+    // one field's build tail back-fills the other's map tasks
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = fields.map { f =>
+        Future {
+          val fieldPages = pages.select(
+            col("doc_id"), col("url"), col("warc_ts"),
+            col(f.textCol).as("text"), col("lang"))
+          IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+        }
+      }
+      fs.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
     }
     Store.writeString(manifestPath(baseDir), json)
   }

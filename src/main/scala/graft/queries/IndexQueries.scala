@@ -37,8 +37,14 @@ object ShardedIndexCache {
       IndexCache.deleteRecursively(new java.io.File(base))
       val pages = Pages.withInjections(spark, sfDir)
       val mid = pages.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) / 2
-      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", IndexConfig())
+      // the two shard builds are independent (separate dirs) — overlap them
+      // (guide §2.6) so one build's stragglers back-fill the other's tasks
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lowF = Future(
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", IndexConfig()))
       IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", IndexConfig())
+      Await.result(lowF, scala.concurrent.duration.Duration.Inf)
       Seq(IndexReader.load(spark, s"$base/low"), IndexReader.load(spark, s"$base/high"))
     })
 }
@@ -1044,8 +1050,15 @@ object IndexQueries {
       val pages = Pages.withInjections(spark, sfDir)
       val mid = pages.agg(max(col("doc_id"))).head().getLong(0) / 2
       val cfg = graft.index.IndexConfig()
-      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", cfg)
-      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", cfg)
+      // independent half-builds overlapped (guide §2.6), then the merge
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val lowF = Future(
+          IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", cfg))
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", cfg)
+        Await.result(lowF, scala.concurrent.duration.Duration.Inf)
+      }
       IndexBuilder.merge(spark, s"$base/low", s"$base/high")
       graft.query.IndexReader.load(spark, s"$base/low").dictionary.toDF()
         .select(col("term"), col("df"), col("cf"))
@@ -1519,10 +1532,14 @@ object IndexQueries {
       }
       val byId = QuerySet.boosted.map(q => q.queryId ->
         ParsedQuery(q.queryId, q.terms.distinct.map(t => t -> q.boost(t)))).toMap
+      // BATCHED breakdown (Search.explainAll): 3 jobs for the whole fixture
+      // set instead of 3 per (query, doc) — rows identical to the solo
+      // explain's (SearchSpec asserts it)
+      val pairs = top1.toSeq.sortBy(_._1).map { case (qid, doc) => (byId(qid), doc) }
+      val explained = Search.explainAll(h, pairs)
       val rows = top1.toSeq.sortBy(_._1).flatMap { case (qid, doc) =>
-        Search.explain(h, byId(qid), doc).collect().map { r =>
-          (qid, doc, r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3),
-            r.getInt(5), r4(r.getDouble(4)), r4(r.getDouble(6)))
+        explained((qid, doc)).map { case (term, w, tf, df, idf, dl, impact) =>
+          (qid, doc, term, w, tf, df, dl, r4(idf), r4(impact))
         }
       }
       rows.toDF("query_id", "doc_id", "term", "weight", "tf", "df",

@@ -350,6 +350,67 @@ object Search {
     ranked.take(window)
   }
 
+  /** [[explain]] for a BATCH of (query, doc) pairs in THREE jobs total —
+    * one term-pruned dictionary lookup, one docstats point-lookup scan, one
+    * postings probe with an OR-of-bucket-ranges predicate — instead of
+    * three jobs PER pair. Rows per pair are identical to the solo
+    * [[explain]]'s (same resolution, same ascending-termId order, same
+    * doubles; SearchSpec asserts it). Returns (queryId, docId) → rows of
+    * (term, weight, tf, df, idf, doc_len, impact). */
+  def explainAll(index: IndexHandle, pairs: Seq[(ParsedQuery, Long)])
+      : Map[(Int, Long), Seq[(String, Double, Int, Long, Double, Int, Double)]] = {
+    import graft.query.{Bm25 => B}
+    val m = index.manifest
+    val bpb = m.bucketRange / m.blockSize
+    val dict = index.lookupTerms(pairs.flatMap(_._1.scoring.map(_._1)).distinct)
+    val resolvedByPair = pairs.map { case (q, d) =>
+      (q.queryId, d) -> q.scoring.map(_._1).flatMap(t => dict.get(t)).sortBy(_.termId)
+    }.toMap
+    val docIds = pairs.map(_._2).distinct
+    val docLens: Map[Long, Int] =
+      if (docIds.isEmpty || resolvedByPair.valuesIterator.forall(_.isEmpty)) Map.empty
+      else index.docstats // LIVE: tombstoned docs vanish
+        .filter(col("docId").isin(docIds.map(Long.box): _*))
+        .collect().map(s => s.docId -> s.docLen).toMap
+    val allIds = resolvedByPair.valuesIterator.flatten.map(_.termId).toSeq.distinct
+    val buckets = docIds.map(_ / m.bucketRange).distinct
+    val blocks =
+      if (allIds.isEmpty || docLens.isEmpty) Array.empty[graft.index.PostingBlock]
+      else index.postings
+        .filter(col("termId").isin(allIds.map(Int.box): _*) &&
+          buckets.map(b => col("blockId") >= b * bpb && col("blockId") < (b + 1) * bpb)
+            .reduce(_ || _))
+        .collect()
+    // per (termId, bucket): blocks sorted by firstDocId for the point probe
+    val byTermBucket = blocks.groupBy(b => (b.termId, b.blockId / bpb))
+      .map { case (k, bs) => k -> bs.sortBy(_.firstDocId) }
+    def tfOf(tid: Int, doc: Long): Option[Int] = {
+      val bs = byTermBucket.getOrElse((tid, doc / m.bucketRange), null)
+      if (bs == null) return None
+      bs.filter(_.firstDocId <= doc).flatMap { b =>
+        val dids = graft.codec.VByte.decodeDocIds(b.docIdGaps)
+        val ix = java.util.Arrays.binarySearch(dids, doc)
+        if (ix < 0) None else Some(graft.codec.VByte.decodeInts(b.tfs)(ix))
+      }.headOption
+    }
+    pairs.map { case (q, d) =>
+      val weights = q.scoring.toMap
+      val rows = docLens.get(d) match {
+        case None => Seq.empty[(String, Double, Int, Long, Double, Int, Double)]
+        case Some(dl) =>
+          resolvedByPair((q.queryId, d)).flatMap { e =>
+            tfOf(e.termId, d).map { tf =>
+              val w = weights(e.term)
+              val idf = B.idf(m.nDocs, e.df)
+              val impact = B.scoreWithIdf(w * idf, tf, dl, m.avgdl)
+              (e.term, w, tf, e.df, idf, dl, impact)
+            }
+          }
+      }
+      (q.queryId, d) -> rows
+    }.toMap
+  }
+
   /** EXPLAIN: the per-term score breakdown of one (query, doc) — the
     * Lucene `explain()` of this engine. One row per scoring term with a
     * posting in the doc: (term, weight, tf, df, idf, doc_len, impact),

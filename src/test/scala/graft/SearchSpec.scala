@@ -902,6 +902,26 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("explainAll: batched breakdown == per-pair Search.explain rows") {
+    // pairs spanning: boosted multi-term, single-term, an OOV-only query
+    // (zero rows), and a doc absent from a term's postings
+    val qs = Seq(
+      QueryParser.parse(1, "merge^2.0 join fast", analyzer),
+      QueryParser.parse(2, "spark", analyzer),
+      QueryParser.parse(3, "zzzoov", analyzer))
+    val someDocs = allDocs.toSeq.sorted.take(3)
+    val pairs = for (q <- qs; d <- someDocs) yield (q, d)
+    val batched = Search.explainAll(handle, pairs)
+    pairs.foreach { case (q, d) =>
+      val solo = Search.explain(handle, q, d).collect().toSeq.map { r =>
+        (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4), r.getInt(5), r.getDouble(6))
+      }
+      assert(batched((q.queryId, d)) == solo,
+        s"explain rows differ for q=${q.queryId} doc=$d")
+    }
+  }
+
   test("expandPrefixes: one batched scan == per-prefix expandPrefix") {
     val prefixes = Seq("s", "ba", "me", "zz", "c", "wind")
     val batched = handle.expandPrefixes(prefixes, Search.MaxExpansions)
