@@ -544,14 +544,24 @@ object IndexBuilder {
         col("docId"), col("tf"), col("docLen"), col("positions"))
       .as[BucketedPosting]
 
-    assembleBlocks(surviving, cfg)
-      .repartition(cfg.postingsBuckets, col("termId"))
-      .sortWithinPartitions(col("termId"), col("blockId"))
-      .write.mode("overwrite").parquet(s"$mergedDir/postings")
-    statsIn
-      .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
-      .sortWithinPartitions(col("docId"))
-      .write.mode("overwrite").parquet(s"$mergedDir/docstats")
+    // the postings rewrite (heavy: decode + salted exchange + encode) and
+    // the docstats rewrite (light) are independent writes into the merged
+    // segment — overlap them (optimization guide §2.6)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val statsF = Future {
+        statsIn
+          .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+          .sortWithinPartitions(col("docId"))
+          .write.mode("overwrite").parquet(s"$mergedDir/docstats")
+      }
+      assembleBlocks(surviving, cfg)
+        .repartition(cfg.postingsBuckets, col("termId"))
+        .sortWithinPartitions(col("termId"), col("blockId"))
+        .write.mode("overwrite").parquet(s"$mergedDir/postings")
+      Await.result(statsF, scala.concurrent.duration.Duration.Inf)
+    }
 
     // tombstones that survive outside the span (none on a full compaction)
     val remaining = if (old.tombVersion < 0) 0L else tombsOut.count()

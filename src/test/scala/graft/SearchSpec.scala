@@ -1205,6 +1205,38 @@ class SearchSpec extends AnyFunSuite {
     assert(wGot == Set(2 -> 900001L), s"null-hygiene: got $wGot")
   }
 
+  test("percolate query index: a 10k stored-query set matches identically") {
+    // the candidate index must change NOTHING about the match set: the
+    // fixture queries buried in 10,000 synthetic saved searches (whose
+    // scoring terms are disjoint from the corpus vocabulary, so they can
+    // never be candidates for any doc) yield exactly the fixture-only rows,
+    // and a real-vocabulary synthetic slice agrees with per-query runs
+    val docs = Pages.cleaned(Pages.withInjections(spark, sfDir))
+    val fixture = QuerySet.percolate.map { case (qid, s) =>
+      QueryParser.parse(qid, s, analyzer) }
+    val oov = (1000 until 11000).map(i =>
+      QueryParser.parse(i, s"zzq$i +zzr$i", analyzer))
+    val vocab = positions.keysIterator.map(_._2).toSet.toSeq.sorted
+    val rnd = new scala.util.Random(7)
+    val synth = (20000 until 20100).map { i =>
+      val ts = Seq.fill(2)(vocab(rnd.nextInt(vocab.size))).distinct
+      QueryParser.parse(i, ts.mkString(" "), analyzer)
+    }
+    val all = fixture ++ oov ++ synth
+    val got = Percolate.matches(docs, all, analyzer)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val fixtureOnly = Percolate.matches(docs, fixture, analyzer)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val synthOnly = synth.flatMap { q =>
+      Percolate.matches(docs, Seq(q), analyzer)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+    }.toSet
+    assert(got == fixtureOnly ++ synthOnly,
+      s"large-set percolation diverges: extra=${(got -- fixtureOnly -- synthOnly).take(5)}")
+    assert(!got.exists(p => p._1 >= 1000 && p._1 < 11000), "an OOV saved search matched")
+    assert(synthOnly.nonEmpty, "synthetic real-vocabulary slice must match something")
+  }
+
   test("sort-by-field: match set ordered by a doc value == ground truth") {
     import org.apache.spark.sql.functions.{col, lpad}
     // per-doc term counts from the spec's tokenizer ground truth
