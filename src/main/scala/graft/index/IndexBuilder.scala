@@ -258,19 +258,26 @@ object IndexBuilder {
     val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
     val nBuckets = math.max(1, oldDict.inputFiles.length)
     val perFile = math.max(1L, (old.vocabSize + nBuckets - 1) / nBuckets)
-    oldDict.join(termDeltas, Seq("termId"), "left_outer")
-      .select(col("termId"), col("term"),
-        (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
-        (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
-      .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
-      .sortWithinPartitions(col("termId"))
-      .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
+    // dictionary v(N+1) and tombstones v(N+1) are independent writes —
+    // overlap them (optimization guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dictF = Future {
+      oldDict.join(termDeltas, Seq("termId"), "left_outer")
+        .select(col("termId"), col("term"),
+          (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
+          (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
+        .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
+        .sortWithinPartitions(col("termId"))
+        .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
+    }
 
     // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
     oldTombs.toDF("docId").unionByName(fresh.select("docId"))
       .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
       .sortWithinPartitions(col("docId"))
       .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
+    Await.result(dictF, scala.concurrent.duration.Duration.Inf)
 
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "delete", nDel, System.currentTimeMillis(), "committed"))
@@ -1242,7 +1249,13 @@ object Lineage {
     }
   }
 
-  private def appendLine(indexDir: String, row: LineageRow): Unit = {
+  private val appendLock = new Object
+
+  private def appendLine(indexDir: String, row: LineageRow): Unit = appendLock.synchronized {
+    // synchronized: build/compaction stages may commit their lineage rows
+    // from concurrent driver threads (the §2.6 overlapped writes); each
+    // line is a single O_APPEND write, the lock keeps the torn-tail check
+    // race-free within one JVM
     val p = logPath(indexDir)
     // a crash mid-append can leave a torn, newline-less tail; writing the
     // next record straight after it would merge two lines and lose BOTH —
