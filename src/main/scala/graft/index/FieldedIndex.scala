@@ -68,15 +68,21 @@ object FieldedIndex {
     locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fs = fields.map { f =>
-        Future {
-          val fieldPages = pages.select(
-            col("doc_id"), col("url"), col("warc_ts"),
-            col(f.textCol).as("text"), col("lang"))
-          IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+      // every field's build scans the SAME upstream pages relation (often a
+      // derived tokenize/split map) — persist it once across the field loop
+      // instead of recomputing it per sub-index
+      val shared = pages.persist()
+      try {
+        val fs = fields.map { f =>
+          Future {
+            val fieldPages = shared.select(
+              col("doc_id"), col("url"), col("warc_ts"),
+              col(f.textCol).as("text"), col("lang"))
+            IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+          }
         }
-      }
-      fs.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+        fs.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+      } finally { shared.unpersist(); () }
     }
     Store.writeString(manifestPath(baseDir), json)
   }

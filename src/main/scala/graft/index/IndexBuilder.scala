@@ -934,9 +934,13 @@ object IndexBuilder {
     // same directory
     val seg = Segment(old.maxDocId + 1, maxNew + 1, 0)
     val sdir = segmentDir(indexDir, seg)
-    stats.repartition(ecfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
-      .sortWithinPartitions(col("docId"))
-      .write.mode("overwrite").parquet(s"$sdir/docstats")
+    // the delta segment's docstats write is independent of the whole
+    // dictionary/postings chain — overlap it (§2.6)
+    val docstatsF = Future {
+      stats.repartition(ecfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
+        .sortWithinPartitions(col("docId"))
+        .write.mode("overwrite").parquet(s"$sdir/docstats")
+    }
 
     // dictionary v(N+1) from v(N): update df/cf of existing terms, append
     // NEW terms after vocabSize. The delta's term statistics are bounded by
@@ -983,10 +987,15 @@ object IndexBuilder {
     // deterministic contiguous termId groups (known vocab span) — avoids
     // repartitionByRange's sampling re-executing the input
     val perFile = math.max(1L, (vocabSize + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
-    updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
-      .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
-      .sortWithinPartitions(col("termId"))
-      .write.mode("overwrite").parquet(newDictDir)
+    // the v(N+1) dictionary write and the delta postings write are also
+    // independent — the posting build's broadcast map is driver-derived
+    // below, not read back from the written dictionary — overlap them too
+    val dictF = Future {
+      updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
+        .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
+        .sortWithinPartitions(col("termId"))
+        .write.mode("overwrite").parquet(newDictDir)
+    }
 
     // postings: the delta segment's blocks under the UPDATED dictionary.
     // Broadcast map = matched old entries (delta-updated) + fresh entries —
@@ -1004,6 +1013,8 @@ object IndexBuilder {
       .repartition(ecfg.postingsBuckets, col("termId"))
       .sortWithinPartitions(col("termId"), col("blockId"))
       .write.mode("overwrite").parquet(s"$sdir/postings")
+    Await.result(dictF, scala.concurrent.duration.Duration.Inf)
+    Await.result(docstatsF, scala.concurrent.duration.Duration.Inf)
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
 

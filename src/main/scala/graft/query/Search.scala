@@ -119,6 +119,22 @@ object Search {
     pageCompiled(index, compile(index, queries00, synonyms), k, after,
       metrics, collapse)
 
+  /** Run one independent WAND pass per element of `groups` CONCURRENTLY
+    * (optimization guide §2.6): filter-signature groups are disjoint query
+    * sets over the same index, so their passes share no state and one
+    * pass's straggler tail back-fills the others' tasks. Driver threads
+    * only — each pass still issues its own jobs. */
+  private def inParallel[G, R](groups: Iterator[G])(run: G => Map[Int, R]): Map[Int, R] = {
+    val gs = groups.toSeq
+    if (gs.lengthCompare(1) <= 0) gs.headOption.fold(Map.empty[Int, R])(run)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = gs.map(g => Future(run(g)))
+      fs.flatMap(f => Await.result(f, scala.concurrent.duration.Duration.Inf)).toMap
+    }
+  }
+
   /** [[page]] over an already-compiled batch — lets [[run]] pay the
     * wildcard/fuzzy expansion jobs ONCE per request across its two
     * passes. */
@@ -126,12 +142,12 @@ object Search {
       k: Int, after: Map[Int, (Double, Long)],
       metrics: Option[Wand.WandMetrics] = None,
       collapse: Option[Column] = None): Map[Int, Array[(Double, Long)]] =
-    grouped(queries).flatMap { case (docFilter, group, cons) =>
+    inParallel(grouped(queries)) { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k,
         metrics, boundKey = None, docFilter = docFilter, constraints = cons,
         pageAfter = after.filter { case (qid, _) => group.exists(_.queryId == qid) },
         collapse = collapse)
-    }.toMap
+    }
 
   /** Shared batch compile: synonym rewrite first (a pure rewrite — it
     * neither consults the dictionary nor expands wildcard/fuzzy
@@ -196,12 +212,12 @@ object Search {
 
   private def countCompiled(index: IndexHandle,
       queries: Seq[ParsedQuery]): Map[Int, Long] =
-    grouped(queries).flatMap { case (docFilter, group, cons) =>
+    inParallel(grouped(queries)) { case (docFilter, group, cons) =>
       Wand.runFields(Seq(index -> 1.0), group.map(_.toQuerySpec), k = 1,
         metrics = None, boundKey = None, docFilter = docFilter,
         constraints = cons, countOnly = true)
         .map { case (qid, arr) => qid -> arr.headOption.map(_._2).getOrElse(0L) }
-    }.toMap
+    }
 
   /** EXACT FACET COUNTS over each query's match set — the SERP facet
     * panel: per facet value (any Column over the docstats row, like
@@ -220,10 +236,10 @@ object Search {
   def facets(index: IndexHandle, queries00: Seq[ParsedQuery], facetKey: Column,
       topN: Int, synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] = {
     val queries = compile(index, queries00, synonyms)
-    grouped(queries).flatMap { case (docFilter, group, cons) =>
+    inParallel(grouped(queries)) { case (docFilter, group, cons) =>
       Wand.facetCounts(index, group.map(_.toQuerySpec), facetKey, topN,
         docFilter = docFilter, constraints = cons)
-    }.toMap
+    }
   }
 
   /** SORT-BY-FIELD over the full DSL surface: each query's match set
@@ -240,10 +256,10 @@ object Search {
   def sortBy(index: IndexHandle, queries00: Seq[ParsedQuery], sortKey: Column,
       k: Int, synonyms: Option[Synonyms] = None): Map[Int, Seq[(String, Long)]] = {
     val queries = compile(index, queries00, synonyms)
-    grouped(queries).flatMap { case (docFilter, group, cons) =>
+    inParallel(grouped(queries)) { case (docFilter, group, cons) =>
       Wand.topKByKey(index, group.map(_.toQuerySpec), sortKey, k,
         docFilter = docFilter, constraints = cons)
-    }.toMap
+    }
   }
 
   /** One SERP request: the query string plus every knob of the surface. */
@@ -315,10 +331,10 @@ object Search {
     val hits = pageCompiled(index, compiled, k, after = Map.empty)
     val totFacets: Map[Int, (Long, Seq[(String, Long)])] = facetKey match {
       case Some(fk) =>
-        grouped(compiled).flatMap { case (docFilter, group, cons) =>
+        inParallel(grouped(compiled)) { case (docFilter, group, cons) =>
           Wand.facetCountsWithTotal(index, group.map(_.toQuerySpec), fk,
             facetTopN, docFilter = docFilter, constraints = cons)
-        }.toMap
+        }
       case None =>
         countCompiled(index, compiled).map { case (qid, n) =>
           qid -> (n, Seq.empty[(String, Long)])
