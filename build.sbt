@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Heap default sized to the 32-way local master (guide §5: memory per
+  // CONCURRENT task, 32 tasks share this one JVM): measured r6, an 8g heap
+  // GC-throttles 32-core builds ~2x beyond ~1M docs (factor 200:
+  // 39k -> 82k docs/s just by raising the heap) while 8-core runs fit
+  // comfortably — the classic undersized-executor signature. 16g default
+  // (1/8 of the sandbox's RAM); scaling evidence runs pass
+  // SPARK_DRIVER_MEM=24g explicitly, recorded in BENCH.md.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
