@@ -26,6 +26,10 @@ object BenchExtra {
       jobs.find(_.id == je.jobId).foreach(_.end = System.nanoTime())
     }
     def reset(): Unit = synchronized { jobs.clear() }
+    /** Consistent copy — the listener bus may still be appending. */
+    def snapshot(): Seq[(Int, String, Long, Long)] = synchronized {
+      jobs.toSeq.map(j => (j.id, j.desc, j.start, j.end))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -47,11 +51,11 @@ object BenchExtra {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.setJobDescription(null)
       Thread.sleep(200) // let listener events drain
-      val js = log.jobs.toSeq
+      val js = log.snapshot()
       println(f"== $name: $sec%.2f s, rows=$n, jobs=${js.size}")
-      js.foreach { j =>
-        val d = if (j.end > 0) (j.end - j.start) / 1e9 else -1.0
-        println(f"   job ${j.id}%4d ${d}%7.3f s  ${j.desc.take(100)}")
+      js.foreach { case (id, desc, start, end) =>
+        val d = if (end > 0) (end - start) / 1e9 else -1.0
+        println(f"   job $id%4d ${d}%7.3f s  ${desc.take(100)}")
       }
     }
     spark.stop()

@@ -66,22 +66,20 @@ object FieldedIndex {
     // its own staged commits) — overlap them (optimization guide §2.6) so
     // one field's build tail back-fills the other's map tasks
     locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
       // every field's build scans the SAME upstream pages relation (often a
       // derived tokenize/split map) — persist it once across the field loop
-      // instead of recomputing it per sub-index
+      // instead of recomputing it per sub-index; Overlap.all waits for
+      // EVERY build before surfacing a failure (no orphaned build racing a
+      // caller's retry)
       val shared = pages.persist()
       try {
-        val fs = fields.map { f =>
-          Future {
-            val fieldPages = shared.select(
-              col("doc_id"), col("url"), col("warc_ts"),
-              col(f.textCol).as("text"), col("lang"))
-            IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
-          }
-        }
-        fs.foreach(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+        Overlap.all(fields.map { f => () =>
+          val fieldPages = shared.select(
+            col("doc_id"), col("url"), col("warc_ts"),
+            col(f.textCol).as("text"), col("lang"))
+          IndexBuilder.buildFrom(spark, fieldPages, fieldDir(baseDir, f.name), f.cfg)
+        })
+        ()
       } finally { shared.unpersist(); () }
     }
     Store.writeString(manifestPath(baseDir), json)

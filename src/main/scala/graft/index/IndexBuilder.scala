@@ -259,10 +259,8 @@ object IndexBuilder {
     val nBuckets = math.max(1, oldDict.inputFiles.length)
     val perFile = math.max(1L, (old.vocabSize + nBuckets - 1) / nBuckets)
     // dictionary v(N+1) and tombstones v(N+1) are independent writes —
-    // overlap them (optimization guide §2.6)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val dictF = Future {
+    // overlap them (optimization guide §2.6; Overlap quiesces on failure)
+    Overlap.overlap {
       oldDict.join(termDeltas, Seq("termId"), "left_outer")
         .select(col("termId"), col("term"),
           (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
@@ -270,14 +268,13 @@ object IndexBuilder {
         .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
         .sortWithinPartitions(col("termId"))
         .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
+    } {
+      // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
+      oldTombs.toDF("docId").unionByName(fresh.select("docId"))
+        .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+        .sortWithinPartitions(col("docId"))
+        .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
     }
-
-    // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
-    oldTombs.toDF("docId").unionByName(fresh.select("docId"))
-      .repartition(old.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
-      .sortWithinPartitions(col("docId"))
-      .write.mode("overwrite").parquet(tombDirFor(indexDir, old.tombVersion + 1))
-    Await.result(dictF, scala.concurrent.duration.Duration.Inf)
 
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "delete", nDel, System.currentTimeMillis(), "committed"))
@@ -553,21 +550,18 @@ object IndexBuilder {
 
     // the postings rewrite (heavy: decode + salted exchange + encode) and
     // the docstats rewrite (light) are independent writes into the merged
-    // segment — overlap them (optimization guide §2.6)
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val statsF = Future {
-        statsIn
-          .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
-          .sortWithinPartitions(col("docId"))
-          .write.mode("overwrite").parquet(s"$mergedDir/docstats")
-      }
+    // segment — overlap them (optimization guide §2.6; Overlap quiesces
+    // the background write if the foreground fails)
+    Overlap.overlap {
+      statsIn
+        .repartition(cfg.postingsBuckets, (col("docId") / lit(old.bucketRange)).cast("long"))
+        .sortWithinPartitions(col("docId"))
+        .write.mode("overwrite").parquet(s"$mergedDir/docstats")
+    } {
       assembleBlocks(surviving, cfg)
         .repartition(cfg.postingsBuckets, col("termId"))
         .sortWithinPartitions(col("termId"), col("blockId"))
         .write.mode("overwrite").parquet(s"$mergedDir/postings")
-      Await.result(statsF, scala.concurrent.duration.Duration.Inf)
     }
 
     // tombstones that survive outside the span (none on a full compaction)
@@ -714,15 +708,13 @@ object IndexBuilder {
 
     // cheap column aggregates (no tokenize): the docId span that defines the
     // segment ranges, and the corrupt-row count — independent jobs, run
-    // CONCURRENTLY (§2.6: overlap independent jobs; the corrupt count scans
-    // raw pages, the doc span materializes the cleaned cache)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val corruptF = Future(pages.filter(col("text").isNull).count())
-    val maxDocId = timed("doc-span")(cleaned
-      .agg(coalesce(max(col("doc_id").cast("long")), lit(0L))).head().getLong(0))
-    val skippedCorrupt = timed("corrupt-count")(
-      Await.result(corruptF, scala.concurrent.duration.Duration.Inf))
+    // CONCURRENTLY (§2.6 via Overlap: the corrupt count scans raw pages,
+    // the doc span materializes the cleaned cache; a doc-span failure
+    // quiesces the count before propagating)
+    val (skippedCorrupt, maxDocId) = Overlap.overlap(
+      timed("corrupt-count")(pages.filter(col("text").isNull).count()))(
+      timed("doc-span")(cleaned
+        .agg(coalesce(max(col("doc_id").cast("long")), lit(0L))).head().getLong(0)))
 
     // -- stage: dictionary ----------------------------------------------
     val td = termDocs(cleaned, tok)
@@ -787,9 +779,8 @@ object IndexBuilder {
       // the cleaned cache, each commits its own _SUCCESS + lineage row) —
       // overlap them (§2.6) so the postings stage's map tasks back-fill the
       // docstats write's tail instead of waiting behind it
-      val docstatsF =
-        if (success(s"$sdir/docstats")) Future.unit
-        else Future(timed(s"docstats-$chunk") {
+      Overlap.overlap {
+        if (!success(s"$sdir/docstats")) timed(s"docstats-$chunk") {
           // termCount == terms().length (spec-pinned) without materializing a
           // single token string; deterministic bucket clustering (hash on
           // docId/bucketRange + local sort) keeps row-group docId min/max
@@ -803,20 +794,21 @@ object IndexBuilder {
             .sortWithinPartitions(col("docId"))
             .write.mode("overwrite").parquet(s"$sdir/docstats")
           Lineage.append(spark, indexDir, LineageRow(chunk, "docstats", -1L, System.currentTimeMillis(), "committed"))
-        })
-      if (!success(s"$sdir/postings")) timed(s"postings-$chunk") {
-        val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
-        val blocks =
-          if (useBroadcastDict) postingBlocks(part, dict, cfg)
-          else postingBlocksJoinDict(part, headDict, cfg)
-        blocks
-          .repartition(cfg.postingsBuckets, col("termId"))
-          .sortWithinPartitions(col("termId"), col("blockId"))
-          .write.mode("overwrite").parquet(s"$sdir/postings")
-        val nBlocks = spark.read.parquet(s"$sdir/postings").count()
-        Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
+        }
+      } {
+        if (!success(s"$sdir/postings")) timed(s"postings-$chunk") {
+          val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
+          val blocks =
+            if (useBroadcastDict) postingBlocks(part, dict, cfg)
+            else postingBlocksJoinDict(part, headDict, cfg)
+          blocks
+            .repartition(cfg.postingsBuckets, col("termId"))
+            .sortWithinPartitions(col("termId"), col("blockId"))
+            .write.mode("overwrite").parquet(s"$sdir/postings")
+          val nBlocks = spark.read.parquet(s"$sdir/postings").count()
+          Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
+        }
       }
-      Await.result(docstatsF, scala.concurrent.duration.Duration.Inf)
       segs += seg
       chunk += 1
     }
@@ -896,7 +888,10 @@ object IndexBuilder {
       .select(col("doc_id"), col("url"), col("text")).persist()
 
     // corrupt-row count over the raw delta, overlapped with the append's
-    // own jobs (§2.6) — it is consumed only at the manifest commit
+    // own jobs (§2.6) — it is consumed only at the manifest commit. This
+    // future is READ-ONLY (no writes), so unlike the write overlaps below
+    // it needs no failure-path quiesce: an abandoned count job races
+    // nothing.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val skippedF = Future(deltaPages.filter(col("text").isNull).count())
@@ -934,13 +929,15 @@ object IndexBuilder {
     // same directory
     val seg = Segment(old.maxDocId + 1, maxNew + 1, 0)
     val sdir = segmentDir(indexDir, seg)
+    val td = termDocs(cleaned, tok).persist()
     // the delta segment's docstats write is independent of the whole
-    // dictionary/postings chain — overlap it (§2.6)
-    val docstatsF = Future {
+    // dictionary/postings chain — overlap it (§2.6; quiesced on failure
+    // by Overlap so a retry never races an orphaned write)
+    val (_, vocabSize) = Overlap.overlap {
       stats.repartition(ecfg.postingsBuckets, (col("docId") / lit(cfg.bucketRange)).cast("long"))
         .sortWithinPartitions(col("docId"))
         .write.mode("overwrite").parquet(s"$sdir/docstats")
-    }
+    } {
 
     // dictionary v(N+1) from v(N): update df/cf of existing terms, append
     // NEW terms after vocabSize. The delta's term statistics are bounded by
@@ -954,7 +951,6 @@ object IndexBuilder {
     // the delta deltas (no full-outer shuffle join, no range-sampling pass)
     // into the v(N+1) write. Net: 3 fewer Spark jobs and 2 fewer exchanges
     // per append, same bytes on disk.
-    val td = termDocs(cleaned, tok).persist()
     val deltaStats = td.groupBy("term")
       .agg(count(lit(1)).as("d_df"), sum(col("tf")).as("d_cf"))
       .as[(String, Long, Long)].collect()
@@ -966,9 +962,15 @@ object IndexBuilder {
       .join(deltaStats.map(_._1).toSeq.toDF("term"), Seq("term"), "left_semi")
       .select("termId", "term", "df", "cf").as[TermEntry].collect()
     val matchedTerms = matchedOld.iterator.map(_.term).toSet
+    // (df desc, term asc in UTF-8 BINARY order): the exact unique total
+    // order the GlobalRank orderBy produced (Spark UTF8String collation ==
+    // DuckDB binary == code-point order; Java compareTo would diverge for
+    // supplementary-plane terms), so assigned termIds are identical
     val freshDriver: Array[(String, Long, Long)] = deltaStats
       .filter { case (t, _, _) => !matchedTerms.contains(t) }
-      .sortBy { case (t, ddf, _) => (-ddf, t) } // (df desc, term asc): ids deterministic
+      .sortWith { case ((ta, dfa, _), (tb, dfb, _)) =>
+        if (dfa != dfb) dfa > dfb else Overlap.utf8Compare(ta, tb) < 0
+      }
     val freshDict = freshDriver.zipWithIndex.map { case ((t, ddf, dcf), i) =>
       TermEntry((old.vocabSize + i).toInt, t, ddf, dcf)
     }
@@ -983,38 +985,38 @@ object IndexBuilder {
       }
     }
     val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
-    val vocabSize = old.vocabSize + freshDict.length
+    val vocabSize0 = old.vocabSize + freshDict.length
     // deterministic contiguous termId groups (known vocab span) — avoids
     // repartitionByRange's sampling re-executing the input
-    val perFile = math.max(1L, (vocabSize + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
+    val perFile = math.max(1L, (vocabSize0 + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
     // the v(N+1) dictionary write and the delta postings write are also
     // independent — the posting build's broadcast map is driver-derived
     // below, not read back from the written dictionary — overlap them too
-    val dictF = Future {
+    Overlap.overlap {
       updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
         .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
         .sortWithinPartitions(col("termId"))
         .write.mode("overwrite").parquet(newDictDir)
+    } {
+      // postings: the delta segment's blocks under the UPDATED dictionary.
+      // Broadcast map = matched old entries (delta-updated) + fresh entries —
+      // fully driver-derived (batch-bounded, no extra job), head-filtered
+      // under a vocabulary cap exactly like the base build.
+      val deltaDictAll: Iterator[TermEntry] =
+        matchedOld.iterator.map { e =>
+          val (ddf, dcf) = deltaMap(e.term)
+          e.copy(df = e.df + ddf, cf = e.cf + dcf)
+        } ++ freshDict.iterator
+      val dict: Map[String, TermEntry] = cfg.vocabCap
+        .fold(deltaDictAll)(cap => deltaDictAll.filter(_.termId < cap))
+        .map(e => e.term -> e).toMap
+      postingBlocks(td, dict, ecfg)
+        .repartition(ecfg.postingsBuckets, col("termId"))
+        .sortWithinPartitions(col("termId"), col("blockId"))
+        .write.mode("overwrite").parquet(s"$sdir/postings")
     }
-
-    // postings: the delta segment's blocks under the UPDATED dictionary.
-    // Broadcast map = matched old entries (delta-updated) + fresh entries —
-    // fully driver-derived (batch-bounded, no extra job), head-filtered
-    // under a vocabulary cap exactly like the base build.
-    val deltaDictAll: Iterator[TermEntry] =
-      matchedOld.iterator.map { e =>
-        val (ddf, dcf) = deltaMap(e.term)
-        e.copy(df = e.df + ddf, cf = e.cf + dcf)
-      } ++ freshDict.iterator
-    val dict: Map[String, TermEntry] = cfg.vocabCap
-      .fold(deltaDictAll)(cap => deltaDictAll.filter(_.termId < cap))
-      .map(e => e.term -> e).toMap
-    postingBlocks(td, dict, ecfg)
-      .repartition(ecfg.postingsBuckets, col("termId"))
-      .sortWithinPartitions(col("termId"), col("blockId"))
-      .write.mode("overwrite").parquet(s"$sdir/postings")
-    Await.result(dictF, scala.concurrent.duration.Duration.Inf)
-    Await.result(docstatsF, scala.concurrent.duration.Duration.Inf)
+    vocabSize0
+    } // end docstats overlap — all three writes complete (or quiesced)
     Lineage.append(spark, indexDir,
       LineageRow(old.nChunks, "append", nNew, System.currentTimeMillis(), "committed"))
 

@@ -24,6 +24,40 @@ final case class WpMergeStep(step: Int, left: String, right: String, count: Long
   * Unigram path, midi_tokenizer.py:2723-2727, which we avoid). */
 object PhraseVocab {
 
+  /** Argmax/candidate orderings tie-break term strings in UTF-8 BINARY
+    * (code-point) order — the collation of the DataFrame `orderBy` these
+    * RDD loops replaced AND of the DuckDB replay oracles; Java
+    * `String.compareTo` (UTF-16 units) would diverge on
+    * supplementary-plane terms. */
+  private def cmp2(a: (String, String), b: (String, String)): Int = {
+    val c = Overlap.utf8Compare(a._1, b._1)
+    if (c != 0) c else Overlap.utf8Compare(a._2, b._2)
+  }
+
+  private val PairCountDescOrd: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(b._2, a._2) // count desc
+        if (c != 0) c else cmp2(a._1, b._1)
+      }
+    }
+
+  private val ScoreDescOrd: Ordering[(String, String, Long, Double)] =
+    new Ordering[(String, String, Long, Double)] {
+      def compare(a: (String, String, Long, Double), b: (String, String, Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._4, a._4) // score desc
+        if (c != 0) c else cmp2((a._1, a._2), (b._1, b._2))
+      }
+    }
+
+  private val CountDescOrd: Ordering[(String, String, Long)] =
+    new Ordering[(String, String, Long)] {
+      def compare(a: (String, String, Long), b: (String, String, Long)): Int = {
+        val c = java.lang.Long.compare(b._3, a._3) // count desc
+        if (c != 0) c else cmp2((a._1, a._2), (b._1, b._2))
+      }
+    }
+
   /** Apply one merge to a token sequence: leftmost non-overlapping. */
   def applyMerge(tokens: Array[String], left: String, right: String, merged: String): Array[String] = {
     if (tokens.length < 2) return tokens
@@ -86,7 +120,7 @@ object PhraseVocab {
     while (step < numMerges && !done) {
       val top = docs.flatMap { case (_, ts) => adjacentPairs(ts) }
         .map((_, 1L)).reduceByKey(_ + _)
-        .takeOrdered(1)(Ordering.by { case ((l, r), c) => (-c, l, r) })
+        .takeOrdered(1)(PairCountDescOrd)
       if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty || top(0)._2 < 2) done = true
       else {
@@ -143,7 +177,7 @@ object PhraseVocab {
         .map { case (r, ((l, c, cl), cr)) =>
           (l, r, c, c.toDouble / (cl.toDouble * cr.toDouble))
         }
-        .takeOrdered(1)(Ordering.by { case (l, r, _, s) => (-s, l, r) })
+        .takeOrdered(1)(ScoreDescOrd)
       if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty) done = true
       else {
@@ -216,7 +250,7 @@ object PhraseVocab {
         .map { case ((l, r), c) => (l, (r, c)) }.join(uni)
         .map { case (l, ((r, c), cl)) => (r, (l, c, cl)) }.join(uni)
         .collect { case (r, ((l, c, cl), cr)) if c * total > cl * cr => (l, r, c) }
-        .takeOrdered(cap)(Ordering.by { case (l, r, c) => (-c, l, r) })
+        .takeOrdered(cap)(CountDescOrd)
       uni.unpersist()
       if (parent != null) { parent.unpersist(); parent = null }
       if (q.isEmpty) done = true

@@ -38,13 +38,10 @@ object ShardedIndexCache {
       val pages = Pages.withInjections(spark, sfDir)
       val mid = pages.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) / 2
       // the two shard builds are independent (separate dirs) — overlap them
-      // (guide §2.6) so one build's stragglers back-fill the other's tasks
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val lowF = Future(
-        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", IndexConfig()))
-      IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", IndexConfig())
-      Await.result(lowF, scala.concurrent.duration.Duration.Inf)
+      // (guide §2.6; Overlap quiesces the background build on failure)
+      graft.index.Overlap.overlap(
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", IndexConfig()))(
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", IndexConfig()))
       Seq(IndexReader.load(spark, s"$base/low"), IndexReader.load(spark, s"$base/high"))
     })
 }
@@ -1051,14 +1048,9 @@ object IndexQueries {
       val mid = pages.agg(max(col("doc_id"))).head().getLong(0) / 2
       val cfg = graft.index.IndexConfig()
       // independent half-builds overlapped (guide §2.6), then the merge
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val lowF = Future(
-          IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", cfg))
-        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", cfg)
-        Await.result(lowF, scala.concurrent.duration.Duration.Inf)
-      }
+      graft.index.Overlap.overlap(
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") <= mid), s"$base/low", cfg))(
+        IndexBuilder.buildFrom(spark, pages.filter(col("doc_id") > mid), s"$base/high", cfg))
       IndexBuilder.merge(spark, s"$base/low", s"$base/high")
       graft.query.IndexReader.load(spark, s"$base/low").dictionary.toDF()
         .select(col("term"), col("df"), col("cf"))

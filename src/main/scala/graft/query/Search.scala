@@ -72,7 +72,12 @@ object Search {
           exp.foreach(t => if (!scoring.contains(t)) scoring(t) = weight)
           if (op2 == '+') requiredAny += exp
       }
-      q.wildcards.foreach(w => fold(pm(w.prefix), w.weight, w.op))
+      // self-healing on a caller-supplied map missing a prefix (the batch
+      // compile always passes complete maps; a partial one falls back to
+      // the per-prefix job rather than an opaque NoSuchElementException)
+      q.wildcards.foreach(w => fold(
+        pm.getOrElse(w.prefix, index.expandPrefix(w.prefix, maxExpansions)),
+        w.weight, w.op))
       q.fuzzies.foreach(f => fold(fm.getOrElse(f.term, Seq.empty), f.weight, f.op))
       q.copy(scoring = scoring.toSeq, excluded = excluded.distinct.toSeq,
         requiredAny = requiredAny.toSeq, wildcards = Seq.empty, fuzzies = Seq.empty)
@@ -127,12 +132,7 @@ object Search {
   private def inParallel[G, R](groups: Iterator[G])(run: G => Map[Int, R]): Map[Int, R] = {
     val gs = groups.toSeq
     if (gs.lengthCompare(1) <= 0) gs.headOption.fold(Map.empty[Int, R])(run)
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fs = gs.map(g => Future(run(g)))
-      fs.flatMap(f => Await.result(f, scala.concurrent.duration.Duration.Inf)).toMap
-    }
+    else graft.index.Overlap.all(gs.map(g => () => run(g))).flatten.toMap
   }
 
   /** [[page]] over an already-compiled batch — lets [[run]] pay the
