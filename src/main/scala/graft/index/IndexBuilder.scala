@@ -721,14 +721,54 @@ object IndexBuilder {
     val tdCached = if (cfg.cacheTermDocs) td.persist() else td
     val dictDir = dictDirFor(indexDir, 0)
     var vocabSize = -1L
+    // entries ranked on the driver when the vocabulary proved driver-bounded
+    // in THIS build — reused below as the posting-build broadcast map, so the
+    // committed dictionary is never re-read (no headDict collect job)
+    var driverEntries: Array[TermEntry] = null
     if (!success(dictDir)) timed("dictionary") {
-      // the ranked output is already range-clustered by termId — a direct
-      // multi-file write, no repartition(1) single-task bottleneck
-      val (entries, total, release) =
-        dictionaryRanked(tdCached, spark.sessionState.conf.numShufflePartitions)
-      entries.write.mode("overwrite").parquet(dictDir)
-      release()
-      vocabSize = total
+      // vocab-sized stats persisted ONCE, shared by both ranking paths (the
+      // count materializes the cache; everything later reads it — one full
+      // tokenize+aggregate pass total, guide §1.2 step 1)
+      val stats = tdCached.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")).persist()
+      vocabSize = stats.count()
+      if (vocabSize <= cfg.broadcastVocabMax) {
+        // SMALL-VOCAB FAST PATH: the build collects the dictionary to the
+        // driver ANYWAY under this bound (the posting-build broadcast map),
+        // so rank HERE — same (df desc, term asc UTF-8-binary) unique total
+        // order as GlobalRank (collation == Spark UTF8String == DuckDB, the
+        // append path's proven discipline), identical termIds — and skip the
+        // range-sampling exchange + window + dictionary re-read entirely.
+        val collected = stats.as[(String, Long, Long)].collect()
+        stats.unpersist()
+        val ranked = collected.sortWith { case ((ta, dfa, _), (tb, dfb, _)) =>
+          if (dfa != dfb) dfa > dfb else Overlap.utf8Compare(ta, tb) < 0
+        }
+        driverEntries = ranked.zipWithIndex.map { case ((t, df, cf), i) =>
+          TermEntry(i, t, df, cf)
+        }
+        // deterministic contiguous termId groups (append's write idiom) —
+        // termId-range clustering without an extra exchange or sampling pass
+        val nBuckets = cfg.postingsBuckets
+        val perFile = math.max(1L, (vocabSize + nBuckets - 1) / nBuckets)
+        driverEntries.toSeq.toDF("termId", "term", "df", "cf")
+          .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
+          .sortWithinPartitions(col("termId"))
+          .write.mode("overwrite").parquet(dictDir)
+      } else {
+        // web-scale vocabulary: distributed GlobalRank ranking as before —
+        // the range sampling + counting passes now read the stats CACHE
+        // (vocab-sized), never re-tokenizing the corpus
+        val ranked = graft.plans.GlobalRank.withRowNumber(
+          stats, Seq(col("df").desc, col("term").asc), "rn",
+          spark.sessionState.conf.numShufflePartitions)
+        ranked.df
+          .select((col("rn") - 1).cast("int").as("termId"),
+            col("term"), col("df").cast("long"), col("cf").cast("long"))
+          .write.mode("overwrite").parquet(dictDir)
+        ranked.release()
+        stats.unpersist()
+      }
       Lineage.append(spark, indexDir, LineageRow(-1, "dictionary", -1L, System.currentTimeMillis(), "committed"))
     }
     if (vocabSize < 0) vocabSize = spark.read.parquet(dictDir).count()
@@ -736,8 +776,10 @@ object IndexBuilder {
     // dense df-ordered termIds make the head exactly termId < cap, and the
     // predicate is pushed BELOW the collect into the termId-clustered scan
     // (a capped build never materializes the tail on the driver)
-    val dictSource = spark.read.parquet(dictDir)
-    val headDict = cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
+    def headDict: org.apache.spark.sql.DataFrame = {
+      val dictSource = spark.read.parquet(dictDir)
+      cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
+    }
     // J3 two-flavor dispatch: the broadcast Map is collected ONLY when the
     // (capped) head is driver-sized; an uncapped vocabulary beyond
     // broadcastVocabMax uses the distributed term join instead — no driver
@@ -745,7 +787,11 @@ object IndexBuilder {
     val useBroadcastDict =
       cfg.vocabCap.exists(_ <= cfg.broadcastVocabMax) || vocabSize <= cfg.broadcastVocabMax
     val dict: Map[String, TermEntry] =
-      if (useBroadcastDict) headDict.as[TermEntry].collect().map(e => e.term -> e).toMap
+      if (driverEntries != null) {
+        // ranked this build: the head IS driver-resident already
+        val head = cfg.vocabCap.fold(driverEntries)(cap => driverEntries.filter(_.termId < cap))
+        head.iterator.map(e => e.term -> e).toMap
+      } else if (useBroadcastDict) headDict.as[TermEntry].collect().map(e => e.term -> e).toMap
       else Map.empty
 
     // -- stage: segments (docstats + postings per docId range) -----------
@@ -805,8 +851,11 @@ object IndexBuilder {
             .repartition(cfg.postingsBuckets, col("termId"))
             .sortWithinPartitions(col("termId"), col("blockId"))
             .write.mode("overwrite").parquet(s"$sdir/postings")
-          val nBlocks = spark.read.parquet(s"$sdir/postings").count()
-          Lineage.append(spark, indexDir, LineageRow(chunk, "postings", nBlocks, System.currentTimeMillis(), "committed"))
+          // no read-back count: the block total was only ever an informational
+          // lineage field (no consumer reads it — ResumeSpec checks stage
+          // names), and the count was one whole Spark job per chunk (§1.2
+          // step 1: don't compute things you throw away)
+          Lineage.append(spark, indexDir, LineageRow(chunk, "postings", -1L, System.currentTimeMillis(), "committed"))
         }
       }
       segs += seg
