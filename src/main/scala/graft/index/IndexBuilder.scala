@@ -1187,45 +1187,106 @@ object IndexBuilder {
     // dictionary v(N+1): df/cf summed from the two LIVE dictionaries,
     // source-only terms appended after vocabSize — the append discipline
     // with the delta stats read from the source dictionary instead of
-    // re-tokenized
+    // re-tokenized. Two shapes, split on the SAME bound that already
+    // governs the remap broadcast below:
+    //  - source vocabulary ≤ broadcastVocabMax: the source dictionary
+    //    collects ONCE (bounded — this is the bound under which the remap
+    //    relation was already shipped to every executor) and drives, on the
+    //    driver, the fresh-term ranking ((df desc, term) in UTF-8-binary
+    //    order — identical termIds to GlobalRank's) and the srcTermId →
+    //    mergedTermId map; the corpus-vocabulary-sized destination
+    //    dictionary streams ONCE through a broadcast term map into the
+    //    v(N+1) write. No full-outer exchange, no range-sampling pass —
+    //    the exact diet the append verb got this round.
+    //  - beyond the bound: the distributed full-outer + GlobalRank shape
+    //    as before (nothing corpus-vocabulary-sized may reach the driver).
     val dictA = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
-    val dictB = spark.read.parquet(dictDirFor(otherDir, src.dictVersion))
-      .select(col("term"), col("termId").as("srcTermId"),
-        col("df").as("s_df"), col("cf").as("s_cf"))
-    val joined = dictA.select(col("termId"), col("term"), col("df"), col("cf"))
-      .join(dictB, Seq("term"), "full_outer").persist()
-    val updated = joined.filter(col("termId").isNotNull)
-      .select(col("termId"), col("term"),
-        (col("df") + coalesce(col("s_df"), lit(0L))).cast("long").as("df"),
-        (col("cf") + coalesce(col("s_cf"), lit(0L))).cast("long").as("cf"))
-    val fresh = joined.filter(col("termId").isNull)
-      .select(col("term"), col("srcTermId"), col("s_df").as("df"), col("s_cf").as("cf"))
-    val freshRanked = graft.plans.GlobalRank.withRowNumber(
-      fresh, Seq(col("df").desc, col("term").asc), "rn",
-      spark.sessionState.conf.numShufflePartitions)
-    val freshDict = freshRanked.df.select(
-      (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
-      col("term"), col("df").cast("long"), col("cf").cast("long"), col("srcTermId"))
-    val vocabSize = old.vocabSize + freshRanked.total
     // written UNCONDITIONALLY (mode overwrite, like append/delete): the
     // v(N+1) path is shared across verb types, so a _SUCCESS left by a
     // DIFFERENT crashed verb (an uncommitted delete) must not be trusted
     val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
-    val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
-    updated.unionByName(freshDict.drop("srcTermId"))
-      .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
-      .sortWithinPartitions(col("termId"))
-      .write.mode("overwrite").parquet(newDictDir)
-    // srcTermId → merged termId, covering the WHOLE source vocabulary
-    // (df-0 rows included — dead terms still sit in uncompacted blocks);
-    // materialized once, consumed by every segment rewrite
-    val remap = joined
-      .filter(col("termId").isNotNull && col("srcTermId").isNotNull)
-      .select(col("srcTermId"), col("termId").as("newTermId"))
-      .unionByName(freshDict.select(col("srcTermId"), col("termId").as("newTermId")))
-      .localCheckpoint(true)
-    freshRanked.release()
-    joined.unpersist()
+    val smallSrc = src.vocabSize <= broadcastVocabMax
+    var vocabSize = 0L
+    val remap: org.apache.spark.sql.DataFrame = if (smallSrc) {
+      val srcEntries = spark.read.parquet(dictDirFor(otherDir, src.dictVersion))
+        .select(col("termId"), col("term"), col("df"), col("cf"))
+        .as[TermEntry].collect()
+      // which source terms the destination already knows (termId + dest
+      // df/cf ride along; the collect is bounded by the source vocabulary)
+      val matched: Array[TermEntry] = dictA
+        .join(srcEntries.map(_.term).toSeq.toDF("term"), Seq("term"), "left_semi")
+        .select("termId", "term", "df", "cf").as[TermEntry].collect()
+      val matchedId = matched.iterator.map(e => e.term -> e.termId).toMap
+      // (df desc, term asc in UTF-8 BINARY order): the exact unique total
+      // order GlobalRank produced, so assigned termIds are identical
+      val freshDriver = srcEntries
+        .filter(e => !matchedId.contains(e.term))
+        .sortWith { (a, b) =>
+          if (a.df != b.df) a.df > b.df else Overlap.utf8Compare(a.term, b.term) < 0
+        }
+      val freshDict = freshDriver.zipWithIndex.map { case (e, i) =>
+        TermEntry((old.vocabSize + i).toInt, e.term, e.df, e.cf)
+      }
+      vocabSize = old.vocabSize + freshDict.length
+      val bSrc = spark.sparkContext.broadcast(
+        srcEntries.map(e => e.term -> ((e.df, e.cf))).toMap)
+      val updated = dictA.select(col("termId"), col("term"), col("df"), col("cf"))
+        .as[TermEntry].mapPartitions { it =>
+          val d = bSrc.value
+          it.map { e =>
+            d.get(e.term) match {
+              case Some((sdf, scf)) => e.copy(df = e.df + sdf, cf = e.cf + scf)
+              case None             => e
+            }
+          }
+        }
+      val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
+      updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
+        .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
+        .sortWithinPartitions(col("termId"))
+        .write.mode("overwrite").parquet(newDictDir)
+      // srcTermId → merged termId, covering the WHOLE source vocabulary
+      // (df-0 rows included — dead terms still sit in uncompacted blocks);
+      // driver-derived, so the segment-rewrite broadcast costs no scan job
+      val freshId = freshDict.iterator.map(e => e.term -> e.termId).toMap
+      srcEntries.map { e =>
+        (e.termId, matchedId.getOrElse(e.term, freshId(e.term)))
+      }.toSeq.toDF("srcTermId", "newTermId")
+    } else {
+      val dictB = spark.read.parquet(dictDirFor(otherDir, src.dictVersion))
+        .select(col("term"), col("termId").as("srcTermId"),
+          col("df").as("s_df"), col("cf").as("s_cf"))
+      val joined = dictA.select(col("termId"), col("term"), col("df"), col("cf"))
+        .join(dictB, Seq("term"), "full_outer").persist()
+      val updated = joined.filter(col("termId").isNotNull)
+        .select(col("termId"), col("term"),
+          (col("df") + coalesce(col("s_df"), lit(0L))).cast("long").as("df"),
+          (col("cf") + coalesce(col("s_cf"), lit(0L))).cast("long").as("cf"))
+      val fresh = joined.filter(col("termId").isNull)
+        .select(col("term"), col("srcTermId"), col("s_df").as("df"), col("s_cf").as("cf"))
+      val freshRanked = graft.plans.GlobalRank.withRowNumber(
+        fresh, Seq(col("df").desc, col("term").asc), "rn",
+        spark.sessionState.conf.numShufflePartitions)
+      val freshDict = freshRanked.df.select(
+        (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
+        col("term"), col("df").cast("long"), col("cf").cast("long"), col("srcTermId"))
+      vocabSize = old.vocabSize + freshRanked.total
+      val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
+      updated.unionByName(freshDict.drop("srcTermId"))
+        .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
+        .sortWithinPartitions(col("termId"))
+        .write.mode("overwrite").parquet(newDictDir)
+      // srcTermId → merged termId, covering the WHOLE source vocabulary;
+      // materialized once, consumed by every segment rewrite
+      val remap0 = joined
+        .filter(col("termId").isNotNull && col("srcTermId").isNotNull)
+        .select(col("srcTermId"), col("termId").as("newTermId"))
+        .unionByName(freshDict.select(col("srcTermId"), col("termId").as("newTermId")))
+        .localCheckpoint(true)
+      freshRanked.release()
+      joined.unpersist()
+      remap0
+    }
 
     // source segments, re-keyed into the destination: lo clamped to the
     // destination's span end (truthful — no source doc is below minPhys >

@@ -305,4 +305,23 @@ class MergeSpec extends AnyFunSuite {
     assert(eAna.getMessage.contains("analyzer"), eAna.getMessage)
     assert(Manifest.read(s"$low/manifest.json") == before)
   }
+
+  test("driver-ranked dictionary path (source vocab ≤ broadcastVocabMax) is " +
+    "bit-identical to the distributed full-outer + GlobalRank path") {
+    // two deterministic, content-identical pairs; one merged per path
+    val (lowS, highS) = buildPair("/tmp/graft_merge_spec/path_small")
+    val (lowD, highD) = buildPair("/tmp/graft_merge_spec/path_dist")
+    val mS = IndexBuilder.merge(spark, lowS, highS) // default bound → driver path
+    val mD = IndexBuilder.merge(spark, lowD, highD, broadcastVocabMax = 0L) // forced distributed
+    assert(mS.vocabSize == mD.vocabSize)
+    val hS = IndexReader.load(spark, lowS)
+    val hD = IndexReader.load(spark, lowD)
+    // identical termId assignment AND stats — the paths' unique total order
+    // ((df desc, term asc UTF-8-binary)) must agree exactly
+    val dS = hS.dictionary.collect().map(e => (e.termId, e.term, e.df, e.cf)).sorted.toSeq
+    val dD = hD.dictionary.collect().map(e => (e.termId, e.term, e.df, e.cf)).sorted.toSeq
+    assert(dS == dD)
+    // remapped payloads identical term-keyed
+    assert(decodedContent(hS) == decodedContent(hD))
+  }
 }
