@@ -257,17 +257,15 @@ object IndexBuilder {
     // regardless of the original build's postingsBuckets)
     val oldDict = spark.read.parquet(dictDirFor(indexDir, old.dictVersion))
     val nBuckets = math.max(1, oldDict.inputFiles.length)
-    val perFile = math.max(1L, (old.vocabSize + nBuckets - 1) / nBuckets)
     // dictionary v(N+1) and tombstones v(N+1) are independent writes —
     // overlap them (optimization guide §2.6; Overlap quiesces on failure)
     Overlap.overlap {
-      oldDict.join(termDeltas, Seq("termId"), "left_outer")
-        .select(col("termId"), col("term"),
-          (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
-          (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf"))
-        .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
-        .sortWithinPartitions(col("termId"))
-        .write.mode("overwrite").parquet(dictDirFor(indexDir, old.dictVersion + 1))
+      writeClusteredDict(
+        oldDict.join(termDeltas, Seq("termId"), "left_outer")
+          .select(col("termId"), col("term"),
+            (col("df") - coalesce(col("d_df"), lit(0L))).cast("long").as("df"),
+            (col("cf") - coalesce(col("d_cf"), lit(0L))).cast("long").as("cf")),
+        nBuckets, old.vocabSize, dictDirFor(indexDir, old.dictVersion + 1))
     } {
       // tombstones v(N+1) = v(N) ∪ fresh, bucket-clustered
       oldTombs.toDF("docId").unionByName(fresh.select("docId"))
@@ -296,25 +294,80 @@ object IndexBuilder {
     * termId-clustered with NO extra exchange), the vocabulary size, and the
     * rank cache's release handle — call it after materializing. */
   def dictionaryRanked(td: Dataset[TermDoc], partitions: Int): (Dataset[TermEntry], Long, () => Unit) = {
-    val spark = td.sparkSession
-    import spark.implicits._
     // persist the vocab-sized stats BEFORE the range exchange: GlobalRank's
     // range sampling is its own pass over the input, which would otherwise
     // re-tokenize the whole corpus a second time (the stats relation is
     // |vocab| rows — cache cost is trivial, the saved pass is a full scan)
     val stats = td.groupBy("term").agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .persist()
+    val (ds, total, rel) = rankedFromStats(stats, partitions)
+    (ds, total, () => { rel(); stats.unpersist(); () })
+  }
+
+  /** Distributed dictionary ranking over an already-materialized
+    * (term, df, cf) stats relation (the GlobalRank core of
+    * [[dictionaryRanked]], shared with [[buildFrom]]'s web-scale branch).
+    * Caller invokes the release handle after materializing the output. */
+  private[index] def rankedFromStats(stats: DataFrame, partitions: Int): (Dataset[TermEntry], Long, () => Unit) = {
+    val spark = stats.sparkSession
+    import spark.implicits._
     val ranked = graft.plans.GlobalRank.withRowNumber(
       stats, Seq(col("df").desc, col("term").asc), "rn", partitions)
     val ds = ranked.df
       .select((col("rn") - 1).cast("int").as("termId"),
         col("term"), col("df").cast("long"), col("cf").cast("long"))
       .as[TermEntry]
-    (ds, ranked.total, () => { ranked.release(); stats.unpersist(); () })
+    (ds, ranked.total, () => { ranked.release(); () })
+  }
+
+  /** Driver-side fresh-term ranking shared by the build/append/merge verbs'
+    * broadcast-bounded fast paths: sort `(term, df, cf)` tuples by
+    * (df desc, term asc) in UTF-8 BINARY order — the exact unique total
+    * order GlobalRank produces (Spark UTF8String collation == DuckDB binary
+    * == code-point order; Java compareTo would diverge on supplementary-
+    * plane terms) — and assign dense termIds from `base`. */
+  private[index] def rankFreshOnDriver(
+      entries: Array[(String, Long, Long)], base: Long): Array[TermEntry] =
+    entries.sortWith { case ((ta, dfa, _), (tb, dfb, _)) =>
+      if (dfa != dfb) dfa > dfb else Overlap.utf8Compare(ta, tb) < 0
+    }.zipWithIndex.map { case ((t, df, cf), i) =>
+      TermEntry((base + i).toInt, t, df, cf)
+    }
+
+  /** The clustered dictionary write shared by every verb that commits a
+    * dictionary version: deterministic contiguous termId groups (known
+    * vocab span — no repartitionByRange sampling pass), sorted within each
+    * group so row-group termId min/max stay tight for scan pruning. */
+  private[index] def writeClusteredDict(
+      df: DataFrame, nBuckets: Int, vocabSize: Long, dest: String): Unit = {
+    val perFile = math.max(1L, (vocabSize + nBuckets - 1) / nBuckets)
+    df.repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
+      .sortWithinPartitions(col("termId"))
+      .write.mode("overwrite").parquet(dest)
+  }
+
+  /** Stream a committed dictionary once through a broadcast (term →
+    * (df delta, cf delta)) map — the corpus-vocabulary-sized side never
+    * shuffles and never reaches the driver (append/merge fast paths). */
+  private[index] def streamDictUpdate(
+      dict: DataFrame, delta: Map[String, (Long, Long)]): Dataset[TermEntry] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(delta)
+    dict.select(col("termId"), col("term"), col("df"), col("cf"))
+      .as[TermEntry].mapPartitions { it =>
+        val d = b.value
+        it.map { e =>
+          d.get(e.term) match {
+            case Some((ddf, dcf)) => e.copy(df = e.df + ddf, cf = e.cf + dcf)
+            case None             => e
+          }
+        }
+      }
   }
 
   /** Convenience wrapper (tests/ad-hoc); leaks the rank cache — production
-    * paths use [[dictionaryRanked]] and release. */
+    * paths use [[dictionaryRanked]]/[[rankedFromStats]] and release. */
   def dictionary(td: Dataset[TermDoc], partitions: Int): Dataset[TermEntry] =
     dictionaryRanked(td, partitions)._1
 
@@ -735,38 +788,22 @@ object IndexBuilder {
       if (vocabSize <= cfg.broadcastVocabMax) {
         // SMALL-VOCAB FAST PATH: the build collects the dictionary to the
         // driver ANYWAY under this bound (the posting-build broadcast map),
-        // so rank HERE — same (df desc, term asc UTF-8-binary) unique total
-        // order as GlobalRank (collation == Spark UTF8String == DuckDB, the
-        // append path's proven discipline), identical termIds — and skip the
+        // so rank HERE — identical termIds to GlobalRank's (the shared
+        // [[rankFreshOnDriver]] collation discipline) — and skip the
         // range-sampling exchange + window + dictionary re-read entirely.
         val collected = stats.as[(String, Long, Long)].collect()
         stats.unpersist()
-        val ranked = collected.sortWith { case ((ta, dfa, _), (tb, dfb, _)) =>
-          if (dfa != dfb) dfa > dfb else Overlap.utf8Compare(ta, tb) < 0
-        }
-        driverEntries = ranked.zipWithIndex.map { case ((t, df, cf), i) =>
-          TermEntry(i, t, df, cf)
-        }
-        // deterministic contiguous termId groups (append's write idiom) —
-        // termId-range clustering without an extra exchange or sampling pass
-        val nBuckets = cfg.postingsBuckets
-        val perFile = math.max(1L, (vocabSize + nBuckets - 1) / nBuckets)
-        driverEntries.toSeq.toDF("termId", "term", "df", "cf")
-          .repartition(nBuckets, (col("termId") / lit(perFile)).cast("long"))
-          .sortWithinPartitions(col("termId"))
-          .write.mode("overwrite").parquet(dictDir)
+        driverEntries = rankFreshOnDriver(collected, base = 0L)
+        writeClusteredDict(driverEntries.toSeq.toDF("termId", "term", "df", "cf"),
+          cfg.postingsBuckets, vocabSize, dictDir)
       } else {
         // web-scale vocabulary: distributed GlobalRank ranking as before —
         // the range sampling + counting passes now read the stats CACHE
         // (vocab-sized), never re-tokenizing the corpus
-        val ranked = graft.plans.GlobalRank.withRowNumber(
-          stats, Seq(col("df").desc, col("term").asc), "rn",
-          spark.sessionState.conf.numShufflePartitions)
-        ranked.df
-          .select((col("rn") - 1).cast("int").as("termId"),
-            col("term"), col("df").cast("long"), col("cf").cast("long"))
-          .write.mode("overwrite").parquet(dictDir)
-        ranked.release()
+        val (entries, _, release) =
+          rankedFromStats(stats, spark.sessionState.conf.numShufflePartitions)
+        entries.write.mode("overwrite").parquet(dictDir)
+        release()
         stats.unpersist()
       }
       Lineage.append(spark, indexDir, LineageRow(-1, "dictionary", -1L, System.currentTimeMillis(), "committed"))
@@ -776,7 +813,10 @@ object IndexBuilder {
     // dense df-ordered termIds make the head exactly termId < cap, and the
     // predicate is pushed BELOW the collect into the termId-clustered scan
     // (a capped build never materializes the tail on the driver)
-    def headDict: org.apache.spark.sql.DataFrame = {
+    // lazy: the driver-ranked fast path never touches the committed parquet
+    // again; the web-scale / capped paths evaluate it once (a def would
+    // re-list the dictionary dir per chunk on the distributed-join path)
+    lazy val headDict: org.apache.spark.sql.DataFrame = {
       val dictSource = spark.read.parquet(dictDir)
       cfg.vocabCap.fold(dictSource)(cap => dictSource.filter(col("termId") < cap))
     }
@@ -1011,41 +1051,22 @@ object IndexBuilder {
       .join(deltaStats.map(_._1).toSeq.toDF("term"), Seq("term"), "left_semi")
       .select("termId", "term", "df", "cf").as[TermEntry].collect()
     val matchedTerms = matchedOld.iterator.map(_.term).toSet
-    // (df desc, term asc in UTF-8 BINARY order): the exact unique total
-    // order the GlobalRank orderBy produced (Spark UTF8String collation ==
-    // DuckDB binary == code-point order; Java compareTo would diverge for
-    // supplementary-plane terms), so assigned termIds are identical
-    val freshDriver: Array[(String, Long, Long)] = deltaStats
-      .filter { case (t, _, _) => !matchedTerms.contains(t) }
-      .sortWith { case ((ta, dfa, _), (tb, dfb, _)) =>
-        if (dfa != dfb) dfa > dfb else Overlap.utf8Compare(ta, tb) < 0
-      }
-    val freshDict = freshDriver.zipWithIndex.map { case ((t, ddf, dcf), i) =>
-      TermEntry((old.vocabSize + i).toInt, t, ddf, dcf)
-    }
-    val bDelta = spark.sparkContext.broadcast(deltaMap)
-    val updated = oldDict.toDF().as[TermEntry].mapPartitions { it =>
-      val d = bDelta.value
-      it.map { e =>
-        d.get(e.term) match {
-          case Some((ddf, dcf)) => e.copy(df = e.df + ddf, cf = e.cf + dcf)
-          case None             => e
-        }
-      }
-    }
+    // fresh terms ranked on the driver ([[rankFreshOnDriver]]: the shared
+    // (df desc, term asc UTF-8-binary) discipline — termIds identical to
+    // GlobalRank's), appended after the base vocabulary
+    val freshDict = rankFreshOnDriver(
+      deltaStats.filter { case (t, _, _) => !matchedTerms.contains(t) },
+      base = old.vocabSize)
+    val updated = streamDictUpdate(oldDict.toDF(), deltaMap)
     val newDictDir = dictDirFor(indexDir, old.dictVersion + 1)
     val vocabSize0 = old.vocabSize + freshDict.length
-    // deterministic contiguous termId groups (known vocab span) — avoids
-    // repartitionByRange's sampling re-executing the input
-    val perFile = math.max(1L, (vocabSize0 + ecfg.postingsBuckets - 1) / ecfg.postingsBuckets)
     // the v(N+1) dictionary write and the delta postings write are also
     // independent — the posting build's broadcast map is driver-derived
     // below, not read back from the written dictionary — overlap them too
     Overlap.overlap {
-      updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
-        .repartition(ecfg.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
-        .sortWithinPartitions(col("termId"))
-        .write.mode("overwrite").parquet(newDictDir)
+      writeClusteredDict(
+        updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf")),
+        ecfg.postingsBuckets, vocabSize0, newDictDir)
     } {
       // postings: the delta segment's blocks under the UPDATED dictionary.
       // Broadcast map = matched old entries (delta-updated) + fresh entries —
@@ -1211,40 +1232,24 @@ object IndexBuilder {
       val srcEntries = spark.read.parquet(dictDirFor(otherDir, src.dictVersion))
         .select(col("termId"), col("term"), col("df"), col("cf"))
         .as[TermEntry].collect()
-      // which source terms the destination already knows (termId + dest
-      // df/cf ride along; the collect is bounded by the source vocabulary)
-      val matched: Array[TermEntry] = dictA
+      // which source terms the destination already knows — only (termId,
+      // term) are consumed (the v(N+1) stats come from streaming dictA, not
+      // from this collect); bounded by the source vocabulary
+      val matchedId: Map[String, Int] = dictA
         .join(srcEntries.map(_.term).toSeq.toDF("term"), Seq("term"), "left_semi")
-        .select("termId", "term", "df", "cf").as[TermEntry].collect()
-      val matchedId = matched.iterator.map(e => e.term -> e.termId).toMap
-      // (df desc, term asc in UTF-8 BINARY order): the exact unique total
-      // order GlobalRank produced, so assigned termIds are identical
-      val freshDriver = srcEntries
-        .filter(e => !matchedId.contains(e.term))
-        .sortWith { (a, b) =>
-          if (a.df != b.df) a.df > b.df else Overlap.utf8Compare(a.term, b.term) < 0
-        }
-      val freshDict = freshDriver.zipWithIndex.map { case (e, i) =>
-        TermEntry((old.vocabSize + i).toInt, e.term, e.df, e.cf)
-      }
+        .select(col("term"), col("termId")).as[(String, Int)].collect().toMap
+      // fresh (source-only) terms ranked on the driver ([[rankFreshOnDriver]]:
+      // the shared (df desc, term asc UTF-8-binary) discipline — termIds
+      // identical to GlobalRank's), appended after the destination vocabulary
+      val freshDict = rankFreshOnDriver(
+        srcEntries.collect { case e if !matchedId.contains(e.term) => (e.term, e.df, e.cf) },
+        base = old.vocabSize)
       vocabSize = old.vocabSize + freshDict.length
-      val bSrc = spark.sparkContext.broadcast(
+      val updated = streamDictUpdate(dictA,
         srcEntries.map(e => e.term -> ((e.df, e.cf))).toMap)
-      val updated = dictA.select(col("termId"), col("term"), col("df"), col("cf"))
-        .as[TermEntry].mapPartitions { it =>
-          val d = bSrc.value
-          it.map { e =>
-            d.get(e.term) match {
-              case Some((sdf, scf)) => e.copy(df = e.df + sdf, cf = e.cf + scf)
-              case None             => e
-            }
-          }
-        }
-      val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
-      updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf"))
-        .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
-        .sortWithinPartitions(col("termId"))
-        .write.mode("overwrite").parquet(newDictDir)
+      writeClusteredDict(
+        updated.toDF().unionByName(freshDict.toSeq.toDF("termId", "term", "df", "cf")),
+        old.postingsBuckets, vocabSize, newDictDir)
       // srcTermId → merged termId, covering the WHOLE source vocabulary
       // (df-0 rows included — dead terms still sit in uncompacted blocks);
       // driver-derived, so the segment-rewrite broadcast costs no scan job
@@ -1271,11 +1276,8 @@ object IndexBuilder {
         (col("rn") - 1 + old.vocabSize).cast("int").as("termId"),
         col("term"), col("df").cast("long"), col("cf").cast("long"), col("srcTermId"))
       vocabSize = old.vocabSize + freshRanked.total
-      val perFile = math.max(1L, (vocabSize + old.postingsBuckets - 1) / old.postingsBuckets)
-      updated.unionByName(freshDict.drop("srcTermId"))
-        .repartition(old.postingsBuckets, (col("termId") / lit(perFile)).cast("long"))
-        .sortWithinPartitions(col("termId"))
-        .write.mode("overwrite").parquet(newDictDir)
+      writeClusteredDict(updated.unionByName(freshDict.drop("srcTermId")),
+        old.postingsBuckets, vocabSize, newDictDir)
       // srcTermId → merged termId, covering the WHOLE source vocabulary;
       // materialized once, consumed by every segment rewrite
       val remap0 = joined
