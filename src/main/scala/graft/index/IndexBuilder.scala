@@ -883,7 +883,16 @@ object IndexBuilder {
         }
       } {
         if (!success(s"$sdir/postings")) timed(s"postings-$chunk") {
-          val part = tdCached.filter(p => p.docId >= lo && p.docId < hi)
+          // uncached term docs: slice the CLEANED relation before the
+          // tokenize flatMap (a closure filter on Dataset[TermDoc] cannot
+          // push below it), so a multi-chunk build tokenizes each doc ONCE
+          // — O(corpus) total, not O(chunks × corpus); the cached flavor
+          // shares one tokenize across chunks by construction. Identical
+          // output either way: tokenize is per-doc and docIds are preserved.
+          val part =
+            if (cfg.cacheTermDocs) tdCached.filter(p => p.docId >= lo && p.docId < hi)
+            else termDocs(cleaned.filter(
+              col("doc_id").cast("long") >= lo && col("doc_id").cast("long") < hi), tok)
           val blocks =
             if (useBroadcastDict) postingBlocks(part, dict, cfg)
             else postingBlocksJoinDict(part, headDict, cfg)
